@@ -1,0 +1,314 @@
+"""Minimal HTML DOM built on the stdlib ``html.parser``.
+
+This module provides just enough of a BeautifulSoup-like node API for the
+HTML extraction kernel (`docling_ray.kernels.html_extract`).  The reference
+engine parses HTML with ``BeautifulSoup(raw, "html.parser")``
+(``/root/reference/docling/backend/html_backend.py:209``); since the target
+runtime has no third-party HTML library we re-create the same *observable*
+tree semantics directly on :class:`html.parser.HTMLParser`:
+
+- character references are converted inline (``convert_charrefs=True``),
+- void elements (``br``, ``img``, ...) never take children,
+- an unmatched end tag is ignored; a matched one closes every tag opened
+  after it,
+- comments / doctypes / CDATA become :class:`Preformatted` strings which the
+  extraction kernel skips,
+- bare attributes (``hidden``) get the value ``""``.
+
+Only UTF-8 (with latin-1 fallback) input is supported, which covers the
+Common-Crawl-style corpus this engine targets.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterable, Iterator, Optional, Union
+
+# HTML void elements: start tags that can never hold content.
+VOID_ELEMENTS = frozenset(
+    {
+        "area",
+        "base",
+        "basefont",
+        "bgsound",
+        "br",
+        "col",
+        "command",
+        "embed",
+        "frame",
+        "hr",
+        "image",
+        "img",
+        "input",
+        "isindex",
+        "keygen",
+        "link",
+        "menuitem",
+        "meta",
+        "nextid",
+        "param",
+        "source",
+        "spacer",
+        "track",
+        "wbr",
+    }
+)
+
+# Elements whose raw content is not parsed as markup.
+_CDATA_ELEMENTS = frozenset({"script", "style"})
+
+# Whitespace-only text handling: outside these elements, a text node made
+# entirely of ASCII spaces collapses to "\n" (if it contains a newline) or
+# " " — the same reduction BeautifulSoup applies while building its tree.
+_PRESERVE_WHITESPACE_TAGS = frozenset({"pre", "textarea"})
+_ASCII_SPACES = frozenset(" \n\t\f\r")
+
+
+class NavStr(str):
+    """A text node; behaves as ``str`` and knows its parent element."""
+
+    __slots__ = ("parent",)
+
+    def __new__(cls, value: str = ""):
+        self = super().__new__(cls, value)
+        self.parent = None
+        return self
+
+    @property
+    def name(self) -> Optional[str]:  # parity with Tag API in parent walks
+        return None
+
+    def replace_with(self, new_node: "Node") -> None:
+        _replace_node(self, new_node)
+
+    def extract(self) -> None:
+        _detach_node(self)
+
+
+class Preformatted(NavStr):
+    """Comment / doctype / CDATA content — skipped by the extractor."""
+
+    __slots__ = ()
+
+
+Node = Union["Tag", NavStr]
+
+
+class Tag:
+    """An element node with ``name``, ``attrs`` and ordered ``contents``."""
+
+    __slots__ = ("name", "attrs", "contents", "parent")
+
+    def __init__(self, name: str, attrs: Optional[dict] = None):
+        self.name = name
+        self.attrs = attrs or {}
+        self.contents: list[Node] = []
+        self.parent: Optional[Tag] = None
+
+    # -- construction ----------------------------------------------------
+    def append(self, node: Node) -> None:
+        node.parent = self
+        self.contents.append(node)
+
+    # -- attributes ------------------------------------------------------
+    def get(self, key: str, default=None):
+        return self.attrs.get(key, default)
+
+    def has_attr(self, key: str) -> bool:
+        return key in self.attrs
+
+    # -- traversal -------------------------------------------------------
+    def __iter__(self) -> Iterator[Node]:
+        return iter(self.contents)
+
+    def descendants(self) -> Iterator[Node]:
+        for child in self.contents:
+            yield child
+            if isinstance(child, Tag):
+                yield from child.descendants()
+
+    def _match(self, node: Node, name, attr_presence: Optional[dict]) -> bool:
+        if not isinstance(node, Tag):
+            return False
+        if name is not None:
+            if isinstance(name, str):
+                if node.name != name:
+                    return False
+            elif node.name not in name:  # list/set/tuple of names
+                return False
+        if attr_presence:
+            for key, want in attr_presence.items():
+                present = key in node.attrs
+                if bool(want) != present:
+                    return False
+        return True
+
+    def find_all(
+        self,
+        name=None,
+        recursive: bool = True,
+        limit: Optional[int] = None,
+        **attrs,
+    ) -> list["Tag"]:
+        source: Iterable[Node] = self.descendants() if recursive else self.contents
+        out: list[Tag] = []
+        for node in source:
+            if self._match(node, name, attrs):
+                out.append(node)  # type: ignore[arg-type]
+                if limit is not None and len(out) >= limit:
+                    break
+        return out
+
+    # ``tag("br")`` shorthand, as used throughout the extraction kernel.
+    __call__ = find_all
+
+    def find(self, name=None, recursive: bool = True, **attrs) -> Optional["Tag"]:
+        found = self.find_all(name, recursive=recursive, limit=1, **attrs)
+        return found[0] if found else None
+
+    def find_parent(self, name=None) -> Optional["Tag"]:
+        cur = self.parent
+        while cur is not None:
+            if name is None or cur.name == name:
+                return cur
+            cur = cur.parent
+        return None
+
+    # -- text ------------------------------------------------------------
+    def get_text(self, separator: str = "", strip: bool = False) -> str:
+        pieces: list[str] = []
+        for node in self.descendants():
+            if isinstance(node, Preformatted) or isinstance(node, Tag):
+                continue
+            text = str(node)
+            if strip:
+                text = text.strip()
+                if not text:
+                    continue
+            pieces.append(text)
+        return separator.join(pieces)
+
+    @property
+    def text(self) -> str:
+        return self.get_text()
+
+    # -- mutation --------------------------------------------------------
+    def decompose(self) -> None:
+        _detach_node(self)
+
+    def replace_with(self, new_node: Node) -> None:
+        _replace_node(self, new_node)
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"<Tag {self.name} attrs={self.attrs} children={len(self.contents)}>"
+
+
+class Document(Tag):
+    """Root node of a parsed document."""
+
+    __slots__ = ()
+
+    def __init__(self):
+        super().__init__("[document]")
+
+    @property
+    def body(self) -> Optional[Tag]:
+        return self.find("body")
+
+    @property
+    def title(self) -> Optional[Tag]:
+        return self.find("title")
+
+
+def _detach_node(node: Node) -> None:
+    parent = node.parent
+    if parent is not None:
+        try:
+            parent.contents.remove(node)
+        except ValueError:
+            pass
+    node.parent = None
+
+
+def _replace_node(old: Node, new: Node) -> None:
+    parent = old.parent
+    if parent is None:
+        return
+    idx = parent.contents.index(old)
+    parent.contents[idx] = new
+    new.parent = parent
+    old.parent = None
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Document()
+        self.stack: list[Tag] = [self.root]
+
+    # -- helpers ---------------------------------------------------------
+    def _top(self) -> Tag:
+        return self.stack[-1]
+
+    def _append_text(self, text: str, cls=NavStr) -> None:
+        if not text:
+            return
+        if cls is NavStr and all(ch in _ASCII_SPACES for ch in text):
+            if not any(tag.name in _PRESERVE_WHITESPACE_TAGS for tag in self.stack):
+                text = "\n" if "\n" in text else " "
+        self._top().append(cls(text))
+
+    # -- parser events ---------------------------------------------------
+    def handle_starttag(self, name, attrs):
+        attr_dict: dict[str, str] = {}
+        for key, value in attrs:
+            if key not in attr_dict:  # keep the first duplicate, like bs4
+                attr_dict[key] = "" if value is None else value
+        tag = Tag(name, attr_dict)
+        self._top().append(tag)
+        if name not in VOID_ELEMENTS:
+            self.stack.append(tag)
+
+    def handle_startendtag(self, name, attrs):
+        self.handle_starttag(name, attrs)
+        if name not in VOID_ELEMENTS and self._top().name == name:
+            self.stack.pop()
+
+    def handle_endtag(self, name):
+        if name in VOID_ELEMENTS:
+            return
+        # Close up to the most recent matching open tag; ignore otherwise.
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].name == name:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        self._append_text(data)
+
+    def handle_comment(self, data):
+        self._append_text(f"<!--{data}-->", Preformatted)
+
+    def handle_decl(self, decl):
+        self._append_text(f"<!{decl}>", Preformatted)
+
+    def unknown_decl(self, data):
+        self._append_text(f"<![{data}]>", Preformatted)
+
+    def handle_pi(self, data):
+        self._append_text(f"<?{data}>", Preformatted)
+
+
+def parse_html(raw: Union[bytes, str]) -> Document:
+    """Parse HTML bytes/text into a :class:`Document` tree."""
+    if isinstance(raw, bytes):
+        try:
+            text = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            text = raw.decode("latin-1")
+    else:
+        text = raw
+    builder = _TreeBuilder()
+    builder.feed(text)
+    builder.close()
+    return builder.root
