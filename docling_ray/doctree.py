@@ -174,11 +174,13 @@ class TableData:
 
 
 class TableItem(Item):
-    __slots__ = ("data",)
+    __slots__ = ("data", "caption")
 
-    def __init__(self, parent, content_layer, data: TableData):
+    def __init__(self, parent, content_layer, data: TableData,
+                 caption: Optional[TextItem] = None):
         super().__init__(parent, content_layer)
         self.data = data
+        self.caption = caption
 
     @property
     def label(self) -> str:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import html as _html
 import re
+import unicodedata
 from typing import Optional
 
 from docling_ray.doctree import (
@@ -37,8 +38,24 @@ from docling_ray.doctree import (
 )
 
 IMAGE_PLACEHOLDER = "<!-- image -->"
+FORMULA_PLACEHOLDER = "<!-- formula-not-decoded -->"
+_NUM_MARKER_RE = re.compile(r"\d+\.")
 _INT_RE = re.compile(r"^[+-]?\d+$")
 _FLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
+def _visible_width(s: str) -> int:
+    """wcswidth-style display width: -1 if the string holds control chars,
+    2 per East-Asian wide/fullwidth char, 0 for combining marks."""
+    width = 0
+    for ch in s:
+        code = ord(ch)
+        if code < 32 or code == 0x7F:
+            return -1
+        if unicodedata.combining(ch):
+            continue
+        width += 2 if unicodedata.east_asian_width(ch) in ("W", "F") else 1
+    return width
 
 
 def _escape(text: str) -> str:
@@ -76,7 +93,7 @@ class MarkdownSerializer:
         refs: set[int] = set()
 
         def visit(item: Item):
-            if isinstance(item, PictureItem) and item.caption is not None:
+            if isinstance(item, (PictureItem, TableItem)) and item.caption is not None:
                 refs.add(id(item.caption))
             for child in item.children:
                 visit(child)
@@ -118,16 +135,22 @@ class MarkdownSerializer:
             return [p for p in parts if p]
 
         if isinstance(item, PictureItem):
+            # children of pictures are not traversed (docling-core's
+            # ``traverse_pictures=False`` default)
             parts = []
             if item.caption is not None and item.caption.text:
-                parts.append(item.caption.text)
+                parts.append(_escape(item.caption.text))
             parts.append(IMAGE_PLACEHOLDER)
-            parts.extend(self._parts(item, excluded, list_depth))
             return parts
 
         if isinstance(item, TableItem):
+            parts = []
+            if item.caption is not None and item.caption.text:
+                parts.append(_escape(item.caption.text))
             block = _table_block(item)
-            return [block] if block else []
+            if block:
+                parts.append(block)
+            return parts
 
         return self._parts(item, excluded, list_depth)
 
@@ -135,6 +158,8 @@ class MarkdownSerializer:
     def _inline_text(self, item: TextItem) -> str:
         if item.text_label == "code":
             return _decorate(item, f"`{item.text}`")
+        if item.text_label == "formula":
+            return f"${item.text}$" if item.text else FORMULA_PLACEHOLDER
         return _decorate(item, _escape(item.text))
 
     def _text_block(self, item: TextItem) -> str:
@@ -145,6 +170,10 @@ class MarkdownSerializer:
             return f"{'#' * (item.level + 1)} {_decorate(item, _escape(item.text))}"
         if label == "code":
             return f"```\n{item.text}\n```"
+        if label == "formula":
+            if item.text:
+                return f"$${item.text}$$"
+            return FORMULA_PLACEHOLDER
         if not item.text:
             return ""
         return self._inline_text(item)
@@ -177,18 +206,33 @@ class MarkdownSerializer:
         including this one → indent = 4 * (depth - 1)."""
         lines: list[str] = []
         indent = " " * (self.indent * (depth - 1))
-        counter = 0
-        for child in group.children:
+        # Ordered-list rendering (empirically matched to the ground-truth
+        # corpus): a group renders ordered iff its first list item is
+        # enumerated with an empty or "N."-style marker.  Enumerated items
+        # with an explicit "N." marker always show it; enumerated items with
+        # a non-standard marker (e.g. "(1)") render as bullets with the
+        # marker folded into the text; in an ordered group unmarked items get
+        # their 1-based child position.
+        ordered = next(
+            (c.enumerated for c in group.children
+             if isinstance(c, TextItem) and c.text_label == "list_item"),
+            False,
+        )
+        for position, child in enumerate(group.children, start=1):
             if id(child) in excluded or not self._included(child):
                 continue
             if isinstance(child, TextItem) and child.text_label == "list_item":
-                counter += 1
-                if child.enumerated:
-                    marker = child.marker or f"{counter}."
+                content = self._list_item_content(child, excluded, depth)
+                if child.enumerated and child.marker and _NUM_MARKER_RE.fullmatch(child.marker):
+                    marker = child.marker
+                elif child.enumerated and child.marker:
+                    marker = "-"
+                    content = f"{child.marker} {content}"
+                elif child.enumerated or ordered:
+                    marker = f"{position}."
                 else:
                     marker = "-"
-                content = self._list_item_content(child, excluded, depth)
-                lines.append(f"{indent}{marker} {content}".rstrip())
+                lines.append(f"{indent}{marker} {content}")
                 # nested list groups under the item follow on their own lines
                 for sub in child.children:
                     if isinstance(sub, GroupItem) and sub.group_label == "list":
@@ -200,9 +244,7 @@ class MarkdownSerializer:
                 if block:
                     lines.append(block)
             elif isinstance(child, PictureItem):
-                if child.caption is not None and child.caption.text:
-                    lines.append(child.caption.text)
-                lines.append(IMAGE_PLACEHOLDER)
+                lines.append("\n\n".join(self._item_parts(child, excluded, depth)))
             elif isinstance(child, TableItem):
                 block = _table_block(child)
                 if block:
@@ -237,7 +279,8 @@ def _table_block(item: TableItem) -> str:
     per-column width = max(data width, header width + 2), numeric columns
     right-aligned."""
     data = item.data
-    if data.num_rows == 0 or data.num_cols == 0:
+    # header-only (or empty) tables are dropped, like the reference corpus
+    if data.num_rows < 2 or data.num_cols == 0:
         return ""
     grid = [[cell.replace("\n", " ") for cell in row] for row in data.grid()]
     header, rows = grid[0], grid[1:]
@@ -245,22 +288,37 @@ def _table_block(item: TableItem) -> str:
     ncols = data.num_cols
     widths = []
     numeric = []
+    padded_rows = [list(row) for row in rows]
     for j in range(ncols):
         col = [row[j] for row in rows]
         is_num = bool(col) and all(_is_number(c) for c in col)
         numeric.append(is_num)
-        w = max([len(c) for c in col] + [len(header[j]) + 2])
+        if is_num:
+            # float columns are re-rendered with "g" formatting, then
+            # decimal-aligned (pad fractions so the points line up)
+            if not all(_INT_RE.match(c) for c in col):
+                for row in padded_rows:
+                    row[j] = format(float(row[j]), "g")
+
+            def frac_len(s: str) -> int:
+                return len(s) - s.index(".") if "." in s else 0
+            frac_w = max(frac_len(row[j]) for row in padded_rows)
+            for row in padded_rows:
+                row[j] = row[j] + " " * (frac_w - frac_len(row[j]))
+        w = max([_visible_width(row[j]) for row in padded_rows]
+                + [_visible_width(header[j]) + 2])
         widths.append(w)
 
     def fmt_row(cells: list[str]) -> str:
         out = []
         for j, cell in enumerate(cells):
-            out.append(cell.rjust(widths[j]) if numeric[j] else cell.ljust(widths[j]))
+            pad = max(widths[j] - _visible_width(cell), 0)
+            out.append(" " * pad + cell if numeric[j] else cell + " " * pad)
         return "| " + " | ".join(out) + " |"
 
     lines = [fmt_row(header)]
     lines.append("|" + "|".join("-" * (w + 2) for w in widths) + "|")
-    for row in rows:
+    for row in padded_rows:
         lines.append(fmt_row(row))
     return "\n".join(lines)
 
