@@ -1,0 +1,111 @@
+"""Ray Data stages for the extraction pipeline.
+
+Each stage is a callable suitable for ``ds.map_batches(fn,
+batch_format="pyarrow")``.  The HTML walk is inherently per-document Python
+work, so the batch wrapper's job is to keep everything else zero-copy:
+batches stay ``pyarrow.Table``s end to end, errors become data columns (the
+reference's ``raises_on_error=False`` semantics,
+``/root/reference/docling/document_converter.py:376-398``), and oversized
+payload columns are projected away by the pipeline between stages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+from docling_ray.kernels.html_extract import extract_html
+from docling_ray.kernels.markdown import to_markdown
+
+# -- format sniffing --------------------------------------------------------
+
+_HTML_RE = re.compile(
+    rb"(?i)<\s*(!doctype\s+html|html|head|body|div|p|h1)\b")
+_XML_RE = re.compile(rb"^\s*<\?xml")
+
+
+def sniff_format_bytes(raw: bytes) -> str:
+    """Content-based format guess (analog of
+    ``/root/reference/docling/datamodel/document.py:280-437``): html / xml /
+    json / markdown-ish text / unknown — over the leading bytes only."""
+    head = raw[:4096].lstrip()
+    if not head:
+        return "empty"
+    if _XML_RE.match(head):
+        return "xml"
+    if _HTML_RE.search(head):
+        return "html"
+    if head[:1] in (b"{", b"["):
+        return "json"
+    try:
+        head.decode("utf-8")
+    except UnicodeDecodeError:
+        return "binary"
+    return "text"
+
+
+def sniff_batch(batch: pa.Table) -> pa.Table:
+    fmt = [sniff_format_bytes(v.as_py() or b"") for v in batch["html"]]
+    return batch.append_column("format", pa.array(fmt, pa.string()))
+
+
+def hash_batch(batch: pa.Table, column: str = "html",
+               out: str = "doc_id") -> pa.Table:
+    """sha-256 identity key per document (mirror of
+    ``/root/reference/docling/utils/utils.py:19-37``)."""
+    ids = [hashlib.sha256(v.as_py() or b"").hexdigest() for v in batch[column]]
+    return batch.append_column(out, pa.array(ids, pa.string()))
+
+
+# -- extraction -------------------------------------------------------------
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """html bytes → extracted markdown text (+status/error columns).
+
+    The markdown string is the byte-identical-per-url oracle target; the
+    kernel matches the reference converter on its own fixture corpus.
+    """
+    texts: list[str] = []
+    n_items: list[int] = []
+    statuses: list[str] = []
+    errors: list[str] = []
+    for value in batch["html"]:
+        raw = value.as_py() or b""
+        try:
+            doc = extract_html(raw)
+            md = to_markdown(doc)
+            texts.append(md)
+            n_items.append(sum(1 for _ in doc.iterate()))
+            statuses.append("success")
+            errors.append("")
+        except Exception as exc:  # never raise: errors are data
+            texts.append("")
+            n_items.append(0)
+            statuses.append("failure")
+            errors.append(f"{type(exc).__name__}: {exc}")
+    out = batch.append_column("extracted_text", pa.array(texts, pa.large_string()))
+    out = out.append_column("n_items", pa.array(n_items, pa.int32()))
+    out = out.append_column("status", pa.array(statuses, pa.string()))
+    out = out.append_column("error", pa.array(errors, pa.string()))
+    return out
+
+
+def extract_and_project(batch: pa.Table) -> pa.Table:
+    """Fused sniff+hash+extract, dropping the heavy ``html`` payload on the
+    way out — the downstream pipeline only ships extracted text."""
+    batch = sniff_batch(batch)
+    batch = hash_batch(batch)
+    batch = extract_batch(batch)
+    keep = [c for c in batch.column_names if c != "html"]
+    return batch.select(keep)
+
+
+def size_bucket_batch(batch: pa.Table, column: str = "html") -> pa.Table:
+    """Byte-size bucket (log2 of payload size) used to repartition skewed
+    inputs before the heavy stage (north-rule skew defense)."""
+    sizes = pa.compute.binary_length(batch[column])
+    buckets = [max(0, int(s.as_py() or 0).bit_length() - 10) for s in sizes]
+    out = batch.append_column("size_bytes", sizes.cast(pa.int64()))
+    return out.append_column("size_bucket", pa.array(buckets, pa.int8()))

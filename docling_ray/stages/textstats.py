@@ -1,0 +1,138 @@
+"""Text-analysis stages for the training-data pipeline.
+
+All are stateless ``map_batches(batch_format="pyarrow")`` transforms over a
+``documents``-shaped table (``doc_id``, ``text``, ``lang``, ...):
+
+- token counting (whitespace tokens — SQL-oracle-compatible),
+- quality counters (alpha/digit/punct/space char classes, integer-exact so
+  the DuckDB oracle matches bit-for-bit),
+- md5 document fingerprinting,
+- 64-bit SimHash over token md5s,
+- n-gram-frequency language identification (heuristic, deterministic).
+
+Determinism note: everything hashes through hashlib (never the builtin
+``hash``), so results are identical across Ray worker processes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+_TOKEN_RE = re.compile(r"[^\s]+")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_DIGIT_RE = re.compile(r"[0-9]")
+_SPACE_RE = re.compile(r"\s")
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "on"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "auf", "für", "ein"},
+    "fr": {"le", "la", "les", "et", "de", "des", "un", "une", "est", "dans"},
+    "es": {"el", "la", "los", "las", "y", "de", "un", "una", "es", "en"},
+    "zh": set(),  # CJK: detected by script, not stopwords
+}
+
+
+def tokens_of(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text)
+
+
+def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    counts = [len(tokens_of(v.as_py() or "")) for v in batch[column]]
+    return batch.append_column("n_tokens", pa.array(counts, pa.int64()))
+
+
+def quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Integer char-class counters; quality *scores* derive from these."""
+    n_alpha, n_digit, n_space, n_tokens, n_chars = [], [], [], [], []
+    for v in batch[column]:
+        text = v.as_py() or ""
+        n_chars.append(len(text))
+        n_alpha.append(len(_ALPHA_RE.findall(text)))
+        n_digit.append(len(_DIGIT_RE.findall(text)))
+        n_space.append(len(_SPACE_RE.findall(text)))
+        n_tokens.append(len(tokens_of(text)))
+    out = batch
+    for name, vals in (("n_chars_text", n_chars), ("n_alpha", n_alpha),
+                       ("n_digit", n_digit), ("n_space", n_space),
+                       ("n_tokens", n_tokens)):
+        out = out.append_column(name, pa.array(vals, pa.int64()))
+    return out
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Float quality score in [0,1] from the integer counters (length,
+    alpha ratio, mean token length band) — heuristic tier analog of the
+    reference's text-quality scoring
+    (``/root/reference/docling/models/page_preprocessing_model.py:69-145``)."""
+    import pyarrow.compute as pc
+
+    batch = quality_batch(batch)
+    n_chars = batch["n_chars_text"].to_numpy(zero_copy_only=False).astype("float64")
+    n_alpha = batch["n_alpha"].to_numpy(zero_copy_only=False).astype("float64")
+    n_tokens = batch["n_tokens"].to_numpy(zero_copy_only=False).astype("float64")
+    import numpy as np
+
+    nz = np.maximum(n_chars, 1.0)
+    alpha_ratio = n_alpha / nz
+    mean_tok = n_chars / np.maximum(n_tokens, 1.0)
+    len_score = np.clip(n_chars / 200.0, 0.0, 1.0)
+    tok_score = np.clip(1.0 - np.abs(mean_tok - 5.0) / 10.0, 0.0, 1.0)
+    score = 0.4 * alpha_ratio + 0.3 * len_score + 0.3 * tok_score
+    _ = pc  # vectorized path uses numpy; keep import for parity with siblings
+    return batch.append_column("quality_score", pa.array(score, pa.float64()))
+
+
+def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """md5 fingerprint of the exact text bytes (exact-dup key)."""
+    fps = [hashlib.md5((v.as_py() or "").encode("utf-8")).hexdigest()
+           for v in batch[column]]
+    return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+def _token_hash64(token: str) -> int:
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
+
+
+def simhash64(text: str) -> int:
+    """Classic 64-bit SimHash over whitespace tokens."""
+    weights = [0] * 64
+    for token in tokens_of(text):
+        h = _token_hash64(token)
+        for bit in range(64):
+            weights[bit] += 1 if (h >> bit) & 1 else -1
+    value = 0
+    for bit in range(64):
+        if weights[bit] > 0:
+            value |= 1 << bit
+    return value
+
+
+def simhash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    hashes = [simhash64(v.as_py() or "") for v in batch[column]]
+    return batch.append_column(
+        "simhash", pa.array([f"{h:016x}" for h in hashes], pa.string()))
+
+
+def langid_of(text: str) -> str:
+    """Deterministic language guess: CJK script share, else stopword hits."""
+    if not text:
+        return "und"
+    cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
+    if cjk / max(len(text), 1) > 0.1:
+        return "zh"
+    toks = set(t.lower().strip(".,;:!?\"'()") for t in tokens_of(text))
+    best, best_score = "und", 0
+    for lang, profile in _LANG_PROFILES.items():
+        score = len(toks & profile)
+        if score > best_score:
+            best, best_score = lang, score
+    return best
+
+
+def langid_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    langs = [langid_of(v.as_py() or "") for v in batch[column]]
+    return batch.append_column("lang_pred", pa.array(langs, pa.string()))
