@@ -122,26 +122,26 @@ class Tag:
         return iter(self.contents)
 
     def descendants(self) -> Iterator[Node]:
-        for child in self.contents:
-            yield child
-            if isinstance(child, Tag):
-                yield from child.descendants()
+        # iterative DFS — nested generators are a hot-path cost
+        stack = self.contents[::-1]
+        while stack:
+            node = stack.pop()
+            yield node
+            if node.__class__ is Tag or isinstance(node, Tag):
+                if node.contents:
+                    stack.extend(node.contents[::-1])
 
-    def _match(self, node: Node, name, attr_presence: Optional[dict]) -> bool:
-        if not isinstance(node, Tag):
-            return False
-        if name is not None:
-            if isinstance(name, str):
-                if node.name != name:
-                    return False
-            elif node.name not in name:  # list/set/tuple of names
-                return False
-        if attr_presence:
-            for key, want in attr_presence.items():
-                present = key in node.attrs
-                if bool(want) != present:
-                    return False
-        return True
+    def has_descendant_named(self, names) -> bool:
+        """Early-exit check: any descendant tag whose name is in ``names``."""
+        stack = self.contents[::-1]
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Tag):
+                if node.name in names:
+                    return True
+                if node.contents:
+                    stack.extend(node.contents[::-1])
+        return False
 
     def find_all(
         self,
@@ -152,11 +152,27 @@ class Tag:
     ) -> list["Tag"]:
         source: Iterable[Node] = self.descendants() if recursive else self.contents
         out: list[Tag] = []
+        is_str = isinstance(name, str)
         for node in source:
-            if self._match(node, name, attrs):
-                out.append(node)  # type: ignore[arg-type]
-                if limit is not None and len(out) >= limit:
-                    break
+            if not isinstance(node, Tag):
+                continue
+            if name is not None:
+                if is_str:
+                    if node.name != name:
+                        continue
+                elif node.name not in name:
+                    continue
+            if attrs:
+                bad = False
+                for key, want in attrs.items():
+                    if bool(want) != (key in node.attrs):
+                        bad = True
+                        break
+                if bad:
+                    continue
+            out.append(node)
+            if limit is not None and len(out) >= limit:
+                break
         return out
 
     # ``tag("br")`` shorthand, as used throughout the extraction kernel.

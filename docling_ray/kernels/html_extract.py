@@ -76,6 +76,8 @@ _UNICODE_REPLACEMENTS = (
 
 
 def clean_unicode(text: str) -> str:
+    if text.isascii():  # every replacement source is non-ascii
+        return text
     for raw, repl in _UNICODE_REPLACEMENTS:
         text = text.replace(raw, repl)
     return text
@@ -307,7 +309,7 @@ class HtmlExtractor:
                 elif name in BLOCK_TAGS:
                     flush()
                     self._handle_block(node, doc)
-                elif node.find(BLOCK_TAGS):
+                elif node.has_descendant_named(BLOCK_TAGS):
                     flush()
                     self._walk(node, doc)
                 else:

@@ -47,6 +47,10 @@ _FLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 def _visible_width(s: str) -> int:
     """wcswidth-style display width: -1 if the string holds control chars,
     2 per East-Asian wide/fullwidth char, 0 for combining marks."""
+    if s.isascii():
+        if s.isprintable() or not s:
+            return len(s)
+        return -1
     width = 0
     for ch in s:
         code = ord(ch)

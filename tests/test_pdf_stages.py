@@ -1,0 +1,101 @@
+"""PDF-path (heuristic tier) tests: sanitize/de-hyphenation semantics,
+cell→cluster assignment, reading order, and the page→doc Ray pipeline
+against generator-computed expected text."""
+
+import pytest
+
+from docling_ray.kernels.pdf_assemble import (
+    BBox,
+    Cell,
+    Cluster,
+    assign_cells_to_clusters,
+    drop_ocr_cells_overlapping,
+    heuristic_clusters,
+    page_parse_score,
+    rate_text_quality,
+    sanitize_text,
+    sort_clusters,
+)
+
+
+def test_sanitize_dehyphenation():
+    assert sanitize_text(["hyphen-", "ated word"]) == "hyphenated word"
+    assert sanitize_text(["no hyphen", "next line"]) == "no hyphen next line"
+    # trailing hyphen before punctuation does not join
+    assert sanitize_text(["ends with -", "- dash"]) == "ends with - dash"
+    assert sanitize_text(["curly ’quotes’"]) == "curly 'quotes'"
+    assert sanitize_text([]) == ""
+
+
+def test_text_quality_garbage():
+    assert rate_text_quality("GLYPH<0041>GLYPH<0042>") == 0.0
+    assert rate_text_quality("/G123/G456") == 0.0
+    assert rate_text_quality("normal sentence with words") == 1.0
+    assert rate_text_quality("bad � replacement") == 0.0
+
+
+def test_page_parse_score_quantile():
+    assert page_parse_score([1.0, 1.0, 0.0]) == pytest.approx(0.2)
+    import math
+    assert math.isnan(page_parse_score([]))
+
+
+def _cell(i, text, l, t, r, b):
+    return Cell(index=i, text=text, bbox=BBox(l, t, r, b))
+
+
+def test_cell_cluster_assignment_best_overlap():
+    clusters = [
+        Cluster(id=0, label="text", bbox=BBox(0, 0, 100, 50)),
+        Cluster(id=1, label="text", bbox=BBox(0, 60, 100, 120)),
+    ]
+    cells = [
+        _cell(0, "top", 10, 10, 90, 20),
+        _cell(1, "bottom", 10, 70, 90, 80),
+        _cell(2, "outside", 500, 500, 600, 510),
+    ]
+    out = assign_cells_to_clusters(clusters, cells)
+    assert [c.text for c in out[0].cells] == ["top"]
+    assert [c.text for c in out[1].cells] == ["bottom"]
+
+
+def test_cluster_sort_by_min_cell_index():
+    a = Cluster(id=0, label="text", bbox=BBox(0, 100, 10, 110),
+                cells=[_cell(5, "later", 0, 100, 10, 110)])
+    b = Cluster(id=1, label="text", bbox=BBox(0, 0, 10, 10),
+                cells=[_cell(2, "earlier", 0, 0, 10, 10)])
+    assert [c.id for c in sort_clusters([a, b])] == [1, 0]
+
+
+def test_ocr_anti_join():
+    prog = [_cell(0, "text", 0, 0, 100, 20)]
+    ocr = [_cell(100, "dup", 5, 5, 95, 18), _cell(101, "new", 0, 200, 50, 220)]
+    kept = drop_ocr_cells_overlapping(prog, ocr)
+    assert [c.text for c in kept] == ["new"]
+
+
+def test_two_column_reading_order():
+    # right-column cell is physically higher but must come after left column
+    cells = [
+        _cell(0, "left one", 36, 50, 280, 62),
+        _cell(1, "left two", 36, 64, 280, 76),
+        _cell(2, "right one", 320, 50, 570, 62),
+    ]
+    clusters = heuristic_clusters(cells, page_width=612.0)
+    texts = [" ".join(c.text for c in cl.cells) for cl in clusters]
+    assert texts == ["left one left two", "right one"]
+
+
+def test_pdf_pipeline_end_to_end(ray_session):
+    import ray.data
+
+    from docling_ray.sources.pdf_pages import make_pdf_pages_table
+    from docling_ray.stages.pdf import pdf_pages_pipeline
+
+    table, expected = make_pdf_pages_table(12, seed=9)
+    ds = ray.data.from_arrow(table)
+    out = pdf_pages_pipeline(ds).to_pandas().set_index("doc_id")
+    assert len(out) == 12
+    for doc_id, exp_text in expected.items():
+        assert out.loc[doc_id, "text"] == exp_text
+    assert (out["parse_score"] == 1.0).all()
