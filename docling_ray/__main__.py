@@ -1,0 +1,101 @@
+"""CLI: ``python -m docling_ray convert <input> [--to md,json,itxt,chunks]``.
+
+Two input shapes (the reference CLI's convert surface re-expressed,
+``/root/reference/docling/cli/main.py:287-489``):
+
+- a file or directory of documents (html/csv/json/txt) → per-document
+  exports written next to ``--output``;
+- a parquet corpus directory (web-pages schema) → the resumable Ray Data
+  pipeline (``run_extract``) with per-shard lineage manifest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _convert_files(paths: list[str], output: str, formats: list[str],
+                   max_tokens: int) -> int:
+    from docling_ray.kernels.chunker import chunk_document
+    from docling_ray.kernels.docjson_write import to_docjson
+    from docling_ray.kernels.itxt import to_indented_text
+    from docling_ray.kernels.markdown import to_markdown
+    from docling_ray.stages.extract import extract_doc, sniff_format_bytes
+
+    os.makedirs(output, exist_ok=True)
+    n_ok = 0
+    for path in paths:
+        raw = open(path, "rb").read()
+        name = os.path.splitext(os.path.basename(path))[0]
+        fmt = sniff_format_bytes(raw)
+        try:
+            doc = extract_doc(raw, fmt if fmt not in ("empty", "binary") else "html")
+        except Exception as exc:
+            print(f"FAILED {path}: {type(exc).__name__}: {exc}", file=sys.stderr)
+            continue
+        if "md" in formats:
+            open(os.path.join(output, name + ".md"), "w").write(to_markdown(doc))
+        if "json" in formats:
+            open(os.path.join(output, name + ".json"), "w").write(
+                to_docjson(doc, indent=2))
+        if "itxt" in formats:
+            open(os.path.join(output, name + ".itxt"), "w").write(
+                to_indented_text(doc))
+        if "chunks" in formats:
+            chunks = chunk_document(doc, max_tokens=max_tokens)
+            with open(os.path.join(output, name + ".chunks.jsonl"), "w") as f:
+                for i, c in enumerate(chunks):
+                    f.write(json.dumps({
+                        "chunk_id": i, "text": c.text,
+                        "headings": c.headings, "n_tokens": c.n_tokens,
+                        "kind": c.kind}) + "\n")
+        n_ok += 1
+    print(f"converted {n_ok}/{len(paths)} documents → {output}")
+    return 0 if n_ok == len(paths) else 1
+
+
+def _convert_corpus(input_dir: str, output: str, num_cpus: int) -> int:
+    import ray
+
+    from docling_ray.pipelines.extract_pipeline import run_extract
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    stats = run_extract(input_dir, output)
+    print(json.dumps(stats))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="docling_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    conv = sub.add_parser("convert", help="convert documents or a parquet corpus")
+    conv.add_argument("input")
+    conv.add_argument("--output", "-o", default="./out")
+    conv.add_argument("--to", default="md",
+                      help="comma list of md,json,itxt,chunks (file inputs)")
+    conv.add_argument("--max-tokens", type=int, default=256)
+    conv.add_argument("--num-cpus", type=int,
+                      default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    args = parser.parse_args(argv)
+
+    if os.path.isdir(args.input) and glob.glob(os.path.join(args.input, "*.parquet")):
+        return _convert_corpus(args.input, args.output, args.num_cpus)
+    if os.path.isdir(args.input):
+        paths = sorted(
+            p for p in glob.glob(os.path.join(args.input, "*"))
+            if os.path.splitext(p)[1].lower() in
+            (".html", ".htm", ".csv", ".json", ".txt", ".xhtml"))
+    else:
+        paths = [args.input]
+    return _convert_files(paths, args.output, args.to.split(","), args.max_tokens)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

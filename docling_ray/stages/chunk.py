@@ -1,0 +1,48 @@
+"""Chunking as a Ray stage: explode each document into chunk rows
+(``flat_map`` expressed inside ``map_batches`` for batch efficiency)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from docling_ray.kernels.chunker import chunk_document
+from docling_ray.kernels.html_extract import extract_html
+from docling_ray.stages.extract import extract_doc, sniff_format_bytes
+
+
+def chunk_batch(batch: pa.Table, max_tokens: int = 256,
+                source_column: str = "html") -> pa.Table:
+    """document bytes → one row per chunk (url, chunk_id, headings, text)."""
+    urls, chunk_ids, texts, contexts, n_tokens, kinds = [], [], [], [], [], []
+    url_col = batch["url"] if "url" in batch.column_names else None
+    for i, value in enumerate(batch[source_column]):
+        raw = value.as_py() or b""
+        url = url_col[i].as_py() if url_col is not None else str(i)
+        try:
+            fmt = sniff_format_bytes(raw)
+            doc = (extract_doc(raw, fmt) if fmt not in ("empty", "binary")
+                   else extract_html(raw))
+            chunks = chunk_document(doc, max_tokens=max_tokens)
+        except Exception:
+            chunks = []
+        for ci, chunk in enumerate(chunks):
+            urls.append(url)
+            chunk_ids.append(ci)
+            texts.append(chunk.text)
+            contexts.append(chunk.contextualize())
+            n_tokens.append(chunk.n_tokens)
+            kinds.append(chunk.kind)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "chunk_id": pa.array(chunk_ids, pa.int32()),
+        "text": pa.array(texts, pa.large_string()),
+        "context_text": pa.array(contexts, pa.large_string()),
+        "n_tokens": pa.array(n_tokens, pa.int32()),
+        "kind": pa.array(kinds, pa.string()),
+    })
+
+
+def chunk_dataset(ds, max_tokens: int = 256):
+    return ds.map_batches(
+        lambda b: chunk_batch(b, max_tokens=max_tokens),
+        batch_format="pyarrow")

@@ -29,7 +29,7 @@ _XML_RE = re.compile(rb"^\s*<\?xml")
 def sniff_format_bytes(raw: bytes) -> str:
     """Content-based format guess (analog of
     ``/root/reference/docling/datamodel/document.py:280-437``): html / xml /
-    json / markdown-ish text / unknown — over the leading bytes only."""
+    json / csv / text / binary — over the leading bytes only."""
     head = raw[:4096].lstrip()
     if not head:
         return "empty"
@@ -40,9 +40,22 @@ def sniff_format_bytes(raw: bytes) -> str:
     if head[:1] in (b"{", b"["):
         return "json"
     try:
-        head.decode("utf-8")
+        text = head.decode("utf-8")
     except UnicodeDecodeError:
         return "binary"
+    # csv sniff over the leading lines (document.py:439-466 analog)
+    import csv as _csv
+
+    lines = text.splitlines()
+    if lines:
+        try:
+            dialect = _csv.Sniffer().sniff(lines[0], ",;\t|:")
+            if dialect.delimiter in {",", ";", "\t", "|", ":"}:
+                counts = {ln.count(dialect.delimiter) for ln in lines[:10] if ln}
+                if len(counts) == 1 and counts != {0}:
+                    return "csv"
+        except _csv.Error:
+            pass
     return "text"
 
 
@@ -61,20 +74,48 @@ def hash_batch(batch: pa.Table, column: str = "html",
 
 # -- extraction -------------------------------------------------------------
 
+def extract_doc(raw: bytes, fmt: str):
+    """bytes + sniffed format → DocTree (per-format kernel dispatch, the
+    ``FormatOption`` routing analog of
+    ``/root/reference/docling/document_converter.py:61-129``)."""
+    if fmt == "html" or fmt == "xml":
+        return extract_html(raw)
+    if fmt == "csv":
+        from docling_ray.kernels.csv_extract import extract_csv
+
+        return extract_csv(raw)
+    if fmt == "json":
+        from docling_ray.kernels.docjson import load_docjson
+
+        return load_docjson(raw)
+    if fmt == "text":
+        from docling_ray.doctree import DocTree
+
+        doc = DocTree()
+        for para in raw.decode("utf-8").split("\n\n"):
+            if para.strip():
+                doc.add_text(label="text", text=para.strip())
+        return doc
+    raise ValueError(f"unsupported format: {fmt}")
+
+
 def extract_batch(batch: pa.Table) -> pa.Table:
-    """html bytes → extracted markdown text (+status/error columns).
+    """document bytes → extracted markdown text (+status/error columns).
 
     The markdown string is the byte-identical-per-url oracle target; the
     kernel matches the reference converter on its own fixture corpus.
     """
+    formats = (batch["format"].to_pylist() if "format" in batch.column_names
+               else None)
     texts: list[str] = []
     n_items: list[int] = []
     statuses: list[str] = []
     errors: list[str] = []
-    for value in batch["html"]:
+    for i, value in enumerate(batch["html"]):
         raw = value.as_py() or b""
+        fmt = formats[i] if formats else "html"
         try:
-            doc = extract_html(raw)
+            doc = extract_doc(raw, fmt if fmt not in ("empty", "binary") else "html")
             md = to_markdown(doc)
             texts.append(md)
             n_items.append(sum(1 for _ in doc.iterate()))
