@@ -148,6 +148,47 @@ def q_ann_topk(sf_dir: str):
     return table.select(["query_id", "vec_id", "rank"])
 
 
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (exact, broadcast small side)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from docling_ray.stages.ann import cosine_pairs
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_pylist()
+    vectors = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return cosine_pairs(ds, ids, vectors, threshold=0.5)
+
+
+def q_chunks(sf_dir: str):
+    """Hierarchical chunking over the synthetic web corpus."""
+    import ray.data
+
+    from docling_ray.sources.webpages import make_table
+    from docling_ray.stages.chunk import chunk_dataset
+
+    web = ray.data.from_arrow(make_table(60, seed=42))
+    return chunk_dataset(web).select_columns(
+        ["url", "chunk_id", "n_tokens", "kind"])
+
+
+def q_pdf_pipeline(sf_dir: str):
+    """Paginated (parsed-cell) pipeline: pages → layout → assemble →
+    doc-level reading-order reduce."""
+    import ray.data
+
+    from docling_ray.sources.pdf_pages import make_pdf_pages_table
+    from docling_ray.stages.pdf import pdf_pages_pipeline
+
+    table, _ = make_pdf_pages_table(40, seed=42)
+    return pdf_pages_pipeline(ray.data.from_arrow(table)).select_columns(
+        ["doc_id", "n_pages", "parse_score"])
+
+
 def q_minhash_near_dup(sf_dir: str):
     from docling_ray.stages.dedup import minhash_near_dups
 
@@ -199,6 +240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_status": q_orders_by_status,
         "customer_nation": q_customer_nation,
         "ann_topk": q_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "chunks": q_chunks,
+        "pdf_pipeline": q_pdf_pipeline,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "langid": q_langid,
@@ -265,6 +309,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank <= 10
         """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+        """,
         # minhash_near_dup / simhash / langid / quality_score /
-        # extract_corpus: deterministic but not SQL-expressible → rows-only.
+        # extract_corpus / chunks / pdf_pipeline: deterministic but not
+        # SQL-expressible → rows-only.
     }

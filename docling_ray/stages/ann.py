@@ -86,6 +86,48 @@ def brute_force_topk(ds, query_ids: list[int], query_vectors: np.ndarray,
     return pa.concat_tables(out_chunks)
 
 
+class CosinePairsStage:
+    """Embedding-cosine near-dup: each batch row is compared against the
+    broadcast full matrix; a pair (a, b) is emitted by the batch holding
+    ``a`` with ``b > a`` only, so the union over batches is exact and
+    duplicate-free.  Broadcast side must fit worker memory — the LSH-bucket
+    variant below is the 100 TB path."""
+
+    def __init__(self, all_ref, threshold: float,
+                 id_column: str = "vec_id", vec_column: str = "embedding"):
+        data = ray.get(all_ref) if isinstance(all_ref, ray.ObjectRef) else all_ref
+        self.all_ids = np.asarray(data["ids"], dtype=np.int64)
+        self.all_mat = _normalize(np.asarray(data["vectors"], dtype=np.float64))
+        self.threshold = threshold
+        self.id_column = id_column
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_to_matrix(batch[self.vec_column]))
+        ids = np.asarray(batch[self.id_column].to_pylist(), dtype=np.int64)
+        sims = mat @ self.all_mat.T
+        rows_a, rows_b = np.where(sims >= self.threshold)
+        out_a, out_b = [], []
+        for i, j in zip(rows_a, rows_b):
+            a, b = int(ids[i]), int(self.all_ids[j])
+            if a < b:
+                out_a.append(a)
+                out_b.append(b)
+        return pa.table({
+            "vec_a": pa.array(out_a, pa.int64()),
+            "vec_b": pa.array(out_b, pa.int64()),
+        })
+
+
+def cosine_pairs(ds, ids: list[int], vectors: np.ndarray, threshold: float,
+                 concurrency: int = 4):
+    all_ref = ray.put({"ids": ids, "vectors": vectors})
+    return ds.map_batches(
+        CosinePairsStage, batch_format="pyarrow",
+        fn_constructor_kwargs={"all_ref": all_ref, "threshold": threshold},
+        concurrency=concurrency)
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures for the bucketed ANN scale path."""
 

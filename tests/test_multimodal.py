@@ -1,0 +1,61 @@
+"""Multimodal stage plumbing tests (decode stub, resize, frame sampling)."""
+
+import pytest
+
+from docling_ray.stages.multimodal import (
+    FrameSampleStage,
+    ImageDecodeStage,
+    ImageResizeStage,
+    image_pipeline,
+    make_media_table,
+)
+
+
+def test_media_table_deterministic():
+    a = make_media_table(10, seed=1)
+    b = make_media_table(10, seed=1)
+    assert a.equals(b)
+
+
+def test_image_decode_pipeline(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(make_media_table(24, seed=3))
+    out = image_pipeline(ds).to_pandas()
+    assert len(out) == 24
+    assert out["decode_ok"].all()
+    assert "payload" not in out.columns  # heavy bytes dropped after decode
+    assert all(len(v) == 3 for v in out["mean_rgb"])
+    # deterministic features
+    out2 = image_pipeline(ray.data.from_arrow(make_media_table(24, seed=3))).to_pandas()
+    assert list(map(list, out["mean_rgb"])) == list(map(list, out2["mean_rgb"]))
+
+
+def test_image_decode_strict_raises():
+    table = make_media_table(2, seed=5)
+    stage = ImageDecodeStage(strict=True)
+    with pytest.raises(NotImplementedError):
+        stage(table)
+
+
+def test_resize_caps_dimensions():
+    table = make_media_table(16, seed=7)
+    out = ImageResizeStage(max_side=128)(table)
+    assert out["width"].to_pandas().max() <= 128
+    assert out["height"].to_pandas().max() <= 128
+
+
+def test_frame_sampling_explodes(ray_session):
+    import ray.data
+
+    table = make_media_table(5, seed=9, kind="video")
+    ds = ray.data.from_arrow(table)
+    frames = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
+                            concurrency=1).to_pandas()
+    # 1 fps sampling over 1-10s clips → 1..10 frames per clip
+    counts = frames.groupby("media_id").size()
+    assert len(counts) == 5
+    durations = dict(zip(table["media_id"].to_pylist(),
+                         table["duration_ms"].to_pylist()))
+    for media_id, count in counts.items():
+        assert count == max(1, -(-durations[media_id] // 1000))
