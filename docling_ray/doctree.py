@@ -82,15 +82,20 @@ def urljoin_str(base: str, href: str) -> str:
 
 
 class Item:
-    """Base node: every item knows its parent, children and content layer."""
+    """Base node: every item knows its parent, children and content layer.
 
-    __slots__ = ("parent", "children", "content_layer", "self_id")
+    ``prov`` (optional) is the first provenance record: a
+    ``(page_no, l, t, r, b)`` tuple in the source page's BOTTOMLEFT
+    coordinates (docling-core convention)."""
+
+    __slots__ = ("parent", "children", "content_layer", "self_id", "prov")
 
     def __init__(self, parent: Optional["Item"], content_layer: str):
         self.parent = parent
         self.children: list[Item] = []
         self.content_layer = content_layer
         self.self_id = -1
+        self.prov = None
         if parent is not None:
             parent.children.append(self)
 
@@ -114,7 +119,7 @@ class GroupItem(Item):
 
 class TextItem(Item):
     __slots__ = ("text_label", "text", "orig", "formatting", "hyperlink", "level",
-                 "enumerated", "marker")
+                 "enumerated", "marker", "code_language", "caption")
 
     def __init__(
         self,
@@ -138,6 +143,8 @@ class TextItem(Item):
         self.level = level
         self.enumerated = enumerated
         self.marker = marker
+        self.code_language = None
+        self.caption = None  # floating captions can attach to code items too
 
     @property
     def label(self) -> str:
@@ -212,6 +219,7 @@ class DocTree:
     def __init__(self, name: str = "doc"):
         self.name = name
         self.body = GroupItem(None, BODY, "unspecified", "_root_")
+        self.pages: dict[int, tuple[float, float]] = {}
         self._counter = 0
 
     def _attach(self, item: Item, parent: Optional[Item]) -> Item:

@@ -60,6 +60,10 @@ def load_docjson(data: Union[str, bytes, dict]) -> DocTree:
         data = json.loads(data)
 
     doc = DocTree(name=data.get("name", "doc"))
+    for key, page in (data.get("pages") or {}).items():
+        size = page.get("size") or {}
+        doc.pages[int(page.get("page_no", key))] = (
+            size.get("width", 0.0), size.get("height", 0.0))
     pools = {
         "texts": data.get("texts", []),
         "groups": data.get("groups", []),
@@ -97,6 +101,13 @@ def load_docjson(data: Union[str, bytes, dict]) -> DocTree:
                 formatting=_formatting(cap_node),
                 hyperlink=_hyperlink(cap_node),
             )
+            cap_item.prov = [
+                (p.get("page_no", 1), (p.get("bbox") or {}).get("l", 0.0),
+                 (p.get("bbox") or {}).get("t", 0.0),
+                 (p.get("bbox") or {}).get("r", 0.0),
+                 (p.get("bbox") or {}).get("b", 0.0))
+                for p in (cap_node.get("prov") or [])
+            ] or None
             built[cap_ref] = cap_item
         return cap_item
 
@@ -109,6 +120,14 @@ def load_docjson(data: Union[str, bytes, dict]) -> DocTree:
         kind = ref.split("/")[1]
         layer = node.get("content_layer", BODY)
         item: Optional[Item] = None
+        prov_list = node.get("prov") or []
+        prov = [
+            (p.get("page_no", 1), (p.get("bbox") or {}).get("l", 0.0),
+             (p.get("bbox") or {}).get("t", 0.0),
+             (p.get("bbox") or {}).get("r", 0.0),
+             (p.get("bbox") or {}).get("b", 0.0))
+            for p in prov_list
+        ] or None
 
         if kind == "texts":
             label = node.get("label", "text")
@@ -123,6 +142,9 @@ def load_docjson(data: Union[str, bytes, dict]) -> DocTree:
                 enumerated=node.get("enumerated", False),
                 marker=node.get("marker", ""),
             )
+            item.code_language = node.get("code_language")
+            if node.get("captions"):
+                item.caption = _caption_item(node)
         elif kind == "groups":
             item = GroupItem(parent, layer, node.get("label", "unspecified"),
                              node.get("name", "group"))
@@ -153,6 +175,8 @@ def load_docjson(data: Union[str, bytes, dict]) -> DocTree:
         else:
             item = GroupItem(parent, layer, "unspecified", kind)
 
+        if item is not None:
+            item.prov = prov
         built[ref] = item
         for child in node.get("children", []):
             child_ref = child.get("$ref")
