@@ -113,7 +113,13 @@ def load_docjson(data: Union[str, bytes, dict]) -> DocTree:
 
     def build(ref: str, parent: Item) -> Optional[Item]:
         if ref in built:
-            return built[ref]
+            # pre-created detached (a float's caption): attach at the
+            # position the tree actually references it from
+            existing = built[ref]
+            if existing is not None and existing.parent is None:
+                existing.parent = parent
+                parent.children.append(existing)
+            return existing
         node = resolve(ref)
         if node is None:
             return None

@@ -87,6 +87,17 @@ def to_doctags(doc: DocTree) -> str:
     lines: list[str] = []
     last_page: Optional[int] = None
 
+    # caption items consumed by floats must not re-serialize standalone
+    consumed: set[int] = set()
+
+    def collect(item: Item):
+        if getattr(item, "caption", None) is not None:
+            consumed.add(id(item.caption))
+        for child in item.children:
+            collect(child)
+
+    collect(doc.body)
+
     def page_of(item: Item) -> Optional[int]:
         return item.prov[0][0] if item.prov else None
 
@@ -124,7 +135,8 @@ def to_doctags(doc: DocTree) -> str:
             else:
                 push(f"<{label}>{loc}{item.text}</{label}>", item)
             for child in item.children:
-                emit(child)
+                if id(child) not in consumed:
+                    emit(child)
             return
         if isinstance(item, PictureItem):
             loc = _loc_tokens(doc, item.prov)
@@ -164,17 +176,6 @@ def to_doctags(doc: DocTree) -> str:
             return  # empty list
         lines.append(f"</{wrapper}>")
         _ = item_lines_start
-
-    # caption items consumed by floats must not re-serialize at body level
-    consumed: set[int] = set()
-
-    def collect(item: Item):
-        if getattr(item, "caption", None) is not None:
-            consumed.add(id(item.caption))
-        for child in item.children:
-            collect(child)
-
-    collect(doc.body)
 
     for child in doc.body.children:
         if id(child) in consumed:
