@@ -95,7 +95,8 @@ def main(argv=None) -> int:
         paths = sorted(
             p for p in glob.glob(os.path.join(args.input, "*"))
             if os.path.splitext(p)[1].lower() in
-            (".html", ".htm", ".csv", ".json", ".txt", ".xhtml"))
+            (".html", ".htm", ".csv", ".json", ".txt", ".xhtml", ".xml",
+             ".nxml", ".asciidoc", ".adoc"))
     else:
         paths = [args.input]
     return _convert_files(paths, args.output, args.to.split(","), args.max_tokens)

@@ -280,8 +280,9 @@ class DocTree:
         self._attach(item, parent)
         return item
 
-    def add_table(self, data: TableData, parent=None, content_layer=BODY) -> TableItem:
-        item = TableItem(None, content_layer, data)
+    def add_table(self, data: TableData, parent=None, content_layer=BODY,
+                  caption=None) -> TableItem:
+        item = TableItem(None, content_layer, data, caption=caption)
         self._attach(item, parent)
         return item
 

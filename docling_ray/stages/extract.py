@@ -78,8 +78,19 @@ def extract_doc(raw: bytes, fmt: str):
     """bytes + sniffed format → DocTree (per-format kernel dispatch, the
     ``FormatOption`` routing analog of
     ``/root/reference/docling/document_converter.py:61-129``)."""
-    if fmt == "html" or fmt == "xml":
+    if fmt == "xml":
+        from docling_ray.kernels.jats_extract import extract_jats
+
+        try:
+            return extract_jats(raw)
+        except Exception:
+            return extract_html(raw)
+    if fmt == "html":
         return extract_html(raw)
+    if fmt == "asciidoc":
+        from docling_ray.kernels.asciidoc_extract import extract_asciidoc
+
+        return extract_asciidoc(raw)
     if fmt == "csv":
         from docling_ray.kernels.csv_extract import extract_csv
 
