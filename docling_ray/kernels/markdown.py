@@ -134,6 +134,21 @@ class MarkdownSerializer:
             return self._parts(item, excluded, list_depth)
 
         if isinstance(item, TextItem):
+            if (item.text_label in ("title", "section_header")
+                    and not item.text):
+                # heading materialized empty with its content in an inline
+                # group child (markdown backend shape): render inline on the
+                # heading line
+                inline = next(
+                    (c for c in item.children
+                     if isinstance(c, GroupItem) and c.group_label == "inline"),
+                    None)
+                if inline is not None:
+                    excluded = excluded | {id(inline)}
+                    hashes = "#" if item.text_label == "title" else "#" * (item.level + 1)
+                    parts = [f"{hashes} {self._inline_block(inline, excluded)}"]
+                    parts.extend(self._parts(item, excluded, list_depth))
+                    return [p for p in parts if p]
             parts = [self._text_block(item)]
             parts.extend(self._parts(item, excluded, list_depth))
             return [p for p in parts if p]

@@ -99,14 +99,10 @@ def extract_doc(raw: bytes, fmt: str):
         from docling_ray.kernels.docjson import load_docjson
 
         return load_docjson(raw)
-    if fmt == "text":
-        from docling_ray.doctree import DocTree
+    if fmt in ("text", "markdown"):
+        from docling_ray.kernels.md_extract import extract_markdown
 
-        doc = DocTree()
-        for para in raw.decode("utf-8").split("\n\n"):
-            if para.strip():
-                doc.add_text(label="text", text=para.strip())
-        return doc
+        return extract_markdown(raw)
     raise ValueError(f"unsupported format: {fmt}")
 
 
