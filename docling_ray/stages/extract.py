@@ -91,6 +91,10 @@ def extract_doc(raw: bytes, fmt: str):
         from docling_ray.kernels.asciidoc_extract import extract_asciidoc
 
         return extract_asciidoc(raw)
+    if fmt == "docx":
+        from docling_ray.kernels.docx_extract import extract_docx
+
+        return extract_docx(raw)
     if fmt == "csv":
         from docling_ray.kernels.csv_extract import extract_csv
 
