@@ -96,7 +96,7 @@ def main(argv=None) -> int:
             p for p in glob.glob(os.path.join(args.input, "*"))
             if os.path.splitext(p)[1].lower() in
             (".html", ".htm", ".csv", ".json", ".txt", ".xhtml", ".xml",
-             ".nxml", ".asciidoc", ".adoc", ".md", ".markdown", ".docx"))
+             ".nxml", ".asciidoc", ".adoc", ".md", ".markdown", ".docx", ".xlsx", ".xlsm", ".pptx"))
     else:
         paths = [args.input]
     return _convert_files(paths, args.output, args.to.split(","), args.max_tokens)

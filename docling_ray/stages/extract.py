@@ -59,6 +59,23 @@ def sniff_format_bytes(raw: bytes) -> str:
     return "text"
 
 
+def _sniff_ooxml(raw: bytes) -> str:
+    import zipfile
+    from io import BytesIO
+
+    try:
+        names = set(zipfile.ZipFile(BytesIO(raw)).namelist())
+    except Exception:
+        return "binary"
+    if "word/document.xml" in names:
+        return "docx"
+    if "xl/workbook.xml" in names:
+        return "xlsx"
+    if "ppt/presentation.xml" in names:
+        return "pptx"
+    return "zip"
+
+
 def sniff_batch(batch: pa.Table) -> pa.Table:
     fmt = [sniff_format_bytes(v.as_py() or b"") for v in batch["html"]]
     return batch.append_column("format", pa.array(fmt, pa.string()))
@@ -95,6 +112,14 @@ def extract_doc(raw: bytes, fmt: str):
         from docling_ray.kernels.docx_extract import extract_docx
 
         return extract_docx(raw)
+    if fmt == "xlsx":
+        from docling_ray.kernels.xlsx_extract import extract_xlsx
+
+        return extract_xlsx(raw)
+    if fmt == "pptx":
+        from docling_ray.kernels.pptx_extract import extract_pptx
+
+        return extract_pptx(raw)
     if fmt == "csv":
         from docling_ray.kernels.csv_extract import extract_csv
 
