@@ -6,8 +6,8 @@ python-docx: the OOXML package is read with ``zipfile`` + stdlib
 ElementTree — styles with basedOn chains, numbering definitions, run
 formatting grouping, hyperlink relationships, indent-nested lists with
 per-(numId, ilvl) counters, numbered-heading synthesis, merged-cell tables
-and textbox/sdt containers.  OMML equation → LaTeX conversion is not ported
-yet; equation runs contribute their plain text.
+and textbox/sdt containers, plus OMML equation → LaTeX conversion
+(:mod:`docling_ray.kernels.omml`).
 """
 
 from __future__ import annotations
@@ -26,6 +26,7 @@ from docling_ray.doctree import (
     TableCell,
     TableData,
 )
+from docling_ray.kernels.omml import M as OMML_NS, omml_to_latex
 
 W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
@@ -149,6 +150,45 @@ def _run_format(run: ET.Element) -> Formatting:
         italic=bool(_tri_state(rpr, "i")),
         underline=bool(_tri_state(rpr, "u")),
     )
+
+
+def _equations_in_text(element: ET.Element, text: str) -> tuple[str, list[str]]:
+    """Splice ``<eq>latex</eq>`` bookends into the paragraph text at the
+    positions of its ``m:oMath`` elements (reference semantics:
+    msword_backend.py:738-786)."""
+    only_texts: list[str] = []
+    only_equations: list[str] = []
+    interleaved: list[str] = []
+    for sub in element.iter():
+        if sub.tag == f"{W}t":
+            if isinstance(sub.text, str):
+                only_texts.append(sub.text)
+                interleaved.append(sub.text)
+        elif sub.tag == f"{OMML_NS}oMath":
+            latex = omml_to_latex(sub).strip()
+            if latex:
+                bookended = f"<eq>{latex}</eq>"
+                only_equations.append(bookended)
+                interleaved.append(bookended)
+    if not only_equations:
+        return text, []
+    if (re.sub(r"\s+", "", "".join(only_texts)).strip()
+            != re.sub(r"\s+", "", text).strip()):
+        return text, []
+    output = text[:]
+    init_i = 0
+    for i, substr in enumerate(interleaved):
+        if not substr:
+            continue
+        if substr in output[init_i:]:
+            init_i += output[init_i:].find(substr) + len(substr)
+        else:
+            if i > 0:
+                output = output[:init_i] + substr + output[init_i:]
+                init_i += len(substr)
+            else:
+                output = substr + output
+    return output, only_equations
 
 
 def _paragraph_text(p: ET.Element) -> str:
@@ -344,7 +384,9 @@ class DocxExtractor:
 
     def _handle_text(self, pkg: _Package, element: ET.Element, doc: DocTree,
                      default_parent=None) -> None:
-        text = _paragraph_text(element).strip()
+        raw_text = _paragraph_text(element)
+        text, equations = _equations_in_text(element, raw_text)
+        text = text.strip()
         elements = self._paragraph_elements(pkg, element)
         p_style_id, p_level = self._label_and_level(pkg, element)
         numid, ilevel = self._num_id_and_ilvl(element)
@@ -382,6 +424,28 @@ class DocxExtractor:
                 is_numbered_style = (ppr is not None
                                      and ppr.find(f"{W}numPr") is not None)
             self._add_header(doc, p_level, text, is_numbered_style)
+        elif equations:
+            level = self._get_level()
+            if not raw_text.strip() and text:
+                # standalone equation
+                doc.add_text(label="formula", parent=self.parents[level - 1],
+                             text=text.replace("<eq>", "").replace("</eq>", ""))
+            else:
+                inline = doc.add_inline_group(parent=self.parents[level - 1])
+                text_tmp = text
+                for eq in equations:
+                    if not text_tmp:
+                        break
+                    split = text_tmp.split(eq.strip(), maxsplit=1)
+                    pre = split[0]
+                    text_tmp = "" if len(split) == 1 else split[1]
+                    if pre:
+                        doc.add_text(label="paragraph", parent=inline, text=pre)
+                    doc.add_text(label="formula", parent=inline,
+                                 text=eq.replace("<eq>", "").replace("</eq>", ""))
+                if text_tmp:
+                    doc.add_text(label="paragraph", parent=inline,
+                                 text=text_tmp.strip())
         else:
             level = self._get_level()
             parent = self.parents.get(level - 1) if default_parent is None else default_parent
@@ -533,6 +597,9 @@ class DocxExtractor:
                 tc = tc_of[cell_key]
                 text = "\n".join(
                     _paragraph_text(p) for p in tc.findall(f"{W}p"))
+                eq_text, eqs = _equations_in_text(tc, text)
+                if eqs:
+                    text = eq_text.replace("<eq>", "$").replace("</eq>", "$")
                 data.table_cells.append(TableCell(
                     text=text, row_span=spanned_idx - row_idx, col_span=span,
                     start_row=row_idx, end_row=spanned_idx,

@@ -1,6 +1,5 @@
 """DOCX backend parity: markdown + indented text vs ground truth for every
-reference fixture except the two OMML-equation documents (OMML → LaTeX
-conversion not yet ported)."""
+reference fixture (including the OMML-equation documents)."""
 
 from pathlib import Path
 
@@ -13,9 +12,7 @@ from docling_ray.kernels.markdown import to_markdown
 BASE = Path("/root/reference/tests/data/docx")
 GT = Path("/root/reference/tests/data/groundtruth/docling_v2")
 
-EQUATION_FIXTURES = {"equations.docx", "table_with_equations.docx"}
-FIXTURES = sorted(p.name for p in BASE.glob("*.docx")
-                  if p.name not in EQUATION_FIXTURES) if BASE.exists() else []
+FIXTURES = sorted(p.name for p in BASE.glob("*.docx")) if BASE.exists() else []
 
 
 @pytest.mark.parametrize("name", FIXTURES)
@@ -30,4 +27,4 @@ def test_docx_byte_identical(name):
 
 
 def test_docx_corpus_nonempty():
-    assert len(FIXTURES) >= 11
+    assert len(FIXTURES) >= 13
