@@ -30,9 +30,13 @@ def _convert_files(paths: list[str], output: str, formats: list[str],
     os.makedirs(output, exist_ok=True)
     n_ok = 0
     for path in paths:
-        raw = open(path, "rb").read()
+        try:
+            raw = open(path, "rb").read()
+        except OSError as exc:
+            print(f"FAILED {path}: {exc}", file=sys.stderr)
+            continue
         name = os.path.splitext(os.path.basename(path))[0]
-        fmt = sniff_format_bytes(raw)
+        fmt = sniff_format_bytes(raw, filename=os.path.basename(path))
         try:
             doc = extract_doc(raw, fmt if fmt not in ("empty", "binary") else "html")
         except Exception as exc:

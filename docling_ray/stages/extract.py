@@ -26,13 +26,35 @@ _HTML_RE = re.compile(
 _XML_RE = re.compile(rb"^\s*<\?xml")
 
 
-def sniff_format_bytes(raw: bytes) -> str:
-    """Content-based format guess (analog of
-    ``/root/reference/docling/datamodel/document.py:280-437``): html / xml /
-    json / csv / text / binary — over the leading bytes only."""
-    head = raw[:4096].lstrip()
+_EXT_FORMATS = {
+    ".html": "html", ".htm": "html", ".xhtml": "html",
+    ".csv": "csv", ".json": "json", ".txt": "text",
+    ".md": "markdown", ".markdown": "markdown",
+    ".adoc": "asciidoc", ".asciidoc": "asciidoc",
+    ".xml": "xml", ".nxml": "xml",
+    ".docx": "docx", ".xlsx": "xlsx", ".xlsm": "xlsx", ".pptx": "pptx",
+}
+
+
+def sniff_format_bytes(raw: bytes, filename: str = "") -> str:
+    """Format guess: file extension when available (the reference routes by
+    extension/mime first, ``document.py:280-338``), else content sniffing
+    over the leading bytes."""
+    if filename:
+        import os as _os
+
+        ext = _os.path.splitext(filename)[1].lower()
+        if ext in _EXT_FORMATS:
+            fmt = _EXT_FORMATS[ext]
+            return _sniff_ooxml(raw) if fmt in ("docx", "xlsx", "pptx") else fmt
+    head = raw[:4096]
+    if head[:3] == b"\xef\xbb\xbf":  # UTF-8 BOM
+        head = head[3:]
+    head = head.lstrip()
     if not head:
         return "empty"
+    if head[:2] == b"PK":
+        return _sniff_ooxml(raw)
     if _XML_RE.match(head):
         return "xml"
     if _HTML_RE.search(head):
@@ -43,16 +65,19 @@ def sniff_format_bytes(raw: bytes) -> str:
         text = head.decode("utf-8")
     except UnicodeDecodeError:
         return "binary"
-    # csv sniff over the leading lines (document.py:439-466 analog)
+    # csv sniff over the leading lines (document.py:439-466 analog): the
+    # dialect must parse the sample into rows of one consistent width
     import csv as _csv
+    import io as _io
 
-    lines = text.splitlines()
-    if lines:
+    lines = [ln for ln in text.splitlines() if ln.strip()][:10]
+    if len(lines) >= 2:
         try:
             dialect = _csv.Sniffer().sniff(lines[0], ",;\t|:")
             if dialect.delimiter in {",", ";", "\t", "|", ":"}:
-                counts = {ln.count(dialect.delimiter) for ln in lines[:10] if ln}
-                if len(counts) == 1 and counts != {0}:
+                widths = {len(row) for row in
+                          _csv.reader(_io.StringIO("\n".join(lines)), dialect)}
+                if len(widths) == 1 and widths != {1}:
                     return "csv"
         except _csv.Error:
             pass
