@@ -53,6 +53,8 @@ def sniff_format_bytes(raw: bytes, filename: str = "") -> str:
     head = head.lstrip()
     if not head:
         return "empty"
+    if head.startswith(b"PATN"):
+        return "uspto"
     if head[:2] == b"PK":
         return _sniff_ooxml(raw)
     if _XML_RE.match(head):
@@ -121,12 +123,21 @@ def extract_doc(raw: bytes, fmt: str):
     ``FormatOption`` routing analog of
     ``/root/reference/docling/document_converter.py:61-129``)."""
     if fmt == "xml":
+        head = raw[:2048].decode("utf-8", errors="replace").lower()
+        if "us-patent" in head or "patent-application-publication" in head:
+            from docling_ray.kernels.uspto_extract import extract_uspto
+
+            return extract_uspto(raw)
         from docling_ray.kernels.jats_extract import extract_jats
 
         try:
             return extract_jats(raw)
         except Exception:
             return extract_html(raw)
+    if fmt == "uspto":
+        from docling_ray.kernels.uspto_extract import extract_uspto
+
+        return extract_uspto(raw)
     if fmt == "html":
         return extract_html(raw)
     if fmt == "asciidoc":
