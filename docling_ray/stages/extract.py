@@ -28,7 +28,8 @@ _XML_RE = re.compile(rb"^\s*<\?xml")
 
 _EXT_FORMATS = {
     ".html": "html", ".htm": "html", ".xhtml": "html",
-    ".csv": "csv", ".json": "json", ".txt": "text",
+    ".csv": "csv", ".json": "json",
+    # .txt intentionally content-sniffed (USPTO APS "PATN" files are .txt)
     ".md": "markdown", ".markdown": "markdown",
     ".adoc": "asciidoc", ".asciidoc": "asciidoc",
     ".xml": "xml", ".nxml": "xml",
