@@ -120,6 +120,7 @@ class Cluster:
     bbox: BBox
     confidence: float = 1.0
     cells: list[Cell] = field(default_factory=list)
+    children: list["Cluster"] = field(default_factory=list)
 
 
 def assign_cells_to_clusters(clusters: list[Cluster], cells: list[Cell],

@@ -66,12 +66,19 @@ class LayoutHeuristicStage:
         return heuristic_clusters(cells, width, line_gap=self.line_gap)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from docling_ray.kernels.layout_postprocess import postprocess_layout
+
         out_clusters = []
-        for cells_value, width in zip(batch["cells"].to_pylist(),
-                                      batch["width"].to_pylist()):
+        heights = (batch["height"].to_pylist()
+                   if "height" in batch.column_names
+                   else [792.0] * batch.num_rows)
+        for cells_value, width, height in zip(batch["cells"].to_pylist(),
+                                              batch["width"].to_pylist(),
+                                              heights):
             cells = _cells_of_row(cells_value)
             clusters = self._predict(cells, width or 612.0)
-            clusters = assign_cells_to_clusters(clusters, cells)
+            clusters = postprocess_layout(cells, clusters, width or 612.0,
+                                          height or 792.0)
             out_clusters.append([
                 {
                     "id": cl.id, "label": cl.label,
