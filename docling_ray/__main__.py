@@ -24,7 +24,7 @@ def _convert_files(paths: list[str], output: str, formats: list[str],
     from docling_ray.kernels.docjson_write import to_docjson
     from docling_ray.kernels.doctags import to_doctags
     from docling_ray.kernels.itxt import to_indented_text
-    from docling_ray.kernels.markdown import to_markdown
+    from docling_ray.kernels.markdown import to_markdown, to_text
     from docling_ray.stages.extract import extract_doc, sniff_format_bytes
 
     os.makedirs(output, exist_ok=True)
@@ -50,6 +50,8 @@ def _convert_files(paths: list[str], output: str, formats: list[str],
         if "itxt" in formats:
             open(os.path.join(output, name + ".itxt"), "w").write(
                 to_indented_text(doc))
+        if "txt" in formats:
+            open(os.path.join(output, name + ".txt"), "w").write(to_text(doc))
         if "doctags" in formats:
             open(os.path.join(output, name + ".doctags.txt"), "w").write(
                 to_doctags(doc))
@@ -87,7 +89,7 @@ def main(argv=None) -> int:
     conv.add_argument("input")
     conv.add_argument("--output", "-o", default="./out")
     conv.add_argument("--to", default="md",
-                      help="comma list of md,json,itxt,doctags,chunks (file inputs)")
+                      help="comma list of md,json,itxt,doctags,txt,chunks (file inputs)")
     conv.add_argument("--max-tokens", type=int, default=256)
     conv.add_argument("--num-cpus", type=int,
                       default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))

@@ -344,3 +344,19 @@ def _table_block(item: TableItem) -> str:
 
 def to_markdown(doc: DocTree, layers: Optional[set] = None) -> str:
     return MarkdownSerializer(layers=layers).serialize(doc)
+
+
+_MD_MARKUP_RE = re.compile(
+    r"</?[a-zA-Z][^>]*>|^#{1,6} |\*\*?|~~|`{1,3}|^\s*- |^\s*\d+\. ",
+    re.MULTILINE)
+
+
+def to_text(doc: DocTree, layers: Optional[set] = None) -> str:
+    """Plain-text export (the reference CLI's ``.txt`` output,
+    ``strict_text`` flavour): markdown with structural markup stripped."""
+    md = to_markdown(doc, layers=layers)
+    text = _MD_MARKUP_RE.sub("", md)
+    text = text.replace("<!-- image -->", "").replace(FORMULA_PLACEHOLDER, "")
+    lines = [ln.rstrip() for ln in text.split("\n")]
+    out = "\n".join(lines)
+    return re.sub(r"\n{3,}", "\n\n", out).strip()

@@ -142,12 +142,17 @@ def assemble_document(group: pa.Table) -> pa.Table:
         dtype=np.float64)
     parse = (float(np.nanquantile(parse_scores, 0.10))
              if parse_scores.size else float("nan"))
+    from docling_ray.kernels.confidence import confidence_columns
+
+    conf = confidence_columns(group["parse_score"].to_pylist())
     return pa.table({
         "doc_id": [group["doc_id"][0].as_py()],
         "url": [group["url"][0].as_py()],
         "n_pages": pa.array([group.num_rows], pa.int32()),
         "text": pa.array(["\n".join(texts)], pa.large_string()),
         "parse_score": pa.array([parse], pa.float64()),
+        "mean_grade": pa.array([conf["mean_grade"]], pa.string()),
+        "low_grade": pa.array([conf["low_grade"]], pa.string()),
     })
 
 

@@ -71,3 +71,32 @@ def test_hidden_and_script_stripped():
     raw = (b"<html><body><p>keep</p><div hidden><p>drop</p></div>"
            b"<script>var x=1;</script><style>p{}</style></body></html>")
     assert md(raw) == "keep"
+
+
+def test_confidence_grades():
+    from docling_ray.kernels.confidence import (
+        PageConfidence,
+        doc_confidence,
+        score_to_grade,
+    )
+
+    assert score_to_grade(0.3) == "poor"
+    assert score_to_grade(0.6) == "fair"
+    assert score_to_grade(0.85) == "good"
+    assert score_to_grade(0.95) == "excellent"
+    assert score_to_grade(float("nan")) == "unspecified"
+    conf = doc_confidence([PageConfidence(parse_score=1.0),
+                           PageConfidence(parse_score=0.2)])
+    assert conf["mean_grade"] == "fair"  # mean of 1.0 and 0.2 = 0.6
+
+
+def test_strict_text_export():
+    from docling_ray.kernels.html_extract import extract_html
+    from docling_ray.kernels.markdown import to_text
+
+    raw = (b"<html><body><h1>Title</h1><p>Some <b>bold</b> text.</p>"
+           b"<ul><li>item one</li></ul></body></html>")
+    text = to_text(extract_html(raw))
+    assert "Title" in text and "Some **bold** text." not in text
+    assert "bold" in text and "#" not in text and "- item" not in text
+    assert "item one" in text
