@@ -187,8 +187,16 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     for i, value in enumerate(batch["html"]):
         raw = value.as_py() or b""
         fmt = formats[i] if formats else "html"
+        if fmt == "binary":
+            # undecodable payload with no recognized container: a failure
+            # row, not an exception (reference marks such inputs FAILURE)
+            texts.append("")
+            n_items.append(0)
+            statuses.append("failure")
+            errors.append("unsupported binary payload")
+            continue
         try:
-            doc = extract_doc(raw, fmt if fmt not in ("empty", "binary") else "html")
+            doc = extract_doc(raw, fmt if fmt != "empty" else "html")
             md = to_markdown(doc)
             texts.append(md)
             n_items.append(sum(1 for _ in doc.iterate()))
