@@ -6,10 +6,16 @@ Scale shapes (designed for the 100 TB corpus, validated at test scale):
   the text itself is needed beyond the groupby key) → hash-partitioned
   ``groupby(fingerprint)`` → first-per-group.  The one true shuffle keys on
   a 16-byte digest, not the document body.
-- **MinHash+LSH**: shingle → k minhashes per doc (vectorized numpy) →
-  ``flat_map`` band rows → ``groupby(band_key)`` → candidate pairs verified
-  by true shingle-set Jaccard inside the group.  Only (band_key, doc_id,
-  signature-slice) rows shuffle — tiny vs. the corpus.
+- **MinHash+LSH** (``minhash_near_dups``): ONE all-to-all total.  Band rows
+  carry, besides ``(bucket, doc_id)``, two compact sketches: the 16×8-byte
+  band-key vector and a 1-byte-per-perm quantized signature (64 B).  That
+  is enough to do *everything* inside a single ``groupby(partition)``:
+  exact-dup collapse (equal band-key vectors ⟺ equal signatures, since the
+  16 bands jointly cover all 64 perms), candidate pairing, agreement-based
+  Jaccard verification (byte sketch), cross-band pair dedup (emit a pair
+  only in the *first* band whose keys match — recomputable in-bucket from
+  the carried key vectors), and member expansion.  ~200 B/doc/band shuffles
+  once; no joins, no second shuffle, no signature re-join.
 - **SimHash**: 64-bit signatures; near-dup = Hamming distance ≤ k, bucketed
   by signature quarters so comparisons stay within groups.
 """
@@ -17,10 +23,13 @@ Scale shapes (designed for the 100 TB corpus, validated at test scale):
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import Iterable
 
 import numpy as np
 import pyarrow as pa
+
+logger = logging.getLogger(__name__)
 
 # -- minhash ----------------------------------------------------------------
 
@@ -57,91 +66,219 @@ def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.nd
 
 
 class MinHashStage:
-    """Adds a fixed-width minhash signature column; hash params are built
-    once per actor (``map_batches(MinHashStage, concurrency=N)``)."""
+    """Per-doc MinHash reduced to two compact, shuffle-friendly sketches:
 
-    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
+    - ``band_keys``: ``num_bands`` × 8-byte truncated-md5 keys, one per LSH
+      band (key b = md5 over band index + that band's full 64-bit minhash
+      slice).  Because the bands jointly cover every permutation, an equal
+      key *vector* ⟺ an equal full signature — so the vector doubles as the
+      exact-signature collapse key and the 512-byte signature itself never
+      has to travel.
+    - ``sketch``: the low byte of each of the ``num_perm`` minhash values.
+      Byte agreement estimates signature agreement with collision bias
+      (1-j)/256 ≈ 0.004 — the documented est_jaccard contract.
+
+    Hash params are built once per actor
+    (``map_batches(MinHashStage, concurrency=N)``).
+    """
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7,
+                 num_bands: int = 16):
         self.a, self.b = _hash_params(num_perm, seed)
         self.num_perm = num_perm
         self.shingle_k = shingle_k
+        self.num_bands = num_bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = []
+        rpb = max(1, self.num_perm // self.num_bands)
+        keys, sketches = [], []
         for v in batch["text"]:
             sig = minhash_signature(shingles_of(v.as_py() or "", self.shingle_k),
                                     self.a, self.b)
-            sigs.append(sig.astype("uint64").tolist())
-        return batch.append_column(
-            "minhash", pa.array(sigs, pa.list_(pa.uint64(), self.num_perm)))
+            raw = sig.astype(">u8").tobytes()
+            keys.append(b"".join(
+                hashlib.md5(band.to_bytes(2, "big")
+                            + raw[band * rpb * 8:(band + 1) * rpb * 8]).digest()[:8]
+                for band in range(self.num_bands)))
+            sketches.append((sig & np.uint64(0xFF)).astype(np.uint8).tobytes())
+        out = batch.append_column("band_keys", pa.array(keys, pa.binary()))
+        return out.append_column("sketch", pa.array(sketches, pa.binary()))
 
 
-def band_rows(batch: pa.Table, num_bands: int = 16) -> pa.Table:
-    """Explode each doc into (band_key, doc_id) rows — the LSH shuffle is
-    over these tiny rows only."""
-    doc_ids, band_keys, sig_hexes = [], [], []
-    rows_per_band = None
-    for doc_id, sig in zip(batch["doc_id"], batch["minhash"]):
-        sig_list = sig.as_py()
-        if rows_per_band is None:
-            rows_per_band = max(1, len(sig_list) // num_bands)
-        sig_bytes = b"".join(int(x).to_bytes(8, "big") for x in sig_list)
-        for band in range(num_bands):
-            chunk = sig_list[band * rows_per_band:(band + 1) * rows_per_band]
-            digest = hashlib.md5(
-                band.to_bytes(2, "big")
-                + b"".join(int(x).to_bytes(8, "big") for x in chunk)
-            ).hexdigest()
-            doc_ids.append(doc_id.as_py())
-            band_keys.append(digest)
-            sig_hexes.append(sig_bytes.hex())
+def band_explode(batch: pa.Table, num_bands: int = 16,
+                 num_partitions: int = 64) -> pa.Table:
+    """Explode each doc into ``num_bands`` rows ``(part, bucket, band,
+    doc_id, band_keys, sketch)``.  ``bucket`` is that band's 8-byte key;
+    ``part = bucket mod num_partitions`` is the ONE shuffle key — a bucket
+    never straddles partitions.  Each row is ~200 B regardless of doc size."""
+    n = batch.num_rows
+    id_type = batch.schema.field("doc_id").type
+    if n == 0:
+        return pa.table({"part": pa.array([], pa.int64()),
+                         "bucket": pa.array([], pa.int64()),
+                         "band": pa.array([], pa.int8()),
+                         "doc_id": pa.array([], id_type),
+                         "band_keys": pa.array([], pa.binary()),
+                         "sketch": pa.array([], pa.binary())})
+    keys = np.frombuffer(b"".join(v.as_py() for v in batch["band_keys"]),
+                         dtype=">i8").reshape(n, num_bands).astype(np.int64)
+    ids = batch["doc_id"].combine_chunks()
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.chunk(0) if ids.num_chunks else pa.array([], ids.type)
+    bk = batch["band_keys"].combine_chunks()
+    sk = batch["sketch"].combine_chunks()
+    # column-major flatten: all docs for band 0, then band 1, ... so the
+    # tiled doc_id/payload arrays line up with the key columns
+    bucket = keys.flatten(order="F")
+    band = np.repeat(np.arange(num_bands, dtype=np.int8), n)
+    part = (bucket.view(np.uint64) % np.uint64(num_partitions)).astype(np.int64)
+    tile = lambda arr: pa.chunked_array([arr] * num_bands)
     return pa.table({
-        "band_key": pa.array(band_keys, pa.string()),
-        "doc_id": pa.array(doc_ids),
-        "sig": pa.array(sig_hexes, pa.string()),
+        "part": pa.array(part, pa.int64()),
+        "bucket": pa.array(bucket, pa.int64()),
+        "band": pa.array(band, pa.int8()),
+        "doc_id": tile(ids),
+        "band_keys": tile(bk),
+        "sketch": tile(sk),
     })
 
 
-def candidate_pairs_from_band(group: pa.Table) -> pa.Table:
-    """Within one LSH bucket, emit unordered candidate doc-id pairs with the
-    estimated Jaccard from the full signatures."""
-    ids = [v.as_py() for v in group["doc_id"]]
-    sigs = [np.frombuffer(bytes.fromhex(v.as_py()), dtype=">u8") for v in group["sig"]]
-    a_ids, b_ids, est = [], [], []
-    order = np.argsort(np.array(ids, dtype=object))
-    for i_pos in range(len(order)):
-        for j_pos in range(i_pos + 1, len(order)):
-            i, j = order[i_pos], order[j_pos]
-            if ids[i] == ids[j]:
+def _bucket_emit(doc_ids: list, band_keys: np.ndarray, sketches: np.ndarray,
+                 band: int, min_agree: int, max_bucket: int,
+                 out_a: list, out_b: list, out_n: list) -> None:
+    """Process one LSH bucket (all rows share one band key of one band).
+
+    Members are first collapsed by their full band-key vector (⟺ identical
+    signature): n copies of a boilerplate page cost one comparison slot, not
+    n² work.  Exact-dup (intra-group) pairs are emitted only from band 0 —
+    every group co-locates wholly in every band, so band 0 sees it exactly
+    once.  Cross-group pairs are emitted only when *this* band is the first
+    band whose keys match, which both occurrences can decide locally from
+    the carried key vectors — cross-band dedup without a second shuffle."""
+    groups: dict[bytes, list[int]] = {}
+    for i, _ in enumerate(doc_ids):
+        groups.setdefault(band_keys[i].tobytes(), []).append(i)
+    # deterministic order: by min doc_id within each group
+    glist = sorted(
+        (sorted(members, key=doc_ids.__getitem__)
+         for members in groups.values()),
+        key=lambda m: doc_ids[m[0]])
+    if len(glist) > max_bucket:
+        logger.warning("LSH bucket over cap: %d groups, dropping %d",
+                       len(glist), len(glist) - max_bucket)
+        glist = glist[:max_bucket]
+    num_perm = sketches.shape[1]
+    if band == 0:
+        for members in glist:
+            ids = [doc_ids[i] for i in members]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a, b = ids[i], ids[j]
+                    out_a.append(min(a, b)); out_b.append(max(a, b))
+                    out_n.append(num_perm)
+    if len(glist) < 2:
+        return
+    rep_rows = np.array([m[0] for m in glist])
+    S = sketches[rep_rows]                       # (G, num_perm) uint8
+    K = band_keys[rep_rows]                      # (G, num_bands) int64
+    agree = (S[:, None, :] == S[None, :, :]).sum(axis=2)
+    G = len(glist)
+    for i in range(G):
+        for j in range(i + 1, G):
+            if agree[i, j] < min_agree:
                 continue
-            sim = float((sigs[i] == sigs[j]).mean())
-            a_ids.append(min(ids[i], ids[j]))
-            b_ids.append(max(ids[i], ids[j]))
-            est.append(sim)
+            first = int(np.argmax(K[i] == K[j]))
+            if first != band:        # another (earlier) band owns this pair
+                continue
+            for mi in glist[i]:
+                for mj in glist[j]:
+                    a, b = doc_ids[mi], doc_ids[mj]
+                    out_a.append(min(a, b)); out_b.append(max(a, b))
+                    out_n.append(int(agree[i, j]))
+
+
+def lsh_partition_pairs(group: pa.Table, num_bands: int, min_agree: int,
+                        max_bucket: int, num_perm: int) -> pa.Table:
+    """Process one shuffle partition: vectorized bucket run detection (the
+    overwhelming majority of buckets are singletons and never touch Python),
+    then per non-trivial bucket the capped group logic of ``_bucket_emit``."""
+    id_type = group.schema.field("doc_id").type
+    out_a: list = []
+    out_b: list = []
+    out_n: list = []
+    n = group.num_rows
+    if n:
+        order = pa.compute.sort_indices(
+            group, sort_keys=[("bucket", "ascending"), ("band", "ascending"),
+                              ("doc_id", "ascending")])
+        g = group.take(order)
+        buckets = g["bucket"].to_numpy(zero_copy_only=False)
+        bands = g["band"].to_numpy(zero_copy_only=False)
+        # run boundaries over (bucket, band)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (buckets[1:] != buckets[:-1]) | (bands[1:] != bands[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        multi = ends - starts >= 2
+        if multi.any():
+            doc_ids = g["doc_id"].to_pylist()
+            keys = np.frombuffer(b"".join(v.as_py() for v in g["band_keys"]),
+                                 dtype=">i8").reshape(n, num_bands)
+            sk = np.frombuffer(b"".join(v.as_py() for v in g["sketch"]),
+                               dtype=np.uint8).reshape(n, num_perm)
+            for s, e in zip(starts[multi], ends[multi]):
+                _bucket_emit(doc_ids[s:e], keys[s:e], sk[s:e],
+                             int(bands[s]), min_agree, max_bucket,
+                             out_a, out_b, out_n)
     return pa.table({
-        "doc_a": pa.array(a_ids),
-        "doc_b": pa.array(b_ids),
-        "est_jaccard": pa.array(est, pa.float64()),
+        "doc_a": pa.array(out_a, id_type),
+        "doc_b": pa.array(out_b, id_type),
+        "n_agree": pa.array(out_n, pa.int64()),
     })
 
 
 def minhash_near_dups(ds, num_perm: int = 64, num_bands: int = 16,
-                      threshold: float = 0.7, concurrency: int = 4):
-    """Full MinHash-LSH near-dup pipeline over a (doc_id, text) dataset.
+                      threshold: float = 0.7, concurrency: int = 4,
+                      max_bucket: int = 256, num_partitions: int = 64):
+    """MinHash-LSH near-dup pairs over a (doc_id, text) dataset with ONE
+    all-to-all.
 
-    Returns a dataset of distinct (doc_a, doc_b) candidate pairs whose
-    signature similarity ≥ threshold.
-    """
-    sig = ds.map_batches(MinHashStage, batch_format="pyarrow",
-                         fn_constructor_kwargs={"num_perm": num_perm},
-                         concurrency=concurrency)
-    bands = sig.map_batches(
-        lambda b: band_rows(b, num_bands=num_bands), batch_format="pyarrow")
-    pairs = bands.groupby("band_key").map_groups(
-        candidate_pairs_from_band, batch_format="pyarrow")
-    pairs = pairs.filter(lambda r: r["est_jaccard"] >= threshold)
-    # same pair can surface from several bands → dedupe on (doc_a, doc_b)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    Returns distinct ``(doc_a, doc_b, n_agree, est_jaccard)`` rows — pairs
+    that share at least one LSH band and whose sketch agreement
+    ``n_agree/num_perm ≥ threshold`` (doc_a < doc_b, each pair exactly
+    once).  Shape per the module docstring: signature stage (actor pool,
+    text dropped immediately) → 16 band rows/doc of ~200 B → a single
+    ``groupby(part)`` under which collapse, pairing, verification,
+    cross-band dedup and member expansion all happen in-partition.  At
+    10^12 docs the shuffle moves ~3 KB/doc — orders of magnitude under the
+    corpus — and every quadratic risk is capped (``max_bucket`` groups per
+    bucket, drops logged)."""
+    import pyarrow.compute as pc  # noqa: F401  (pa.compute used in helper)
+
+    min_agree = int(np.ceil(threshold * num_perm))
+    sigs = ds.map_batches(
+        MinHashStage, batch_format="pyarrow",
+        fn_constructor_kwargs={"num_perm": num_perm, "num_bands": num_bands},
+        concurrency=concurrency,
+    ).select_columns(["doc_id", "band_keys", "sketch"])
+    bands = sigs.map_batches(
+        lambda b: band_explode(b, num_bands=num_bands,
+                               num_partitions=num_partitions),
+        batch_format="pyarrow")
+    pairs = bands.groupby("part").map_groups(
+        lambda g: lsh_partition_pairs(g, num_bands=num_bands,
+                                      min_agree=min_agree,
+                                      max_bucket=max_bucket,
+                                      num_perm=num_perm),
+        batch_format="pyarrow")
+
+    def add_est(batch: pa.Table) -> pa.Table:
+        est = pa.compute.divide(
+            pa.compute.cast(batch["n_agree"], pa.float64()), float(num_perm))
+        return batch.append_column("est_jaccard", est)
+
+    return pairs.map_batches(add_est, batch_format="pyarrow")
 
 
 # -- exact dedup ------------------------------------------------------------

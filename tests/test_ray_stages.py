@@ -97,6 +97,51 @@ def test_minhash_finds_planted_near_dups(ray_session):
     assert not any("c" in p for p in zip(pairs["doc_a"], pairs["doc_b"]))
 
 
+def test_minhash_exact_dups_collapse_and_pairs_unique(ray_session):
+    """n identical docs must yield all n·(n-1)/2 intra pairs at n_agree=64,
+    each pair exactly once (band-0 ownership), plus cross pairs to a near
+    neighbour expanded to every member — also exactly once."""
+    import ray.data
+
+    from docling_ray.stages.dedup import minhash_near_dups
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 4
+    near = base.replace("sigma", "omega")
+    rows = {"doc_id": [f"d{i}" for i in range(6)],
+            "text": [base, base, base, base, near, "unrelated words " * 40]}
+    ds = ray.data.from_arrow(pa.table(rows))
+    df = minhash_near_dups(ds, threshold=0.5).to_pandas()
+    pairs = list(zip(df["doc_a"], df["doc_b"]))
+    assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+    exact = {p for p, n in zip(pairs, df["n_agree"]) if n == 64}
+    assert exact == {("d0", "d1"), ("d0", "d2"), ("d0", "d3"),
+                     ("d1", "d2"), ("d1", "d3"), ("d2", "d3")}
+    cross = {p for p in pairs if "d4" in p}
+    assert cross == {("d0", "d4"), ("d1", "d4"), ("d2", "d4"), ("d3", "d4")}
+    assert not any("d5" in p for p in pairs)
+
+
+def test_minhash_band_explode_shape():
+    from docling_ray.stages.dedup import MinHashStage, band_explode
+
+    stage = MinHashStage()
+    batch = stage(pa.table({"doc_id": ["x", "y"],
+                            "text": ["one two three four five six",
+                                     "seven eight nine ten eleven"]}))
+    assert [len(v.as_py()) for v in batch["band_keys"]] == [128, 128]
+    assert [len(v.as_py()) for v in batch["sketch"]] == [64, 64]
+    rows = band_explode(batch, num_bands=16, num_partitions=8)
+    assert rows.num_rows == 32
+    assert set(rows["doc_id"].to_pylist()) == {"x", "y"}
+    part = rows["part"].to_pylist()
+    assert all(0 <= p < 8 for p in part)
+    # bucket never straddles partitions: same bucket -> same part
+    seen = {}
+    for b, p in zip(rows["bucket"].to_pylist(), part):
+        assert seen.setdefault(b, p) == p
+
+
 def test_simhash_hamming_close_for_near_dups():
     from docling_ray.stages.textstats import simhash64
 
