@@ -1,18 +1,17 @@
-"""USPTO patent → DocTree extraction kernel (ICE v4.x XML + APS text tiers).
+"""USPTO patent → DocTree extraction kernel, all four DTD generations.
 
 Behavioral re-expression of the reference USPTO backend
-(``/root/reference/docling/backend/xml/uspto_backend.py:60-1905``) for the
-two most common generations:
+(``/root/reference/docling/backend/xml/uspto_backend.py:60-1905``):
 
 - **ICE**: Patent Grant / Application Full Text v4.x XML — a SAX walk
   collecting title, abstract, headings (with level attributes), paragraphs,
   claims and table placeholders, with ISO-8879 greek entities and
   sup/sub styling mapped through HTML entities; CALS/OASIS ``<table>``
   markup is re-parsed separately into the placeholders.
+- **pap-v1.5** application publications (``_AppV1Handler``) and
+  **grant-v2.5** ``PATDOC`` grants (``_GrantV2Handler``).
 - **APS** (1976–2001 text format): ``PATN`` key-value records with section
   codes (ABST/BSUM/DETD/CLMS/DRWD) and continuation lines.
-
-The pap-v1.5 and grant-v2.5 generations are not ported yet.
 """
 
 from __future__ import annotations

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 import time
 from typing import Optional
 
@@ -94,10 +95,20 @@ def run_extract(input_dir: str, output_dir: str, batch_size: int = 64,
     todo = manifest.remaining(input_files, output_dir) if resume else input_files
     t0 = time.time()
     if todo:
+        data_dir = os.path.join(output_dir, "data")
+        # exactly-once despite mid-run crashes: a shard is authoritative only
+        # once it is in the manifest, so any partition dir for a shard we are
+        # about to (re)process is a stale partial write — drop it before the
+        # run or write_parquet would APPEND uniquely-named files next to it
+        # and duplicate rows (ADVICE.md, round 1).
+        for f in todo:
+            stale = os.path.join(
+                data_dir, f"shard={_shard_id(os.path.basename(f))}")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
         ds = read_web_pages(todo, columns=INPUT_COLUMNS + [], include_paths=True)
         ds = ds.map_batches(_shard_from_path, batch_format="pyarrow")
         ds = extract_dataset(ds, batch_size=batch_size)
-        data_dir = os.path.join(output_dir, "data")
         ds.write_parquet(data_dir, partition_cols=["shard"])
         for f in todo:
             shard = os.path.basename(f)

@@ -24,6 +24,11 @@ from docling_ray.kernels.markdown import to_markdown
 _HTML_RE = re.compile(
     rb"(?i)<\s*(!doctype\s+html|html|head|body|div|p|h1)\b")
 _XML_RE = re.compile(rb"^\s*<\?xml")
+# non-HTML doctype whose root element opens right after — XML without a
+# prolog (reference pattern, document.py:431-436)
+_XML_DOCTYPE_RE = re.compile(
+    rb"<!doctype\s+(?P<root>[a-zA-Z_:][a-zA-Z0-9_:.-]*)\s+[^>]*>\s*<(?P=root)\b",
+    re.IGNORECASE)
 
 
 _EXT_FORMATS = {
@@ -62,6 +67,8 @@ def sniff_format_bytes(raw: bytes, filename: str = "") -> str:
         return "xml"
     if _HTML_RE.search(head):
         return "html"
+    if _XML_DOCTYPE_RE.search(head):
+        return "xml"
     if head[:1] in (b"{", b"["):
         return "json"
     try:
@@ -124,17 +131,37 @@ def extract_doc(raw: bytes, fmt: str):
     ``FormatOption`` routing analog of
     ``/root/reference/docling/document_converter.py:61-129``)."""
     if fmt == "xml":
-        head = raw[:2048].decode("utf-8", errors="replace").lower()
-        if "us-patent" in head or "patent-application-publication" in head:
+        # doctype disambiguation mirrors the reference's marker lists
+        # (/root/reference/docling/datamodel/document.py:340-374): USPTO for
+        # the four patent DTD generations (incl. Grant V2.5 "us-grant-025"),
+        # JATS for journal-publishing/archive doctypes.  Other XML is only
+        # treated as XHTML when it actually declares itself XHTML; arbitrary
+        # XML (feeds, config) is unsupported, not tag-soup "success".
+        head = raw[:4096].decode("utf-8", errors="replace")
+        doctype_m = re.search(r"<!DOCTYPE [^>]+>", head, re.IGNORECASE)
+        doctype = doctype_m.group() if doctype_m else ""
+        # case-insensitive: v2.5 grants declare "ST32-US-Grant-025xml.dtd",
+        # pap-v1 publications "PATENT-APPLICATION-PUBLICATION"
+        if any(marker in doctype.lower() for marker in (
+                "us-patent-application-v4", "us-patent-grant-v4",
+                "us-grant-025", "patent-application-publication")):
             from docling_ray.kernels.uspto_extract import extract_uspto
 
             return extract_uspto(raw)
-        from docling_ray.kernels.jats_extract import extract_jats
+        if "JATS-journalpublishing" in doctype or "JATS-archive" in doctype:
+            from docling_ray.kernels.jats_extract import extract_jats
 
-        try:
             return extract_jats(raw)
-        except Exception:
+        lowered = head.lower()
+        if "<html" in lowered or "xhtml" in lowered:
             return extract_html(raw)
+        # fallback: JATS articles in the wild often omit the DOCTYPE;
+        # accept <article> roots, otherwise refuse
+        if "<article" in lowered:
+            from docling_ray.kernels.jats_extract import extract_jats
+
+            return extract_jats(raw)
+        raise ValueError("unsupported XML document (no USPTO/JATS/XHTML markers)")
     if fmt == "uspto":
         from docling_ray.kernels.uspto_extract import extract_uspto
 

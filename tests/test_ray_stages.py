@@ -204,3 +204,26 @@ def test_entry_contract(ray_session):
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 10
+
+
+def test_resume_discards_stale_partial_writes(ray_session, tmp_path):
+    """A crash between write_parquet and mark_done leaves stale partition
+    files; the resume must replace them, not append duplicates."""
+    from docling_ray.pipelines.extract_pipeline import run_extract
+    from docling_ray.sources.webpages import write_corpus
+
+    src, dst = tmp_path / "in", tmp_path / "out"
+    write_corpus(str(src), 40, rows_per_file=10)
+    stats1 = run_extract(str(src), str(dst))
+    assert stats1["rows_done"] == 40
+    # simulate a crashed partial write for one shard: files exist but the
+    # shard is NOT in the manifest
+    import json
+    mf = dst / "_manifest.jsonl"
+    entries = [json.loads(l) for l in mf.read_text().splitlines()]
+    victim = entries[0]["shard"]
+    mf.write_text("\n".join(json.dumps(e) for e in entries
+                            if e["shard"] != victim) + "\n")
+    stats2 = run_extract(str(src), str(dst))
+    assert stats2["shards_processed"] == 1
+    assert stats2["rows_done"] == 40  # no duplicated rows
