@@ -107,29 +107,32 @@ def q_orders_by_status(sf_dir: str):
 
 
 def q_customer_nation(sf_dir: str):
-    """Broadcast hash join: tiny nation side is shipped once via ``ray.put``
-    and looked up inside ``map_batches`` — no shuffle of the big side."""
+    """Broadcast lookup join: tiny nation side is ``ray.put`` once, fetched
+    once per ACTOR (``__init__``), and applied vectorized per batch — no
+    shuffle of the big side, no per-batch deserialization, no row loop."""
     import ray
     import ray.data
     import pyarrow.parquet as pq
 
-    nation = pq.read_table(f"{sf_dir}/nation.parquet",
-                                   columns=["n_nationkey", "n_name"])
-    lookup_ref = ray.put(dict(zip(nation["n_nationkey"].to_pylist(),
-                                  nation["n_name"].to_pylist())))
+    from docling_ray.stages.joins import BroadcastLookupJoin
 
-    def join_batch(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup.get(k.as_py()) for k in batch["c_nationkey"]]
-        out = pa.table({
-            "custkey": batch["c_custkey"],
-            "nation": pa.array(names, pa.string()),
-        })
-        return out
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    small_ref = ray.put(nation)
 
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                columns=["c_custkey", "c_nationkey"])
-    return ds.map_batches(join_batch, batch_format="pyarrow")
+    joined = ds.map_batches(
+        BroadcastLookupJoin, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs={"small_ref": small_ref,
+                               "left_on": "c_nationkey",
+                               "right_on": "n_nationkey"})
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"custkey": batch["c_custkey"],
+                         "nation": batch["n_name"]})
+
+    return joined.map_batches(project, batch_format="pyarrow")
 
 
 def q_ann_topk(sf_dir: str):
@@ -149,19 +152,30 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (exact, broadcast small side)."""
-    import numpy as np
-    import pyarrow.parquet as pq
+    """Embedding-cosine near-duplicate pairs — EXACT, fully distributed:
+    blockwise self-join (each row replicated to its block-pair groups, one
+    matmul per group).  Nothing is materialized on the driver."""
     import ray.data
 
-    from docling_ray.stages.ann import cosine_pairs
+    from docling_ray.stages.ann import cosine_pairs_blockwise
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = emb["vec_id"].to_pylist()
-    vectors = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    return cosine_pairs(ds, ids, vectors, threshold=0.5)
+    return cosine_pairs_blockwise(ds, threshold=0.5, num_blocks=4)
+
+
+def q_ann_lsh_bucketed(sf_dir: str):
+    """Approximate near-dup: hyperplane-LSH bucket → in-bucket exact
+    rerank — the sub-quadratic 100 TB path (precision 1, documented
+    recall bound)."""
+    import ray.data
+
+    from docling_ray.stages.ann import lsh_bucketed_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return lsh_bucketed_pairs(ds, threshold=0.5, num_bands=8,
+                              planes_per_band=3, dim=64)
 
 
 def q_chunks(sf_dir: str):
@@ -230,6 +244,42 @@ def q_extract_corpus(sf_dir: str):
     return out.select_columns(["url", "doc_id", "status", "n_items"])
 
 
+def _lsh_bucketed_oracle_sql(num_bands: int = 8,
+                             planes_per_band: int = 3) -> str:
+    """DuckDB mirror of ``lsh_bucketed_pairs``: the SAME hyperplanes (seeded
+    numpy, emitted as literals) → per-band sign-bit buckets → join on ANY
+    shared band bucket (DISTINCT ≡ the engine's first-matching-band rule) →
+    exact cosine filter.  The approximation is therefore oracled exactly —
+    both sides miss identical cross-bucket pairs by construction."""
+    from docling_ray.stages.ann import HyperplaneLSH
+
+    lsh = HyperplaneLSH(dim=64, n_planes=num_bands * planes_per_band, seed=11)
+
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in lsh.planes[p]) + "]"
+
+    band_exprs = []
+    for band in range(num_bands):
+        terms = " + ".join(
+            f"CASE WHEN list_dot_product(embedding, {plane_lit(band * planes_per_band + k)})"
+            f" > 0 THEN {1 << k} ELSE 0 END"
+            for k in range(planes_per_band))
+        band_exprs.append(f"({terms}) AS band{band}")
+    sig_cols = ",\n                       ".join(band_exprs)
+    any_band = " OR ".join(f"a.band{b} = b.band{b}" for b in range(num_bands))
+    return f"""
+            WITH sigs AS (
+                SELECT vec_id, embedding,
+                       {sig_cols}
+                FROM embeddings
+            )
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM sigs a JOIN sigs b
+              ON a.vec_id < b.vec_id AND ({any_band})
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "lang_metrics": q_lang_metrics,
@@ -241,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_nation": q_customer_nation,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "chunks": q_chunks,
         "pdf_pipeline": q_pdf_pipeline,
         "minhash_near_dup": q_minhash_near_dup,
@@ -265,7 +316,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_quality": r"""
             SELECT doc_id,
-                   CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                        END AS BIGINT) AS n_tokens,
                    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
                    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
                    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_space
@@ -314,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
         """,
+        "ann_lsh_bucketed": _lsh_bucketed_oracle_sql(),
         # minhash_near_dup / simhash / langid / quality_score /
         # extract_corpus / chunks / pdf_pipeline: deterministic but not
         # SQL-expressible → rows-only.

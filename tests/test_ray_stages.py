@@ -227,3 +227,58 @@ def test_resume_discards_stale_partial_writes(ray_session, tmp_path):
     stats2 = run_extract(str(src), str(dst))
     assert stats2["shards_processed"] == 1
     assert stats2["rows_done"] == 40  # no duplicated rows
+
+
+def test_broadcast_lookup_join_vectorized(ray_session):
+    import ray
+    import ray.data
+
+    from docling_ray.stages.joins import BroadcastLookupJoin
+
+    small = pa.table({"k": [1, 2, 3], "name": ["a", "b", "c"]})
+    big = pa.table({"id": list(range(6)), "k": [1, 2, 3, 1, 2, 9]})
+    ds = ray.data.from_arrow(big).map_batches(
+        BroadcastLookupJoin, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"small_ref": ray.put(small),
+                               "left_on": "k", "right_on": "k"})
+    out = ds.to_pandas().sort_values("id")
+    assert out["id"].tolist() == [0, 1, 2, 3, 4]  # inner: k=9 dropped
+    assert out["name"].tolist() == ["a", "b", "c", "a", "b"]
+
+
+def test_cosine_pairs_blockwise_exact(ray_session):
+    import ray.data
+
+    from docling_ray.stages.ann import _normalize, cosine_pairs_blockwise
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(60, 8))
+    vecs[41] = vecs[7] + 0.01 * rng.normal(size=8)   # planted near-dup
+    vecs[55] = vecs[12] + 0.01 * rng.normal(size=8)
+    table = pa.table({"vec_id": pa.array(range(60), pa.int64()),
+                      "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(table)
+    got = cosine_pairs_blockwise(ds, threshold=0.9, num_blocks=4).to_pandas()
+    got_pairs = sorted(zip(got["vec_a"], got["vec_b"]))
+    normed = _normalize(vecs)
+    sims = normed @ normed.T
+    ii, jj = np.where(np.triu(sims >= 0.9, k=1))
+    assert got_pairs == sorted(zip(ii.tolist(), jj.tolist()))
+    assert (7, 41) in got_pairs and (12, 55) in got_pairs
+
+
+def test_lsh_bucketed_pairs_finds_planted_and_dedups(ray_session):
+    import ray.data
+
+    from docling_ray.stages.ann import lsh_bucketed_pairs
+
+    rng = np.random.RandomState(4)
+    vecs = rng.normal(size=(80, 64))
+    vecs[50] = vecs[10] + 0.001 * rng.normal(size=64)  # ~identical pair
+    table = pa.table({"vec_id": pa.array(range(80), pa.int64()),
+                      "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(table)
+    got = lsh_bucketed_pairs(ds, threshold=0.95, dim=64).to_pandas()
+    pairs = list(zip(got["vec_a"], got["vec_b"]))
+    assert len(pairs) == len(set(pairs)), "cross-band duplicate emitted"
+    assert (10, 50) in pairs
