@@ -207,7 +207,9 @@ def q_minhash_near_dup(sf_dir: str):
     from docling_ray.stages.dedup import minhash_near_dups
 
     ds = _documents(sf_dir).select_columns(["doc_id", "text"])
-    return minhash_near_dups(ds, threshold=0.5)
+    pairs = minhash_near_dups(ds, threshold=0.5)
+    # integer columns only (hash-stable driver comparison)
+    return pairs.select_columns(["doc_a", "doc_b", "n_agree"])
 
 
 def q_simhash(sf_dir: str):
@@ -228,7 +230,19 @@ def q_quality_score(sf_dir: str):
     from docling_ray.stages.textstats import quality_score_batch
 
     ds = _documents(sf_dir).map_batches(quality_score_batch, batch_format="pyarrow")
-    return ds.select_columns(["doc_id", "quality_score"])
+
+    def to_micro(batch: pa.Table) -> pa.Table:
+        # floor to integer micro-units: float-free comparison that is
+        # bit-identical between numpy and the DuckDB oracle (same IEEE
+        # double expression, floor in both)
+        import numpy as np
+
+        score = batch["quality_score"].to_numpy(zero_copy_only=False)
+        micro = np.floor(score * 1_000_000.0).astype("int64")
+        return batch.append_column("score_micro", pa.array(micro, pa.int64()))
+
+    return ds.map_batches(to_micro, batch_format="pyarrow") \
+        .select_columns(["doc_id", "score_micro"])
 
 
 def q_extract_corpus(sf_dir: str):
@@ -278,6 +292,164 @@ def _lsh_bucketed_oracle_sql(num_bands: int = 8,
               ON a.vec_id < b.vec_id AND ({any_band})
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
     """
+
+
+def _minhash_oracle_sql(num_perm: int = 64, num_bands: int = 16,
+                        shingle_k: int = 3, threshold: float = 0.5) -> str:
+    """DuckDB mirror of ``minhash_near_dups``: same permutation params
+    (seeded numpy, emitted as literals), same md5 shingle hashing, same
+    wrapped uint64 arithmetic ((a·x + b) mod 2^64 then mod 2^61-1 — numpy
+    uint64 overflow semantics reproduced with UHUGEINT), same banding and
+    sketch-byte agreement.  Output contract: DISTINCT pairs sharing ≥1 band
+    slice with sketch agreement ≥ ceil(threshold·num_perm)."""
+    import numpy as np
+
+    from docling_ray.stages.dedup import _hash_params
+
+    a, b = _hash_params(num_perm, seed=7)
+    perm_rows = ",\n                ".join(
+        f"({i}, {int(a[i])}::UBIGINT, {int(b[i])}::UBIGINT)"
+        for i in range(num_perm))
+    rpb = num_perm // num_bands
+    band_eq = " OR ".join(
+        f"a.sig[{band * rpb + 1}:{(band + 1) * rpb}]"
+        f" = b.sig[{band * rpb + 1}:{(band + 1) * rpb}]"
+        for band in range(num_bands))
+    min_agree = int(np.ceil(threshold * num_perm))
+    return f"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS t
+                FROM documents
+            ),
+            grams AS (
+                -- k-word shingles; under k tokens, one gram of all tokens
+                -- (docs with zero tokens are absent from this corpus)
+                SELECT doc_id, unnest(
+                    CASE WHEN len(t) >= {shingle_k}
+                         THEN list_transform(range(1, len(t) - {shingle_k - 2}),
+                              i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                         ELSE [array_to_string(t, ' ')] END) AS g
+                FROM toks
+            ),
+            xs AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(g), 1, 16))::UBIGINT AS x
+                FROM grams
+            ),
+            perms(i, a, b) AS (VALUES
+                {perm_rows}
+            ),
+            sig_rows AS (
+                SELECT doc_id, p.i,
+                       min(CAST(
+                           ((CAST(p.a AS UHUGEINT) * CAST(xs.x AS UHUGEINT)
+                             + CAST(p.b AS UHUGEINT))
+                            % CAST(18446744073709551616 AS UHUGEINT))
+                           % 2305843009213693951 AS UBIGINT)) AS m
+                FROM xs CROSS JOIN perms p
+                GROUP BY doc_id, p.i
+            ),
+            sigs AS (
+                SELECT doc_id, list(m ORDER BY i) AS sig
+                FROM sig_rows GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(length(list_filter(range(1, {num_perm + 1}),
+                        i -> (a.sig[i] % 256) = (b.sig[i] % 256)))
+                        AS BIGINT) AS n_agree
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({band_eq})
+            WHERE length(list_filter(range(1, {num_perm + 1}),
+                  i -> (a.sig[i] % 256) = (b.sig[i] % 256))) >= {min_agree}
+    """
+
+
+_SIMHASH_ORACLE_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[^\s]+')) AS tok
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, bs.b,
+               sum(CASE WHEN ((h >> bs.b) & 1) = 1 THEN 1 ELSE -1 END) AS w
+        FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bs
+        GROUP BY doc_id, bs.b
+    ),
+    vals AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN w > 0
+                        THEN CAST(1 AS HUGEINT) << b ELSE 0 END)
+                    AS UBIGINT) AS v
+        FROM bits GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           lpad(lower(hex(coalesce(v.v, 0::UBIGINT))), 16, '0') AS simhash
+    FROM documents d LEFT JOIN vals v ON d.doc_id = v.doc_id
+"""
+
+_LANGID_ORACLE_SQL = r"""
+    WITH cjk AS (
+        SELECT doc_id, text,
+               length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk,
+               length(text) AS n_chars_t
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               trim(lower(unnest(regexp_extract_all(text, '[^\s]+'))),
+                    '.,;:!?"''()') AS tok
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id,
+            count(DISTINCT CASE WHEN tok IN ('the','and','of','to','in','is',
+                'that','for','with','on') THEN tok END) AS en,
+            count(DISTINCT CASE WHEN tok IN ('der','die','das','und','ist',
+                'von','mit','auf','für','ein') THEN tok END) AS de,
+            count(DISTINCT CASE WHEN tok IN ('le','la','les','et','de','des',
+                'un','une','est','dans') THEN tok END) AS fr,
+            count(DISTINCT CASE WHEN tok IN ('el','la','los','las','y','de',
+                'un','una','es','en') THEN tok END) AS es
+        FROM toks GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CASE WHEN c.n_chars_t > 0
+                     AND c.n_cjk * 1.0 / greatest(c.n_chars_t, 1) > 0.1
+                THEN 'zh'
+                WHEN greatest(h.en, h.de, h.fr, h.es) = 0 THEN 'und'
+                WHEN h.en = greatest(h.en, h.de, h.fr, h.es) THEN 'en'
+                WHEN h.de = greatest(h.de, h.fr, h.es) THEN 'de'
+                WHEN h.fr = greatest(h.fr, h.es) THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM cjk c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+# same IEEE-double expression and operation order as quality_score_batch;
+# floor to micro-units in both so the comparison is float-free
+_QUALITY_SCORE_ORACLE_SQL = r"""
+    WITH counts AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars_t,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS DOUBLE) AS n_alpha,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                    END AS DOUBLE) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(floor(
+               ((0.4 * (n_alpha / greatest(n_chars_t, 1.0))
+                 + 0.3 * least(greatest(n_chars_t / 200.0, 0.0), 1.0))
+                + 0.3 * least(greatest(
+                      1.0 - abs(n_chars_t / greatest(n_tokens, 1.0) - 5.0)
+                            / 10.0, 0.0), 1.0))
+               * 1000000.0) AS BIGINT) AS score_micro
+    FROM counts
+"""
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -368,7 +540,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
         """,
         "ann_lsh_bucketed": _lsh_bucketed_oracle_sql(),
-        # minhash_near_dup / simhash / langid / quality_score /
+        "minhash_near_dup": _minhash_oracle_sql(),
+        "simhash": _SIMHASH_ORACLE_SQL,
+        "langid": _LANGID_ORACLE_SQL,
+        "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         # extract_corpus / chunks / pdf_pipeline: deterministic but not
-        # SQL-expressible → rows-only.
+        # SQL-expressible (DOM walk / chunker / layout pipeline) →
+        # rows-only; their correctness evidence is the byte-exact pytest
+        # goldens against the reference's own ground truth.
     }
