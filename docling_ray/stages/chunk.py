@@ -12,16 +12,31 @@ from docling_ray.stages.extract import extract_doc, sniff_format_bytes
 
 def chunk_batch(batch: pa.Table, max_tokens: int = 256,
                 source_column: str = "html") -> pa.Table:
-    """document bytes → one row per chunk (url, chunk_id, headings, text)."""
+    """document → one row per chunk (url, chunk_id, headings, text).
+
+    An already-extracted corpus chunks straight from its ``doc_json``
+    column (``kernels/docjson.py`` round-trip) — re-running sniff+parse per
+    doc on a corpus that was extracted upstream is wasted work (round-1
+    VERDICT.md item 5).  Raw bytes remain the fallback for unextracted
+    input."""
+    from docling_ray.kernels.docjson import load_docjson
+
     urls, chunk_ids, texts, contexts, n_tokens, kinds = [], [], [], [], [], []
     url_col = batch["url"] if "url" in batch.column_names else None
-    for i, value in enumerate(batch[source_column]):
-        raw = value.as_py() or b""
+    json_col = (batch["doc_json"] if "doc_json" in batch.column_names
+                else None)
+    raw_col = (batch[source_column] if source_column in batch.column_names
+               else None)
+    for i in range(batch.num_rows):
         url = url_col[i].as_py() if url_col is not None else str(i)
         try:
-            fmt = sniff_format_bytes(raw)
-            doc = (extract_doc(raw, fmt) if fmt not in ("empty", "binary")
-                   else extract_html(raw))
+            if json_col is not None and json_col[i].as_py():
+                doc = load_docjson(json_col[i].as_py())
+            else:
+                raw = (raw_col[i].as_py() or b"") if raw_col is not None else b""
+                fmt = sniff_format_bytes(raw)
+                doc = (extract_doc(raw, fmt) if fmt not in ("empty", "binary")
+                       else extract_html(raw))
             chunks = chunk_document(doc, max_tokens=max_tokens)
         except Exception:
             chunks = []

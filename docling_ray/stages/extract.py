@@ -199,11 +199,14 @@ def extract_doc(raw: bytes, fmt: str):
     raise ValueError(f"unsupported format: {fmt}")
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
+def extract_batch(batch: pa.Table, emit_doc_json: bool = False) -> pa.Table:
     """document bytes → extracted markdown text (+status/error columns).
 
     The markdown string is the byte-identical-per-url oracle target; the
     kernel matches the reference converter on its own fixture corpus.
+    With ``emit_doc_json`` the canonical item-tree JSON is kept as a
+    column so downstream stages (chunking, enrichment, re-serialization)
+    never re-parse the raw bytes.
     """
     formats = (batch["format"].to_pylist() if "format" in batch.column_names
                else None)
@@ -211,6 +214,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     n_items: list[int] = []
     statuses: list[str] = []
     errors: list[str] = []
+    doc_jsons: list[str] = []
     for i, value in enumerate(batch["html"]):
         raw = value.as_py() or b""
         fmt = formats[i] if formats else "html"
@@ -221,6 +225,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
             n_items.append(0)
             statuses.append("failure")
             errors.append("unsupported binary payload")
+            doc_jsons.append("")
             continue
         try:
             doc = extract_doc(raw, fmt if fmt != "empty" else "html")
@@ -229,15 +234,25 @@ def extract_batch(batch: pa.Table) -> pa.Table:
             n_items.append(sum(1 for _ in doc.iterate()))
             statuses.append("success")
             errors.append("")
+            if emit_doc_json:
+                from docling_ray.kernels.docjson_write import to_docjson
+
+                doc_jsons.append(to_docjson(doc))
+            else:
+                doc_jsons.append("")
         except Exception as exc:  # never raise: errors are data
             texts.append("")
             n_items.append(0)
             statuses.append("failure")
             errors.append(f"{type(exc).__name__}: {exc}")
+            doc_jsons.append("")
     out = batch.append_column("extracted_text", pa.array(texts, pa.large_string()))
     out = out.append_column("n_items", pa.array(n_items, pa.int32()))
     out = out.append_column("status", pa.array(statuses, pa.string()))
     out = out.append_column("error", pa.array(errors, pa.string()))
+    if emit_doc_json:
+        out = out.append_column("doc_json",
+                                pa.array(doc_jsons, pa.large_string()))
     return out
 
 

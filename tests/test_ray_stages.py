@@ -282,3 +282,23 @@ def test_lsh_bucketed_pairs_finds_planted_and_dedups(ray_session):
     pairs = list(zip(got["vec_a"], got["vec_b"]))
     assert len(pairs) == len(set(pairs)), "cross-band duplicate emitted"
     assert (10, 50) in pairs
+
+
+def test_chunk_from_doc_json_matches_raw(ray_session):
+    """Chunking an extracted corpus must use the doc_json column (no
+    re-parse) and produce the same chunks as chunking the raw bytes."""
+    import ray.data
+
+    from docling_ray.stages.chunk import chunk_dataset
+    from docling_ray.stages.extract import extract_batch, sniff_batch
+
+    table = make_table(20, seed=9)
+    raw_chunks = chunk_dataset(
+        ray.data.from_arrow(table)).to_pandas().sort_values(
+        ["url", "chunk_id"]).reset_index(drop=True)
+    extracted = extract_batch(sniff_batch(table), emit_doc_json=True)
+    extracted = extracted.select(["url", "doc_json"])
+    json_chunks = chunk_dataset(
+        ray.data.from_arrow(extracted)).to_pandas().sort_values(
+        ["url", "chunk_id"]).reset_index(drop=True)
+    assert raw_chunks.equals(json_chunks)
