@@ -100,9 +100,19 @@ class LayoutHeuristicStage:
                                    pa.array(out_clusters, cluster_type))
 
 
+ELEMENT_STRUCT = pa.struct([
+    ("cid", pa.int32()), ("label", pa.string()),
+    ("l", pa.float64()), ("t", pa.float64()),
+    ("r", pa.float64()), ("b", pa.float64()),
+    ("text", pa.large_string()),
+])
+
+
 def assemble_page_batch(batch: pa.Table) -> pa.Table:
-    """clusters + cells → ordered page text (de-hyphenated, sanitized)."""
-    texts = []
+    """clusters + cells → typed page elements with sanitized text (the
+    PageAssemble analog); ordering is left to the doc-level reading-order
+    reduce.  ``page_text`` keeps the in-page order for per-page consumers."""
+    texts, out_elements = [], []
     for cells_value, clusters_value in zip(batch["cells"].to_pylist(),
                                            batch["clusters"].to_pylist()):
         cell_by_id = {c["index"]: c for c in cells_value or []}
@@ -122,21 +132,56 @@ def assemble_page_batch(batch: pa.Table) -> pa.Table:
             clusters.append(cluster)
         elements = assemble_page_text(clusters)
         texts.append("\n".join(e["text"] for e in elements if e["text"]))
+        by_id = {cl.id: cl for cl in clusters}
+        out_elements.append([
+            {"cid": e["cluster_id"], "label": e["label"],
+             "l": by_id[e["cluster_id"]].bbox.l,
+             "t": by_id[e["cluster_id"]].bbox.t,
+             "r": by_id[e["cluster_id"]].bbox.r,
+             "b": by_id[e["cluster_id"]].bbox.b,
+             "text": e["text"]}
+            for e in elements
+        ])
     out = batch.append_column("page_text", pa.array(texts, pa.large_string()))
+    out = out.append_column("elements",
+                            pa.array(out_elements, pa.large_list(ELEMENT_STRUCT)))
     # project away the heavy nested columns once consumed
     keep = [c for c in out.column_names if c not in ("cells", "clusters")]
     return out.select(keep)
 
 
 def assemble_document(group: pa.Table) -> pa.Table:
-    """Doc-level reduce: sort pages by page_no, join text, roll up
-    confidences (nanmean layout/ocr, 10%-quantile parse — mirrors
-    ``/root/reference/docling/pipeline/standard_pdf_pipeline.py:253-281``)."""
+    """Doc-level reduce: reading-order model over all page elements
+    (ordering + caption/footnote attachment + merges + doc build, the
+    ``ReadingOrderModel`` reduce of
+    ``/root/reference/docling/models/readingorder_model.py:355-381``),
+    plus confidence rollup (nanmean layout/ocr, 10%-quantile parse —
+    ``standard_pdf_pipeline.py:253-281``)."""
     import pyarrow.compute as pc
+
+    from docling_ray.kernels.reading_order import (
+        ROElement,
+        reading_order_document,
+    )
 
     order = pc.sort_indices(group["page_no"])
     group = group.take(order)
-    texts = [t for t in group["page_text"].to_pylist() if t]
+    elements: list[ROElement] = []
+    for row in range(group.num_rows):
+        page_no = group["page_no"][row].as_py()
+        width = (group["width"][row].as_py()
+                 if "width" in group.column_names else 612.0)
+        height = (group["height"][row].as_py()
+                  if "height" in group.column_names else 792.0)
+        for e in group["elements"][row].as_py() or []:
+            elements.append(ROElement(
+                cid=len(elements), page_no=page_no, label=e["label"],
+                l=e["l"], t=e["t"], r=e["r"], b=e["b"], text=e["text"],
+                page_width=width or 612.0, page_height=height or 792.0))
+    doc = reading_order_document(group["doc_id"][0].as_py(), elements)
+    text = "\n".join(
+        item.text for item, _ in doc.iterate()
+        if getattr(item, "text", "") and item.content_layer == "body")
     parse_scores = np.asarray(
         [s for s in group["parse_score"].to_pylist() if s is not None],
         dtype=np.float64)
@@ -149,7 +194,7 @@ def assemble_document(group: pa.Table) -> pa.Table:
         "doc_id": [group["doc_id"][0].as_py()],
         "url": [group["url"][0].as_py()],
         "n_pages": pa.array([group.num_rows], pa.int32()),
-        "text": pa.array(["\n".join(texts)], pa.large_string()),
+        "text": pa.array([text], pa.large_string()),
         "parse_score": pa.array([parse], pa.float64()),
         "mean_grade": pa.array([conf["mean_grade"]], pa.string()),
         "low_grade": pa.array([conf["low_grade"]], pa.string()),
