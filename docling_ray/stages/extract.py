@@ -63,6 +63,11 @@ def sniff_format_bytes(raw: bytes, filename: str = "") -> str:
         return "uspto"
     if head[:2] == b"PK":
         return _sniff_ooxml(raw)
+    if head[:2] == b"\x1f\x8b":
+        # gzip: the only gzip container format we route is METS-GBS
+        # (reference gates on mime application/gzip + mets probe,
+        # document.py:320-322); a non-METS archive becomes a failure row
+        return "mets_gbs"
     if _XML_RE.match(head):
         return "xml"
     if _HTML_RE.search(head):
@@ -166,6 +171,10 @@ def extract_doc(raw: bytes, fmt: str):
         from docling_ray.kernels.uspto_extract import extract_uspto
 
         return extract_uspto(raw)
+    if fmt == "mets_gbs":
+        from docling_ray.kernels.mets_gbs import extract_mets_gbs
+
+        return extract_mets_gbs(raw)
     if fmt == "html":
         return extract_html(raw)
     if fmt == "asciidoc":

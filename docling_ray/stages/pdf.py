@@ -201,6 +201,37 @@ def assemble_document(group: pa.Table) -> pa.Table:
     })
 
 
+def mets_gbs_explode_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, url, archive: binary) → parsed page rows feeding the same
+    ``pdf_pages_pipeline`` (the flat_map analog of the reference's
+    paginated METS backend; heavy archive bytes are consumed here and do
+    not travel further)."""
+    from docling_ray.kernels.mets_gbs import mets_pages_rows
+    from docling_ray.sources.pdf_pages import SCHEMA as PAGES_SCHEMA
+
+    rows = {name: [] for name in PAGES_SCHEMA.names}
+    for i in range(batch.num_rows):
+        doc_id = batch["doc_id"][i].as_py()
+        url = (batch["url"][i].as_py()
+               if "url" in batch.column_names else doc_id)
+        raw = batch["archive"][i].as_py() or b""
+        try:
+            page_rows = mets_pages_rows(doc_id, url, raw)
+        except Exception:
+            page_rows = []  # invalid archives contribute no pages
+        for r in page_rows:
+            for name in PAGES_SCHEMA.names:
+                rows[name].append(r[name])
+    return pa.table(rows, schema=PAGES_SCHEMA)
+
+
+def mets_gbs_pipeline(ds, layout_concurrency: int = 2):
+    """tar.gz archives dataset → per-doc assembled text (explode pages,
+    then the standard paginated chain)."""
+    pages = ds.map_batches(mets_gbs_explode_batch, batch_format="pyarrow")
+    return pdf_pages_pipeline(pages, layout_concurrency=layout_concurrency)
+
+
 def pdf_pages_pipeline(ds, layout_concurrency: int = 2):
     """Full paginated pipeline over a parsed-pages dataset."""
     ds = ds.map_batches(page_parse_batch, batch_format="pyarrow")
