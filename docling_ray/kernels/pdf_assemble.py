@@ -237,14 +237,12 @@ def assemble_page_text(clusters: list[Cluster]) -> list[dict]:
     return elements
 
 
-def parse_pdf_bytes(raw: bytes):  # pragma: no cover - native lib boundary
-    """PDF byte parsing requires pdfium / docling-parse (native, not in this
-    runtime).  The cell-table pipeline above consumes their output shape;
-    wire a parser here when the dependency is available."""
-    try:
-        import pypdfium2  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "PDF byte parsing needs pypdfium2 (native); this runtime ships "
-            "without it — feed parsed-cell tables instead (FIXTURES.md §F3)"
-        ) from exc
+def parse_pdf_bytes(raw: bytes,
+                    page_no: int = 0):  # pragma: no cover - native boundary
+    """PDF byte parsing via pypdfium2 when the native lib is present: rect
+    enumeration + the ported two-phase fragment merge
+    (``kernels/pdfium_cells.py``).  This runtime ships without pdfium, so
+    the parsed-cell tables remain the default input (FIXTURES.md §F3)."""
+    from docling_ray.kernels.pdfium_cells import compute_text_cells
+
+    return compute_text_cells(raw, page_no=page_no)

@@ -208,7 +208,8 @@ def extract_doc(raw: bytes, fmt: str):
     raise ValueError(f"unsupported format: {fmt}")
 
 
-def extract_batch(batch: pa.Table, emit_doc_json: bool = False) -> pa.Table:
+def extract_batch(batch: pa.Table, emit_doc_json: bool = False,
+                  limits=None) -> pa.Table:
     """document bytes → extracted markdown text (+status/error columns).
 
     The markdown string is the byte-identical-per-url oracle target; the
@@ -227,6 +228,16 @@ def extract_batch(batch: pa.Table, emit_doc_json: bool = False) -> pa.Table:
     for i, value in enumerate(batch["html"]):
         raw = value.as_py() or b""
         fmt = formats[i] if formats else "html"
+        if limits is not None and len(raw) > limits.max_file_size:
+            # oversize payload: invalid document, never parsed
+            # (document.py:135-149 semantics)
+            texts.append("")
+            n_items.append(0)
+            statuses.append("failure")
+            errors.append(f"file size {len(raw)} exceeds limit "
+                          f"{limits.max_file_size}")
+            doc_jsons.append("")
+            continue
         if fmt == "binary":
             # undecodable payload with no recognized container: a failure
             # row, not an exception (reference marks such inputs FAILURE)

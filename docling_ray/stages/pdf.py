@@ -150,7 +150,7 @@ def assemble_page_batch(batch: pa.Table) -> pa.Table:
     return out.select(keep)
 
 
-def assemble_document(group: pa.Table) -> pa.Table:
+def assemble_document(group: pa.Table, limits=None) -> pa.Table:
     """Doc-level reduce: reading-order model over all page elements
     (ordering + caption/footnote attachment + merges + doc build, the
     ``ReadingOrderModel`` reduce of
@@ -166,6 +166,20 @@ def assemble_document(group: pa.Table) -> pa.Table:
 
     order = pc.sort_indices(group["page_no"])
     group = group.take(order)
+    if limits is not None:
+        from docling_ray.stages.limits import slice_doc_pages
+
+        group = slice_doc_pages(group, limits)
+        if group.num_rows == 0:   # limit-invalid doc: dropped
+            return pa.table({
+                "doc_id": pa.array([], pa.string()),
+                "url": pa.array([], pa.string()),
+                "n_pages": pa.array([], pa.int32()),
+                "text": pa.array([], pa.large_string()),
+                "parse_score": pa.array([], pa.float64()),
+                "mean_grade": pa.array([], pa.string()),
+                "low_grade": pa.array([], pa.string()),
+            })
     elements: list[ROElement] = []
     for row in range(group.num_rows):
         page_no = group["page_no"][row].as_py()
@@ -201,11 +215,13 @@ def assemble_document(group: pa.Table) -> pa.Table:
     })
 
 
-def mets_gbs_explode_batch(batch: pa.Table) -> pa.Table:
+def mets_gbs_explode_batch(batch: pa.Table, limits=None) -> pa.Table:
     """(doc_id, url, archive: binary) → parsed page rows feeding the same
     ``pdf_pages_pipeline`` (the flat_map analog of the reference's
     paginated METS backend; heavy archive bytes are consumed here and do
-    not travel further)."""
+    not travel further).  Limits are enforced HERE, where the page count
+    is locally known — oversize archives and limit-invalid docs emit no
+    rows, out-of-range pages never enter the shuffle."""
     from docling_ray.kernels.mets_gbs import mets_pages_rows
     from docling_ray.sources.pdf_pages import SCHEMA as PAGES_SCHEMA
 
@@ -215,28 +231,42 @@ def mets_gbs_explode_batch(batch: pa.Table) -> pa.Table:
         url = (batch["url"][i].as_py()
                if "url" in batch.column_names else doc_id)
         raw = batch["archive"][i].as_py() or b""
+        if limits is not None and len(raw) > limits.max_file_size:
+            continue
         try:
             page_rows = mets_pages_rows(doc_id, url, raw)
         except Exception:
             page_rows = []  # invalid archives contribute no pages
+        if limits is not None:
+            from docling_ray.stages.limits import page_count_valid, page_in_range
+
+            if not page_count_valid(len(page_rows), limits):
+                continue
+            page_rows = [r for r in page_rows
+                         if page_in_range(r["page_no"], limits)]
         for r in page_rows:
             for name in PAGES_SCHEMA.names:
                 rows[name].append(r[name])
     return pa.table(rows, schema=PAGES_SCHEMA)
 
 
-def mets_gbs_pipeline(ds, layout_concurrency: int = 2):
+def mets_gbs_pipeline(ds, layout_concurrency: int = 2, limits=None):
     """tar.gz archives dataset → per-doc assembled text (explode pages,
     then the standard paginated chain)."""
-    pages = ds.map_batches(mets_gbs_explode_batch, batch_format="pyarrow")
+    pages = ds.map_batches(
+        lambda b: mets_gbs_explode_batch(b, limits=limits),
+        batch_format="pyarrow")
     return pdf_pages_pipeline(pages, layout_concurrency=layout_concurrency)
 
 
-def pdf_pages_pipeline(ds, layout_concurrency: int = 2):
-    """Full paginated pipeline over a parsed-pages dataset."""
+def pdf_pages_pipeline(ds, layout_concurrency: int = 2, limits=None):
+    """Full paginated pipeline over a parsed-pages dataset.  ``limits``
+    (``stages/limits.DocumentLimits``) enforces max-page / page-range
+    inside the per-doc reduce — limit-invalid docs are dropped."""
     ds = ds.map_batches(page_parse_batch, batch_format="pyarrow")
     ds = ds.map_batches(LayoutHeuristicStage, batch_format="pyarrow",
                         concurrency=layout_concurrency)
     ds = ds.map_batches(assemble_page_batch, batch_format="pyarrow")
-    return ds.groupby("doc_id").map_groups(assemble_document,
-                                           batch_format="pyarrow")
+    return ds.groupby("doc_id").map_groups(
+        lambda g: assemble_document(g, limits=limits),
+        batch_format="pyarrow")

@@ -99,3 +99,53 @@ def test_pdf_pipeline_end_to_end(ray_session):
     for doc_id, exp_text in expected.items():
         assert out.loc[doc_id, "text"] == exp_text
     assert (out["parse_score"] == 1.0).all()
+
+
+def test_document_limits_semantics():
+    from docling_ray.stages.limits import (
+        DocumentLimits,
+        page_count_valid,
+        page_in_range,
+    )
+
+    lim = DocumentLimits(max_num_pages=5, page_range=(2, 4))
+    assert page_count_valid(5, lim)
+    assert not page_count_valid(6, lim)     # too many pages: INVALID, not truncated
+    assert not page_count_valid(1, lim)     # fewer pages than range start
+    # 1-based inclusive range over 0-indexed pages
+    assert [p for p in range(6) if page_in_range(p, lim)] == [1, 2, 3]
+
+
+def test_pipeline_page_range_and_max_pages(ray_session):
+    import ray.data
+
+    from docling_ray.sources.pdf_pages import make_pdf_pages_table
+    from docling_ray.stages.limits import DocumentLimits
+    from docling_ray.stages.pdf import pdf_pages_pipeline
+
+    table, _ = make_pdf_pages_table(12, seed=9)
+    ds = ray.data.from_arrow(table)
+    counts = table.group_by("doc_id").aggregate([("page_no", "count")])
+    n_by_doc = dict(zip(counts["doc_id"].to_pylist(),
+                        counts["page_no_count"].to_pylist()))
+    lim = DocumentLimits(max_num_pages=2, page_range=(2, 2))
+    out = pdf_pages_pipeline(ds, limits=lim).to_pandas()
+    # only docs with exactly 2 pages survive (>=2 from range start, <=2 max)
+    expected_docs = {d for d, n in n_by_doc.items() if n == 2}
+    assert set(out["doc_id"]) == expected_docs
+    assert (out["n_pages"] == 1).all()  # only page index 1 in range
+
+
+def test_extract_batch_max_file_size():
+    import pyarrow as pa
+
+    from docling_ray.stages.extract import extract_batch
+    from docling_ray.stages.limits import DocumentLimits
+
+    small = b"<html><body><p>ok</p></body></html>"
+    big = b"<html><body><p>" + b"x" * 10_000 + b"</p></body></html>"
+    out = extract_batch(pa.table({"html": [small, big],
+                                  "format": ["html", "html"]}),
+                        limits=DocumentLimits(max_file_size=1000))
+    assert out["status"].to_pylist() == ["success", "failure"]
+    assert "exceeds limit" in out["error"].to_pylist()[1]
