@@ -193,17 +193,42 @@ class HtmlExtractor:
             doc.add_title(text=clean_unicode(title_text), orig=title_text,
                           content_layer=FURNITURE)
 
-        for tag in soup.find_all(["script", "style"]):
+        # one fused pass over the tree replaces four full scans
+        # (script/style removal, hidden removal, <br> rewrite, first-heading
+        # probe) — same semantics: only the TOP-MOST removed subtree needs
+        # decomposing, and <br>/heading inside a removed subtree never count
+        removed: list[Tag] = []
+        brs: list[Tag] = []
+        has_heading = False
+        body = soup.body
+        stack: list[tuple] = [(n, True, body is None or n is body)
+                              for n in soup.contents[::-1]]
+        while stack:
+            node, live, in_content = stack.pop()
+            if not isinstance(node, Tag):
+                continue
+            name = node.name
+            if name in ("script", "style") or node.has_attr("hidden"):
+                if live:
+                    removed.append(node)
+                live = False
+            elif live and in_content:
+                if name == "br":
+                    brs.append(node)
+                elif name in _HEADING_TAGS:
+                    has_heading = True
+            if node.contents:
+                child_in = in_content or node is body
+                stack.extend((c, live, child_in)
+                             for c in node.contents[::-1])
+        for tag in removed:
             tag.decompose()
-        for tag in soup.find_all(hidden=True):
-            tag.decompose()
-
-        content = soup.body or soup
-        for br in content.find_all("br"):
+        for br in brs:
             br.replace_with(NavStr("\n"))
 
+        content = soup.body or soup
         # Text before the first heading is furniture (html_backend.py:272-275).
-        self.content_layer = BODY if content.find(_HEADING_TAGS) is None else FURNITURE
+        self.content_layer = BODY if not has_heading else FURNITURE
         self._walk(content, doc)
         return doc
 

@@ -32,26 +32,27 @@ def read_web_pages(path: str, columns: Optional[list[str]] = None,
 
 
 def extract_dataset(ds: ray.data.Dataset,
-                    batch_size: int = 64) -> ray.data.Dataset:
+                    batch_size: int = 128) -> ray.data.Dataset:
     """The extraction chain on an already-constructed dataset."""
     return ds.map_batches(extract_and_project, batch_format="pyarrow",
                           batch_size=batch_size)
 
 
 def default_num_blocks() -> int:
-    """~4 read tasks per CPU: measured sweet spot — enough slack for work
-    stealing around skewed blocks without drowning in per-task read
-    overhead (64→5998, 128→6795, 192→5759 docs/s at 32 CPUs, 50k docs)."""
+    """~3 read tasks per CPU: round-2 measured sweet spot at bs=128 —
+    enough slack for work stealing around skewed blocks without drowning
+    in per-task read overhead (blocks×bs sweep at 32 CPUs, 50k docs:
+    128×64→5700, 128×128→6012, 64×128→7037, 96×128→7361/7442)."""
     import ray
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(16, cpus * 4)
+    return max(16, cpus * 3)
 
 
-def extract_path(path: str, batch_size: int = 64,
+def extract_path(path: str, batch_size: int = 128,
                  num_blocks: Optional[int] = None) -> ray.data.Dataset:
     ds = read_web_pages(path, override_num_blocks=num_blocks or default_num_blocks())
     return extract_dataset(ds, batch_size=batch_size)
