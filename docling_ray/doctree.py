@@ -88,7 +88,8 @@ class Item:
     ``(page_no, l, t, r, b)`` tuple in the source page's BOTTOMLEFT
     coordinates (docling-core convention)."""
 
-    __slots__ = ("parent", "children", "content_layer", "self_id", "prov")
+    __slots__ = ("parent", "children", "content_layer", "self_id", "prov",
+                 "annotations")
 
     def __init__(self, parent: Optional["Item"], content_layer: str):
         self.parent = parent
@@ -96,6 +97,8 @@ class Item:
         self.content_layer = content_layer
         self.self_id = -1
         self.prov = None
+        # enrichment outputs (code language, picture class, descriptions…)
+        self.annotations: list = []
         if parent is not None:
             parent.children.append(self)
 

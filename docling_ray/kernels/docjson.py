@@ -149,6 +149,7 @@ def load_docjson(data: Union[str, bytes, dict]) -> DocTree:
                 marker=node.get("marker", ""),
             )
             item.code_language = node.get("code_language")
+            item.annotations = list(node.get("annotations") or [])
             if node.get("captions"):
                 item.caption = _caption_item(node)
         elif kind == "groups":
@@ -178,6 +179,7 @@ def load_docjson(data: Union[str, bytes, dict]) -> DocTree:
             ), caption=table_caption)
         elif kind == "pictures":
             item = PictureItem(parent, layer, caption=_caption_item(node))
+            item.annotations = list(node.get("annotations") or [])
         else:
             item = GroupItem(parent, layer, "unspecified", kind)
 

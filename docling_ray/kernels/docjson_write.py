@@ -76,6 +76,10 @@ def docjson_dict(doc: DocTree) -> dict:
                 }
             if item.hyperlink is not None:
                 node["hyperlink"] = str(item.hyperlink)
+            if item.annotations:
+                # enrichment outputs; omitted when empty so unenriched
+                # documents round-trip byte-identically
+                node["annotations"] = item.annotations
         elif isinstance(item, TableItem):
             node["label"] = "table"
             node["prov"] = []
@@ -109,7 +113,7 @@ def docjson_dict(doc: DocTree) -> dict:
             node["captions"] = []
             node["references"] = []
             node["footnotes"] = []
-            node["annotations"] = []
+            node["annotations"] = list(item.annotations)
             if item.caption is not None:
                 cap_ref = fill_caption(item.caption)
                 node["captions"] = [{"$ref": cap_ref}]
