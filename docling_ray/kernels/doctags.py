@@ -29,7 +29,16 @@ def _loc_tokens(doc: DocTree, prov) -> str:
     if not prov:
         return ""
     out = []
-    for page_no, l, t, r, b in prov:
+    for rec in prov:
+        if isinstance(rec, dict):
+            # reading-order prov records: TOPLEFT bbox + charspan dict —
+            # flip to the serializer's BOTTOMLEFT convention
+            page_no = rec["page_no"]
+            l, tt, r, bb = rec["bbox"]
+            _, height_ = doc.pages.get(page_no, (0.0, 0.0))
+            t, b = height_ - tt, height_ - bb
+        else:
+            page_no, l, t, r, b = rec
         width, height = doc.pages.get(page_no, (0.0, 0.0))
         if not width or not height:
             continue
@@ -99,7 +108,10 @@ def to_doctags(doc: DocTree) -> str:
     collect(doc.body)
 
     def page_of(item: Item) -> Optional[int]:
-        return item.prov[0][0] if item.prov else None
+        if not item.prov:
+            return None
+        rec = item.prov[0]
+        return rec["page_no"] if isinstance(rec, dict) else rec[0]
 
     def push(line: str, item: Item) -> None:
         nonlocal last_page

@@ -108,7 +108,7 @@ ELEMENT_STRUCT = pa.struct([
 ])
 
 
-def assemble_page_batch(batch: pa.Table) -> pa.Table:
+def assemble_page_batch(batch: pa.Table, keep_cells: bool = False) -> pa.Table:
     """clusters + cells → typed page elements with sanitized text (the
     PageAssemble analog); ordering is left to the doc-level reading-order
     reduce.  ``page_text`` keeps the in-page order for per-page consumers."""
@@ -145,8 +145,10 @@ def assemble_page_batch(batch: pa.Table) -> pa.Table:
     out = batch.append_column("page_text", pa.array(texts, pa.large_string()))
     out = out.append_column("elements",
                             pa.array(out_elements, pa.large_list(ELEMENT_STRUCT)))
-    # project away the heavy nested columns once consumed
-    keep = [c for c in out.column_names if c not in ("cells", "clusters")]
+    # project away the heavy nested columns once consumed (multimodal
+    # export keeps the cells: they are part of its page tuples)
+    drop = ("clusters",) if keep_cells else ("cells", "clusters")
+    keep = [c for c in out.column_names if c not in drop]
     return out.select(keep)
 
 
@@ -257,6 +259,77 @@ def mets_gbs_pipeline(ds, layout_concurrency: int = 2, limits=None):
         lambda b: mets_gbs_explode_batch(b, limits=limits),
         batch_format="pyarrow")
     return pdf_pages_pipeline(pages, layout_concurrency=layout_concurrency)
+
+
+MM_CELL_STRUCT = pa.struct([
+    ("text", pa.large_string()), ("bbox", pa.list_(pa.float64(), 4)),
+    ("ocr", pa.bool_()), ("ocr_confidence", pa.float64()),
+])
+MM_SEGMENT_STRUCT = pa.struct([
+    ("index_in_doc", pa.int32()), ("label", pa.string()),
+    ("text", pa.large_string()), ("bbox", pa.list_(pa.float64(), 4)),
+    ("table_html", pa.large_string()),
+])
+
+
+def multimodal_pages_group(group: pa.Table) -> pa.Table:
+    """Doc-level reduce → page-aligned multimodal training tuples
+    (``/root/reference/docling/utils/export.py:13-146`` shape)."""
+    from docling_ray.kernels.multimodal_export import multimodal_page_tuples
+
+    pages = []
+    for row in range(group.num_rows):
+        pages.append({
+            "page_no": group["page_no"][row].as_py(),
+            "width": (group["width"][row].as_py()
+                      if "width" in group.column_names else 612.0),
+            "height": (group["height"][row].as_py()
+                       if "height" in group.column_names else 792.0),
+            "cells": group["cells"][row].as_py() or [],
+            "elements": group["elements"][row].as_py() or [],
+        })
+    doc_id = group["doc_id"][0].as_py()
+    url = (group["url"][0].as_py() if "url" in group.column_names else doc_id)
+    rows = {"doc_id": [], "url": [], "page_no": [], "content_text": [],
+            "content_md": [], "content_dt": [], "cells": [], "segments": []}
+    for rec in multimodal_page_tuples(pages):
+        rows["doc_id"].append(doc_id)
+        rows["url"].append(url)
+        rows["page_no"].append(rec["page_no"])
+        rows["content_text"].append(rec["content_text"])
+        rows["content_md"].append(rec["content_md"])
+        rows["content_dt"].append(rec["content_dt"])
+        rows["cells"].append([
+            {"text": c["text"], "bbox": list(c["bbox"]), "ocr": c["ocr"],
+             "ocr_confidence": c["ocr_confidence"]} for c in rec["cells"]])
+        rows["segments"].append([
+            {"index_in_doc": s["index_in_doc"], "label": s["label"],
+             "text": s["text"], "bbox": list(s["bbox"]),
+             "table_html": (s["data"][0]["html_seq"] if s["data"] else "")}
+            for s in rec["segments"]])
+    return pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.string()),
+        "url": pa.array(rows["url"], pa.string()),
+        "page_no": pa.array(rows["page_no"], pa.int32()),
+        "content_text": pa.array(rows["content_text"], pa.large_string()),
+        "content_md": pa.array(rows["content_md"], pa.large_string()),
+        "content_dt": pa.array(rows["content_dt"], pa.large_string()),
+        "cells": pa.array(rows["cells"], pa.large_list(MM_CELL_STRUCT)),
+        "segments": pa.array(rows["segments"],
+                             pa.large_list(MM_SEGMENT_STRUCT)),
+    })
+
+
+def multimodal_export_pipeline(ds, layout_concurrency: int = 2):
+    """Pages dataset → page-aligned (text, md, doctags, cells, segments)
+    rows, one per page, ready for parquet training-set export."""
+    ds = ds.map_batches(page_parse_batch, batch_format="pyarrow")
+    ds = ds.map_batches(LayoutHeuristicStage, batch_format="pyarrow",
+                        concurrency=layout_concurrency)
+    ds = ds.map_batches(lambda b: assemble_page_batch(b, keep_cells=True),
+                        batch_format="pyarrow")
+    return ds.groupby("doc_id").map_groups(multimodal_pages_group,
+                                           batch_format="pyarrow")
 
 
 def pdf_pages_pipeline(ds, layout_concurrency: int = 2, limits=None):

@@ -59,3 +59,36 @@ def test_frame_sampling_explodes(ray_session):
                          table["duration_ms"].to_pylist()))
     for media_id, count in counts.items():
         assert count == max(1, -(-durations[media_id] // 1000))
+
+
+def test_multimodal_page_export_pipeline(ray_session):
+    """Page-aligned (text, md, doctags, cells, segments) tuples
+    (utils/export.py:13-146 shape) over the synthetic parsed pages."""
+    import ray.data
+
+    from docling_ray.sources.pdf_pages import make_pdf_pages_table
+    from docling_ray.stages.pdf import multimodal_export_pipeline
+
+    table, expected = make_pdf_pages_table(6, seed=5)
+    out = multimodal_export_pipeline(
+        ray.data.from_arrow(table)).to_pandas()
+    # one row per input page
+    assert len(out) == table.num_rows
+    row = out.sort_values(["doc_id", "page_no"]).iloc[0]
+    assert row["content_text"].endswith(" ")          # trailing-space accum
+    assert row["content_md"]                          # per-page markdown
+    assert "<loc_" in row["content_dt"] or row["content_dt"]
+    assert len(row["cells"]) > 0
+    for cell in row["cells"]:
+        l, t, r, b = cell["bbox"]
+        assert 0.0 <= l <= r <= 1.0 and 0.0 <= t <= b <= 1.0  # normalized
+        assert cell["ocr"] is False or cell["ocr"] is True
+    segs = row["segments"]
+    assert [s["index_in_doc"] for s in segs] == sorted(
+        s["index_in_doc"] for s in segs)
+    assert all(s["label"] for s in segs)
+    # doc-global indices continue across pages of the same doc
+    doc_rows = out[out["doc_id"] == row["doc_id"]].sort_values("page_no")
+    flat = [s["index_in_doc"] for _, r in doc_rows.iterrows()
+            for s in r["segments"]]
+    assert flat == list(range(len(flat)))
