@@ -55,6 +55,15 @@ def _convert_files(paths: list[str], output: str, formats: list[str],
         if "doctags" in formats:
             open(os.path.join(output, name + ".doctags.txt"), "w").write(
                 to_doctags(doc))
+        if "html" in formats:
+            from docling_ray.kernels.html_export import to_html
+
+            open(os.path.join(output, name + ".html"), "w").write(to_html(doc))
+        if "html_split_page" in formats:
+            from docling_ray.kernels.html_export import to_html_split_page
+
+            open(os.path.join(output, name + ".split.html"), "w").write(
+                to_html_split_page(doc))
         if "chunks" in formats:
             chunks = chunk_document(doc, max_tokens=max_tokens)
             with open(os.path.join(output, name + ".chunks.jsonl"), "w") as f:
@@ -89,7 +98,8 @@ def main(argv=None) -> int:
     conv.add_argument("input")
     conv.add_argument("--output", "-o", default="./out")
     conv.add_argument("--to", default="md",
-                      help="comma list of md,json,itxt,doctags,txt,chunks (file inputs)")
+                      help="comma list of md,json,itxt,doctags,txt,html,"
+                           "html_split_page,chunks (file inputs)")
     conv.add_argument("--max-tokens", type=int, default=256)
     conv.add_argument("--num-cpus", type=int,
                       default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))

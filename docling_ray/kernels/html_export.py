@@ -168,3 +168,53 @@ def to_html(doc: DocTree) -> str:
     body = "\n".join(out)
     return ("<!DOCTYPE html>\n<html>\n<head><meta charset=\"utf-8\"/></head>\n"
             f"<body>\n{body}\n</body>\n</html>")
+
+
+def _page_of_item(item: Item):
+    if not item.prov:
+        return None
+    rec = item.prov[0]
+    return rec["page_no"] if isinstance(rec, dict) else rec[0]
+
+
+def to_html_split_page(doc: DocTree, page_images: dict[int, str] | None = None
+                       ) -> str:
+    """Split-page HTML view (``save_as_html(split_page_view=True)``
+    analog, invoked at ``/root/reference/docling/cli/main.py:216-240``):
+    a two-pane row per page — the rendered page on the left, that page's
+    extracted content on the right.  ``page_images`` optionally maps
+    page_no → an image URI (data: or file path); without it (no raster
+    codecs in this runtime) the left pane shows a page placeholder, and
+    the pane structure — what the view exists for — is preserved."""
+    by_page: dict = {}
+    unpaged: list[str] = []
+    for child in doc.body.children:
+        out: list[str] = []
+        _render(child, out)
+        page = _page_of_item(child)
+        if page is None:
+            unpaged.extend(out)
+        else:
+            by_page.setdefault(page, []).extend(out)
+    rows = []
+    for page in sorted(by_page):
+        img = (page_images or {}).get(page)
+        left = (f'<img src="{_esc(img)}" alt="page {page}"/>' if img
+                else f'<div class="page-placeholder">page {page}</div>')
+        right = "\n".join(by_page[page])
+        rows.append(
+            f'<div class="split-row" id="page-{page}">\n'
+            f'<div class="page-pane">{left}</div>\n'
+            f'<div class="content-pane">\n{right}\n</div>\n</div>')
+    if unpaged:
+        rows.append('<div class="split-row" id="page-unpaged">\n'
+                    '<div class="page-pane"></div>\n'
+                    '<div class="content-pane">\n'
+                    + "\n".join(unpaged) + "\n</div>\n</div>")
+    style = ("<style>.split-row{display:flex;gap:1em;border-bottom:1px "
+             "solid #ccc;padding:.5em 0}.page-pane,.content-pane{flex:1}"
+             ".page-placeholder{background:#eee;text-align:center;"
+             "padding:2em}</style>")
+    return ("<!DOCTYPE html>\n<html>\n<head><meta charset=\"utf-8\"/>"
+            f"{style}</head>\n<body>\n" + "\n".join(rows)
+            + "\n</body>\n</html>")

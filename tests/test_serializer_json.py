@@ -25,3 +25,26 @@ def test_json_to_markdown_byte_identical(name):
 
 def test_pair_corpus_nonempty():
     assert len(PAIRS) >= 60
+
+
+def test_split_page_html_view():
+    """Split-page view: one two-pane row per page, content assigned by
+    provenance (save_as_html(split_page_view=True) analog)."""
+    from docling_ray.kernels.html_export import to_html_split_page
+    from docling_ray.kernels.reading_order import ROElement, reading_order_document
+
+    els = [
+        ROElement(0, 0, "section_header", 36, 40, 570, 60, "Page one head"),
+        ROElement(1, 0, "text", 36, 100, 570, 120, "First page text."),
+        ROElement(2, 1, "text", 36, 100, 570, 120, "Second page text."),
+    ]
+    doc = reading_order_document("d", els)
+    html = to_html_split_page(doc)
+    assert html.count('class="split-row"') == 2
+    assert 'id="page-1"' in html and 'id="page-2"' in html
+    one = html.index("First page text")
+    two = html.index("Second page text")
+    assert html.index('id="page-1"') < one < html.index('id="page-2"') < two
+    # image pane used when a page image is provided
+    html2 = to_html_split_page(doc, page_images={1: "p1.png"})
+    assert '<img src="p1.png"' in html2
