@@ -245,6 +245,52 @@ def q_quality_score(sf_dir: str):
         .select_columns(["doc_id", "score_micro"])
 
 
+def q_mets_gbs(sf_dir: str):
+    """METS-GBS archive → paginated pipeline (reference's own fixture as
+    the deterministic input; parity asserted byte-exact in pytest)."""
+    import ray.data
+
+    from docling_ray.stages.pdf import mets_gbs_pipeline
+
+    raw = open("/root/reference/tests/data/mets_gbs/"
+               "32044009881525_select.tar.gz", "rb").read()
+    table = pa.table({
+        "doc_id": ["gbs-1"],
+        "url": ["https://example.org/gbs-1"],
+        "archive": pa.array([raw], pa.large_binary()),
+    })
+    out = mets_gbs_pipeline(ray.data.from_arrow(table))
+    return out.select_columns(["doc_id", "n_pages"])
+
+
+def q_multimodal_pages(sf_dir: str):
+    """Page-aligned multimodal export rows over the synthetic parsed
+    pages (generate_multimodal_pages analog)."""
+    import ray.data
+
+    from docling_ray.sources.pdf_pages import make_pdf_pages_table
+    from docling_ray.stages.pdf import multimodal_export_pipeline
+
+    table, _ = make_pdf_pages_table(20, seed=42)
+    out = multimodal_export_pipeline(ray.data.from_arrow(table))
+    return out.select_columns(["doc_id", "page_no", "content_text"])
+
+
+def q_enrich(sf_dir: str):
+    """Enrichment driver over extracted docs (stub model tiers)."""
+    import ray.data
+
+    from docling_ray.sources.webpages import make_table
+    from docling_ray.stages.enrich import enrich_dataset
+    from docling_ray.stages.extract import extract_batch, sniff_batch
+
+    table = make_table(60, seed=42)
+    extracted = extract_batch(sniff_batch(table), emit_doc_json=True)
+    ds = ray.data.from_arrow(extracted.select(["url", "doc_json"]))
+    out = enrich_dataset(ds)
+    return out.select_columns(["url", "n_enriched"])
+
+
 def q_extract_corpus(sf_dir: str):
     """Flagship HTML extraction over the deterministic synthetic corpus
     (byte-parity with the reference is asserted by the pytest goldens)."""
@@ -471,6 +517,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "quality_score": q_quality_score,
         "extract_corpus": q_extract_corpus,
+        "mets_gbs": q_mets_gbs,
+        "multimodal_pages": q_multimodal_pages,
+        "enrich": q_enrich,
     }
 
 
