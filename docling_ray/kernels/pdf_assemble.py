@@ -221,8 +221,15 @@ def heuristic_clusters(cells: list[Cell], page_width: float,
 
 
 def assemble_page_text(clusters: list[Cluster]) -> list[dict]:
-    """Clusters → ordered typed elements with sanitized text
-    (page_assemble_model.py:66-100 semantics for the text path)."""
+    """Clusters → ordered typed elements (page_assemble_model.py:66-100):
+    text clusters carry sanitized text; table/document-index clusters run
+    the table-structure tier and carry the recovered grid JSON."""
+    from docling_ray.kernels.table_structure import (
+        TABLE_LABELS,
+        infer_table_structure,
+        table_to_json,
+    )
+
     elements = []
     for cluster in sort_clusters(clusters):
         if cluster.label in TEXT_LABELS:
@@ -233,6 +240,14 @@ def assemble_page_text(clusters: list[Cluster]) -> list[dict]:
                 "label": cluster.label,
                 "cluster_id": cluster.id,
                 "text": text,
+            })
+        elif cluster.label in TABLE_LABELS:
+            ts = infer_table_structure(cluster.cells)
+            elements.append({
+                "label": cluster.label,
+                "cluster_id": cluster.id,
+                "text": "",
+                "table_json": table_to_json(ts),
             })
     return elements
 

@@ -105,6 +105,7 @@ ELEMENT_STRUCT = pa.struct([
     ("l", pa.float64()), ("t", pa.float64()),
     ("r", pa.float64()), ("b", pa.float64()),
     ("text", pa.large_string()),
+    ("table_json", pa.large_string()),
 ])
 
 
@@ -139,7 +140,8 @@ def assemble_page_batch(batch: pa.Table, keep_cells: bool = False) -> pa.Table:
              "t": by_id[e["cluster_id"]].bbox.t,
              "r": by_id[e["cluster_id"]].bbox.r,
              "b": by_id[e["cluster_id"]].bbox.b,
-             "text": e["text"]}
+             "text": e["text"],
+             "table_json": e.get("table_json", "")}
             for e in elements
         ])
     out = batch.append_column("page_text", pa.array(texts, pa.large_string()))
@@ -190,10 +192,16 @@ def assemble_document(group: pa.Table, limits=None) -> pa.Table:
         height = (group["height"][row].as_py()
                   if "height" in group.column_names else 792.0)
         for e in group["elements"][row].as_py() or []:
+            payload = {}
+            if e.get("table_json"):
+                from docling_ray.kernels.table_structure import table_from_json
+
+                payload["table_data"] = table_from_json(e["table_json"])
             elements.append(ROElement(
                 cid=len(elements), page_no=page_no, label=e["label"],
                 l=e["l"], t=e["t"], r=e["r"], b=e["b"], text=e["text"],
-                page_width=width or 612.0, page_height=height or 792.0))
+                page_width=width or 612.0, page_height=height or 792.0,
+                payload=payload))
     doc = reading_order_document(group["doc_id"][0].as_py(), elements)
     text = "\n".join(
         item.text for item, _ in doc.iterate()
