@@ -82,9 +82,22 @@ def _decorate(item: TextItem, text: str) -> str:
 
 
 class MarkdownSerializer:
-    def __init__(self, layers: Optional[set] = None, indent: int = 4):
+    """Parameterized like docling-core's MarkdownParams surface: content
+    ``layers``, list ``indent``, the picture ``image_placeholder`` and
+    underscore escaping are caller-configurable; defaults reproduce the
+    reference goldens byte-for-byte."""
+
+    def __init__(self, layers: Optional[set] = None, indent: int = 4,
+                 image_placeholder: str = IMAGE_PLACEHOLDER,
+                 escape_underscores: bool = True):
         self.layers = layers if layers is not None else {BODY}
         self.indent = indent
+        self.image_placeholder = image_placeholder
+        self.escape_underscores = escape_underscores
+
+    def _escape(self, text: str) -> str:
+        return _escape(text) if self.escape_underscores \
+            else _html.escape(text, quote=False)
 
     # -- public ------------------------------------------------------------
     def serialize(self, doc: DocTree) -> str:
@@ -158,14 +171,14 @@ class MarkdownSerializer:
             # ``traverse_pictures=False`` default)
             parts = []
             if item.caption is not None and item.caption.text:
-                parts.append(_escape(item.caption.text))
-            parts.append(IMAGE_PLACEHOLDER)
+                parts.append(self._escape(item.caption.text))
+            parts.append(self.image_placeholder)
             return parts
 
         if isinstance(item, TableItem):
             parts = []
             if item.caption is not None and item.caption.text:
-                parts.append(_escape(item.caption.text))
+                parts.append(self._escape(item.caption.text))
             block = _table_block(item)
             if block:
                 parts.append(block)
@@ -179,14 +192,14 @@ class MarkdownSerializer:
             return _decorate(item, f"`{item.text}`")
         if item.text_label == "formula":
             return f"${item.text}$" if item.text else FORMULA_PLACEHOLDER
-        return _decorate(item, _escape(item.text))
+        return _decorate(item, self._escape(item.text))
 
     def _text_block(self, item: TextItem) -> str:
         label = item.text_label
         if label == "title":
-            return f"# {_decorate(item, _escape(item.text))}"
+            return f"# {_decorate(item, self._escape(item.text))}"
         if label == "section_header":
-            return f"{'#' * (item.level + 1)} {_decorate(item, _escape(item.text))}"
+            return f"{'#' * (item.level + 1)} {_decorate(item, self._escape(item.text))}"
         if label == "code":
             return f"```\n{item.text}\n```"
         if label == "formula":
@@ -214,7 +227,7 @@ class MarkdownSerializer:
             elif isinstance(child, PictureItem):
                 if child.caption is not None and child.caption.text:
                     pieces.append(child.caption.text)
-                pieces.append(IMAGE_PLACEHOLDER)
+                pieces.append(self.image_placeholder)
             else:
                 pieces.extend(self._item_parts(child, excluded, 0))
         return " ".join(p for p in pieces if p)
@@ -342,8 +355,9 @@ def _table_block(item: TableItem) -> str:
     return "\n".join(lines)
 
 
-def to_markdown(doc: DocTree, layers: Optional[set] = None) -> str:
-    return MarkdownSerializer(layers=layers).serialize(doc)
+def to_markdown(doc: DocTree, layers: Optional[set] = None,
+                **params) -> str:
+    return MarkdownSerializer(layers=layers, **params).serialize(doc)
 
 
 _MD_MARKUP_RE = re.compile(

@@ -48,3 +48,19 @@ def test_split_page_html_view():
     # image pane used when a page image is provided
     html2 = to_html_split_page(doc, page_images={1: "p1.png"})
     assert '<img src="p1.png"' in html2
+
+
+def test_markdown_params_surface():
+    """Serializer parameterization (docling-core MarkdownParams analog):
+    image placeholder and underscore escaping are configurable; defaults
+    reproduce the goldens."""
+    from docling_ray.doctree import DocTree
+    from docling_ray.kernels.markdown import to_markdown
+
+    doc = DocTree("d")
+    doc.add_text(label="text", text="snake_case_name")
+    doc.add_picture()
+    assert to_markdown(doc) == "snake\\_case\\_name\n\n<!-- image -->"
+    assert to_markdown(doc, image_placeholder="![img]",
+                       escape_underscores=False) == \
+        "snake_case_name\n\n![img]"
