@@ -105,6 +105,21 @@ def main(argv=None) -> int:
                       default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     args = parser.parse_args(argv)
 
+    if "://" in args.input:
+        # URL input expansion (reference cli/main.py:513-550): fetch to a
+        # temp file, then convert.  file:// works offline; http(s) needs
+        # network.
+        import tempfile
+        import urllib.parse
+        import urllib.request
+
+        name = os.path.basename(
+            urllib.parse.urlparse(args.input).path) or "download"
+        tmp = os.path.join(tempfile.mkdtemp(prefix="docling_ray_url"), name)
+        with urllib.request.urlopen(args.input) as resp, open(tmp, "wb") as f:
+            f.write(resp.read())
+        return _convert_files([tmp], args.output, args.to.split(","),
+                              args.max_tokens)
     if os.path.isdir(args.input) and glob.glob(os.path.join(args.input, "*.parquet")):
         return _convert_corpus(args.input, args.output, args.num_cpus)
     if os.path.isdir(args.input):

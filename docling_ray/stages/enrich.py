@@ -127,6 +127,67 @@ class PictureClassifierStubModel(BaseEnrichmentModel):
             yield item
 
 
+class PictureDescriptionStubModel(BaseEnrichmentModel):
+    """STUB tier of the picture-description models
+    (``picture_description_base_model.py:1-91``): deterministic
+    pseudo-description from the picture's caption/provenance — holds the
+    annotation shape a VLM or HTTP-API describer fills."""
+
+    def is_processable(self, doc: DocTree, element: Item) -> bool:
+        return getattr(element, "label", "") == "picture"
+
+    def describe(self, element: Item) -> str:
+        cap = getattr(element, "caption", None)
+        if cap is not None and getattr(cap, "text", ""):
+            return f"Picture of: {cap.text}"
+        return "Picture (no caption available)"
+
+    def __call__(self, doc, element_batch):
+        for item in element_batch:
+            item.annotations.append({"kind": "description",
+                                     "text": self.describe(item),
+                                     "provenance": "stub"})
+            yield item
+
+
+class PictureDescriptionApiModel(PictureDescriptionStubModel):
+    """HTTP-API describer contract
+    (``picture_description_api_model.py:1-64``): per-batch requests fan
+    out over a ThreadPoolExecutor of ``concurrency`` workers (the
+    upstream pattern for I/O-bound enrichment INSIDE one Ray actor —
+    process-level parallelism stays with Ray).  No network in this
+    runtime: the request hook raises unless an endpoint is reachable."""
+
+    def __init__(self, endpoint: str = "", concurrency: int = 2,
+                 timeout: float = 20.0):
+        self.endpoint = endpoint
+        self.concurrency = concurrency
+        self.timeout = timeout
+
+    def _request(self, item: Item) -> str:
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.endpoint,
+            data=json.dumps({"caption": getattr(
+                getattr(item, "caption", None), "text", "")}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read().decode())["text"]
+
+    def __call__(self, doc, element_batch):
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = list(element_batch)
+        with ThreadPoolExecutor(self.concurrency) as pool:
+            texts = list(pool.map(self._request, items))
+        for item, text in zip(items, texts):
+            item.annotations.append({"kind": "description", "text": text,
+                                     "provenance": "api"})
+            yield item
+
+
 DEFAULT_ENRICHMENT_MODELS = (CodeLanguageStubModel, PictureClassifierStubModel)
 
 

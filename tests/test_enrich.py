@@ -89,3 +89,32 @@ def test_enrich_dataset_actor_stage(ray_session):
     }))
     out = enrich_dataset(ds, concurrency=1).to_pandas()
     assert (out["n_enriched"] == 3).all()  # 2 code langs + 1 picture class
+
+
+def test_picture_description_stub():
+    from docling_ray.stages.enrich import PictureDescriptionStubModel
+
+    doc = DocTree("d")
+    doc.add_picture()
+    cap = doc.add_text(label="caption", text="A chart of results")
+    pic2 = doc.add_picture(caption=cap)
+    enrich_document(doc, [PictureDescriptionStubModel()])
+    descs = [a["text"] for i, _ in doc.iterate() for a in i.annotations
+             if a.get("kind") == "description"]
+    assert "Picture (no caption available)" in descs
+    assert "Picture of: A chart of results" in descs
+
+
+def test_picture_description_api_contract():
+    """API describer: fan-out over a thread pool inside the actor; with
+    no reachable endpoint the batch fails as a unit (construct-only)."""
+    from docling_ray.stages.enrich import PictureDescriptionApiModel
+
+    model = PictureDescriptionApiModel(endpoint="http://127.0.0.1:9/x",
+                                       concurrency=2, timeout=0.2)
+    doc = DocTree("d")
+    doc.add_picture()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        list(model(doc, [i for i, _ in doc.iterate()]))
