@@ -315,8 +315,11 @@ class _TreeBuilder(HTMLParser):
         self._append_text(f"<?{data}>", Preformatted)
 
 
-def parse_html(raw: Union[bytes, str]) -> Document:
-    """Parse HTML bytes/text into a :class:`Document` tree."""
+def parse_html(raw: Union[bytes, str], fast: bool = True) -> Document:
+    """Parse HTML bytes/text into a :class:`Document` tree.
+
+    The fast tokenizer (``dom_fast``, html.parser-exact semantics) is the
+    default; any internal error falls back to the stdlib event parser."""
     if isinstance(raw, bytes):
         try:
             text = raw.decode("utf-8")
@@ -324,6 +327,18 @@ def parse_html(raw: Union[bytes, str]) -> Document:
             text = raw.decode("latin-1")
     else:
         text = raw
+    if fast:
+        from docling_ray import dom_fast
+
+        builder = _TreeBuilder()
+        try:
+            dom_fast.feed(text, builder)
+        except AssertionError:
+            raise  # html.parser raises these too (unknown marked section)
+        except Exception:
+            builder = None  # fall back below
+        if builder is not None:
+            return builder.root
     builder = _TreeBuilder()
     builder.feed(text)
     builder.close()

@@ -1,0 +1,228 @@
+"""Fast HTML tokenizer: one-pass event feed with html.parser semantics.
+
+Byte-parity matters more than speed here (the north rule's oracle is
+byte-identical extracted text), so this mirrors CPython's
+``html.parser.HTMLParser`` tokenization EXACTLY — same tolerant
+regexes, same branch order, same malformed-markup recovery, same
+script/style CDATA behavior, same charref conversion points — but runs
+it as a tight local loop over the whole document: no position tracking,
+no incremental-feed buffer checks, no double regex pass over start tags
+(stdlib runs ``locatestarttagend`` in ``check_for_whole_start_tag`` and
+then re-parses the attrs), no per-event method dispatch through the
+parser base.  ~2× faster tokenization on the bench corpus.
+
+``dom.parse_html`` uses this path and falls back to the stdlib parser on
+any internal error; a differential test drives both over every fixture
+corpus and asserts identical trees.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import (
+    attrfind_tolerant,
+    endtagfind,
+    locatestarttagend_tolerant,
+    tagfind_tolerant,
+)
+
+_COMMENT_CLOSE = re.compile(r"--\s*>")
+_MARKED_CLOSE = re.compile(r"]\s*]\s*>")
+_MS_MARKED_CLOSE = re.compile(r"]\s*>")
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_CDATA_ELEMS = ("script", "style")
+_CDATA_CLOSE = {
+    elem: re.compile(r"</\s*%s\s*>" % elem, re.I) for elem in _CDATA_ELEMS
+}
+_ATTR_LETTERS = frozenset(
+    "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def feed(text: str, b) -> None:
+    """Feed the whole document to builder ``b`` (handle_* methods)."""
+    handle_data = b.handle_data
+    handle_starttag = b.handle_starttag
+    handle_endtag = b.handle_endtag
+    n = len(text)
+    i = 0
+    cdata: str | None = None
+
+    def recover(start: int) -> int:
+        # goahead's incomplete-construct recovery at end of input
+        k = text.find(">", start + 1)
+        if k < 0:
+            k = text.find("<", start + 1)
+            if k < 0:
+                k = start + 1
+        else:
+            k += 1
+        chunk = text[start:k]
+        handle_data(unescape(chunk) if cdata is None else chunk)
+        return k
+
+    def parse_starttag(i: int) -> int:
+        m = locatestarttagend_tolerant.match(text, i)
+        j = m.end()
+        nxt = text[j:j + 1]
+        if nxt == ">":
+            endpos = j + 1
+        elif nxt == "/":
+            if text.startswith("/>", j):
+                endpos = j + 2
+            else:
+                return -1
+        elif nxt == "" or nxt in _ATTR_LETTERS:
+            return -1
+        else:
+            endpos = j if j > i else i + 1
+        tm = tagfind_tolerant.match(text, i + 1)
+        k = tm.end()
+        tag = tm.group(1).lower()
+        attrs = []
+        while k < endpos:
+            am = attrfind_tolerant.match(text, k)
+            if not am:
+                break
+            attrname, rest, attrvalue = am.group(1, 2, 3)
+            if not rest:
+                attrvalue = None
+            elif attrvalue[:1] == "'" == attrvalue[-1:] or \
+                    attrvalue[:1] == '"' == attrvalue[-1:]:
+                attrvalue = attrvalue[1:-1]
+            if attrvalue:
+                attrvalue = unescape(attrvalue)
+            attrs.append((attrname.lower(), attrvalue))
+            k = am.end()
+        end = text[k:endpos].strip()
+        if end not in (">", "/>"):
+            handle_data(text[i:endpos])
+            return endpos
+        if end == "/>":
+            b.handle_startendtag(tag, attrs)
+        else:
+            handle_starttag(tag, attrs)
+            nonlocal cdata
+            if tag in _CDATA_ELEMS:
+                cdata = tag
+        return endpos
+
+    def parse_endtag(i: int) -> int:
+        nonlocal cdata
+        gt = text.find(">", i + 1)
+        if gt < 0:
+            return -1
+        gtpos = gt + 1
+        m = endtagfind.match(text, i)
+        if not m:
+            if cdata is not None:
+                handle_data(text[i:gtpos])
+                return gtpos
+            nm = tagfind_tolerant.match(text, i + 2)
+            if not nm:
+                if text[i:i + 3] == "</>":
+                    return i + 3
+                return parse_bogus_comment(i)
+            tagname = nm.group(1).lower()
+            gtpos = text.find(">", nm.end())
+            handle_endtag(tagname)
+            return gtpos + 1
+        elem = m.group(1).lower()
+        if cdata is not None and elem != cdata:
+            handle_data(text[i:gtpos])
+            return gtpos
+        handle_endtag(elem)
+        cdata = None
+        return gtpos
+
+    def parse_bogus_comment(i: int) -> int:
+        pos = text.find(">", i + 2)
+        if pos == -1:
+            return -1
+        b.handle_comment(text[i + 2:pos])
+        return pos + 1
+
+    def parse_html_declaration(i: int) -> int:
+        if text[i:i + 3] == "<![":
+            nm = _DECLNAME.match(text, i + 3)
+            if not nm:
+                raise AssertionError(
+                    "expected name token at %r" % text[i:i + 20])
+            s = nm.group()
+            if i + 3 + len(s) == n:
+                return -1
+            name = s.strip().lower()
+            if name in ("temp", "cdata", "ignore", "include", "rcdata"):
+                match = _MARKED_CLOSE.search(text, i + 3)
+            elif name in ("if", "else", "endif"):
+                match = _MS_MARKED_CLOSE.search(text, i + 3)
+            else:
+                raise AssertionError(
+                    "unknown status keyword %r in marked section"
+                    % text[i + 3:nm.end()])
+            if not match:
+                return -1
+            b.unknown_decl(text[i + 3:match.start(0)])
+            return match.end(0)
+        if text[i:i + 9].lower() == "<!doctype":
+            gt = text.find(">", i + 9)
+            if gt == -1:
+                return -1
+            b.handle_decl(text[i + 2:gt])
+            return gt + 1
+        return parse_bogus_comment(i)
+
+    while i < n:
+        if cdata is None:
+            j = text.find("<", i)
+            if j < 0:
+                j = n
+        else:
+            m = _CDATA_CLOSE[cdata].search(text, i)
+            if m is None:
+                # unterminated script/style: stdlib drops the remainder
+                return
+            j = m.start()
+        if i < j:
+            chunk = text[i:j]
+            if cdata is None:
+                if "&" in chunk:
+                    chunk = unescape(chunk)
+                handle_data(chunk)
+            else:
+                handle_data(chunk)
+        i = j
+        if i == n:
+            break
+        nxt = text[i + 1:i + 2]
+        if cdata is not None:
+            k = parse_endtag(i)
+        elif ("a" <= nxt <= "z") or ("A" <= nxt <= "Z"):
+            k = parse_starttag(i)
+        elif nxt == "/":
+            k = parse_endtag(i)
+        elif text.startswith("<!--", i):
+            cm = _COMMENT_CLOSE.search(text, i + 4)
+            if cm is None:
+                k = -1
+            else:
+                b.handle_comment(text[i + 4:cm.start(0)])
+                k = cm.end(0)
+        elif nxt == "?":
+            pos = text.find(">", i + 2)
+            if pos < 0:
+                k = -1
+            else:
+                b.handle_pi(text[i + 2:pos])
+                k = pos + 1
+        elif nxt == "!":
+            k = parse_html_declaration(i)
+        elif i + 1 < n:
+            handle_data("<")
+            k = i + 1
+        else:
+            handle_data("<")
+            k = i + 1
+        if k < 0:
+            k = recover(i)
+        i = k
