@@ -615,6 +615,8 @@ def _cell_spans(cell: Tag) -> tuple[int, int]:
 
     def parse(value) -> int:
         s = str(value)
+        if s.isdigit():  # fast path: plain integers (the common case)
+            return int(s)
         if s and s[0].isnumeric():
             m = re.search(r"\d+", s)
             if m:
@@ -648,13 +650,19 @@ def parse_table_data(element: Tag) -> Optional[TableData]:
     if element.find("table") is not None:
         return None  # nested tables are skipped
 
+    # single DOM pass: rows, their cells and spans collected once (the
+    # three passes below reuse them — spans are attr-only and unaffected
+    # by the inline-formula text rewrite)
+    table_rows = [(row, [(cell, _cell_spans(cell))
+                         for cell in row.find_all(("td", "th"))])
+                  for row in element.find_all("tr")]
+
     num_rows = 0
     num_cols = 0
-    for row in element.find_all("tr"):
+    for _row, cells in table_rows:
         col_count = 0
         is_row_header = True
-        for cell in row.find_all(("td", "th")):
-            col_span, row_span = _cell_spans(cell)
+        for cell, (col_span, row_span) in cells:
             col_count += col_span
             if cell.name == "td" or row_span == 1:
                 is_row_header = False
@@ -667,13 +675,10 @@ def parse_table_data(element: Tag) -> Optional[TableData]:
 
     start_row_span = 0
     row_idx = -1
-    for row in element.find_all("tr"):
-        cells = row.find_all(("td", "th"))
-
+    for _row, cells in table_rows:
         col_header = True
         row_header = True
-        for cell in cells:
-            _, row_span = _cell_spans(cell)
+        for cell, (_, row_span) in cells:
             if cell.name == "td":
                 col_header = False
                 row_header = False
@@ -686,14 +691,13 @@ def parse_table_data(element: Tag) -> Optional[TableData]:
             start_row_span += 1
 
         col_idx = 0
-        for cell in cells:
+        for cell, (col_span, row_span) in cells:
             for formula in cell.find_all("inline-formula"):
                 math_parts = formula.text.split("$$")
                 if len(math_parts) == 3:
                     formula.replace_with(NavStr(f"$${math_parts[1]}$$"))
 
             text = _cell_text(cell).strip()
-            col_span, row_span = _cell_spans(cell)
             if row_header:
                 row_span -= 1
             while col_idx < num_cols and grid[row_idx + start_row_span][col_idx] is not None:
