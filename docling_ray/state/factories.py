@@ -168,6 +168,25 @@ def ocr_factory() -> StageFactory:
     return factory
 
 
+def vlm_factory() -> StageFactory:
+    """VLM page-model slots (``models/vlm_models_inline/*`` +
+    ``api_vlm_model.py`` kinds).  No VLM weights or network in this
+    runtime: each slot holds the actor contract and raises on use."""
+    factory = StageFactory("vlm_models")
+    for kind in ("transformers", "mlx", "api"):
+        factory.register(_ocr_stub(f"vlm_{kind}"), "docling_ray",
+                         "docling_ray.state.factories")
+    return factory
+
+
+def asr_factory() -> StageFactory:
+    """ASR slot (``pipeline/asr_pipeline.py``'s whisper kinds)."""
+    factory = StageFactory("asr_models")
+    factory.register(_ocr_stub("whisper"), "docling_ray",
+                     "docling_ray.state.factories")
+    return factory
+
+
 class EnrichmentOptions(BaseOptions):
     pass
 
