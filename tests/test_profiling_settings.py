@@ -36,7 +36,8 @@ def test_timed_batch_stage_and_rollup(ray_session):
                         batch_format="pyarrow")
     stats = stage_timing_stats(ds, ["double"])
     assert stats["double_mean"] >= 0.0
-    assert stats["double_max"] >= stats["double_mean"]
+    # single-block runs make max == mean up to aggregation rounding
+    assert stats["double_max"] >= stats["double_mean"] * (1 - 1e-9)
 
 
 def test_settings_env_overrides(monkeypatch):
