@@ -219,6 +219,13 @@ def q_simhash(sf_dir: str):
     return ds.select_columns(["doc_id", "simhash"])
 
 
+def q_simhash_near_dup(sf_dir: str):
+    from docling_ray.stages.dedup import simhash_near_dups
+
+    ds = _documents(sf_dir).select_columns(["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=3)
+
+
 def q_langid(sf_dir: str):
     from docling_ray.stages.textstats import langid_batch
 
@@ -436,6 +443,41 @@ _SIMHASH_ORACLE_SQL = r"""
     FROM documents d LEFT JOIN vals v ON d.doc_id = v.doc_id
 """
 
+# mirrors simhash_near_dups: any shared 16-bit quarter (the banded LSH
+# candidate condition) + exact Hamming verification; DISTINCT ≡ the
+# engine's first-matching-quarter rule
+_SIMHASH_NEAR_DUP_ORACLE_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[^\s]+')) AS tok
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, bs.b,
+               sum(CASE WHEN ((h >> bs.b) & 1) = 1 THEN 1 ELSE -1 END) AS w
+        FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bs
+        GROUP BY doc_id, bs.b
+    ),
+    vals AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN w > 0
+                        THEN CAST(1 AS HUGEINT) << b ELSE 0 END)
+                    AS UBIGINT) AS v
+        FROM bits GROUP BY doc_id
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+    FROM vals a JOIN vals b ON a.doc_id < b.doc_id
+     AND (((a.v >> 0) & 65535) = ((b.v >> 0) & 65535)
+       OR ((a.v >> 16) & 65535) = ((b.v >> 16) & 65535)
+       OR ((a.v >> 32) & 65535) = ((b.v >> 32) & 65535)
+       OR ((a.v >> 48) & 65535) = ((b.v >> 48) & 65535))
+    WHERE bit_count(xor(a.v, b.v)) <= 3
+"""
+
 _LANGID_ORACLE_SQL = r"""
     WITH cjk AS (
         SELECT doc_id, text,
@@ -514,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_pipeline": q_pdf_pipeline,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "langid": q_langid,
         "quality_score": q_quality_score,
         "extract_corpus": q_extract_corpus,
@@ -591,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucketed": _lsh_bucketed_oracle_sql(),
         "minhash_near_dup": _minhash_oracle_sql(),
         "simhash": _SIMHASH_ORACLE_SQL,
+        "simhash_near_dup": _SIMHASH_NEAR_DUP_ORACLE_SQL,
         "langid": _LANGID_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         # extract_corpus / chunks / pdf_pipeline: deterministic but not

@@ -319,24 +319,70 @@ def simhash_bucket_rows(batch: pa.Table, bits: int = 64,
     })
 
 
-def simhash_pairs_from_bucket(group: pa.Table, max_hamming: int = 3) -> pa.Table:
+def simhash_pairs_from_bucket(group: pa.Table, max_hamming: int = 3,
+                              num_buckets: int = 4,
+                              bits: int = 64) -> pa.Table:
+    """Pairs within one quarter-bucket, emitted ONLY when this quarter is
+    the first quarter the two signatures share — exactly-once across the
+    4 bucket replicas without a dedup shuffle (the signature itself is
+    carried, so earlier quarters are recomputable locally, same trick as
+    the MinHash pipeline)."""
     ids = [v.as_py() for v in group["doc_id"]]
+    id_type = group.schema.field("doc_id").type
     values = [int(v.as_py(), 16) for v in group["simhash"]]
+    step = bits // num_buckets
+    mask = (1 << step) - 1
+    bucket_q = int(group["bucket"][0].as_py().split(":")[0]) if ids else 0
     a_ids, b_ids, dists = [], [], []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             if ids[i] == ids[j]:
                 continue
-            d = bin(values[i] ^ values[j]).count("1")
-            if d <= max_hamming:
-                a_ids.append(min(ids[i], ids[j]))
-                b_ids.append(max(ids[i], ids[j]))
-                dists.append(d)
+            x = values[i] ^ values[j]
+            d = bin(x).count("1")
+            if d > max_hamming:
+                continue
+            first = next(q for q in range(num_buckets)
+                         if (x >> (q * step)) & mask == 0)
+            if first != bucket_q:
+                continue
+            a_ids.append(min(ids[i], ids[j]))
+            b_ids.append(max(ids[i], ids[j]))
+            dists.append(d)
     return pa.table({
-        "doc_a": pa.array(a_ids),
-        "doc_b": pa.array(b_ids),
-        "hamming": pa.array(dists, pa.int32()),
+        "doc_a": pa.array(a_ids, id_type),
+        "doc_b": pa.array(b_ids, id_type),
+        "hamming": pa.array(dists, pa.int64()),
     })
+
+
+def simhash_near_dups(ds, max_hamming: int = 3, num_buckets: int = 4):
+    """SimHash near-dup pairs over a (doc_id, text) dataset: signature
+    stage → quarter-bucket explode (two docs at Hamming ≤ num_buckets-1
+    share ≥1 exact quarter) → ONE ``groupby(bucket)`` with in-bucket
+    verification and first-matching-quarter dedup."""
+    from docling_ray.stages.textstats import simhash_batch
+
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "simhash"])
+    rows = sigs.map_batches(
+        lambda b: simhash_bucket_rows(b, num_buckets=num_buckets),
+        batch_format="pyarrow")
+    pairs = rows.groupby("bucket").map_groups(
+        lambda g: simhash_pairs_from_bucket(g, max_hamming=max_hamming,
+                                            num_buckets=num_buckets),
+        batch_format="pyarrow")
+    import ray.data
+
+    # seed a 0-row typed block so an empty result keeps its schema
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))["doc_id"]
+    empty = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], id_type),
+        "doc_b": pa.array([], id_type),
+        "hamming": pa.array([], pa.int64()),
+    }))
+    return empty.union(pairs)
 
 
 # -- exact n-gram jaccard ---------------------------------------------------

@@ -302,3 +302,25 @@ def test_chunk_from_doc_json_matches_raw(ray_session):
         ray.data.from_arrow(extracted)).to_pandas().sort_values(
         ["url", "chunk_id"]).reset_index(drop=True)
     assert raw_chunks.equals(json_chunks)
+
+
+def test_simhash_near_dups_pipeline(ray_session):
+    import ray.data
+
+    from docling_ray.stages.dedup import simhash_near_dups
+
+    base = "word " * 120 + "alpha beta gamma delta"
+    near = "word " * 120 + "alpha beta gamma epsilon"
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": ["a", "b", "c"],
+        "text": [base, near, "entirely other content " * 30]}))
+    df = simhash_near_dups(ds, max_hamming=3).to_pandas()
+    pairs = list(zip(df["doc_a"], df["doc_b"]))
+    assert pairs == [("a", "b")]
+    assert len(pairs) == len(set(pairs))
+    # int ids keep their type
+    ds2 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [base, near, "entirely other content " * 30]}))
+    df2 = simhash_near_dups(ds2).to_pandas()
+    assert list(zip(df2["doc_a"], df2["doc_b"])) == [(1, 2)]
