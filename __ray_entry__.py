@@ -219,6 +219,16 @@ def q_simhash(sf_dir: str):
     return ds.select_columns(["doc_id", "simhash"])
 
 
+def q_jaccard_near_dup(sf_dir: str):
+    """Exact n-gram Jaccard after a coarse lang partition (quadratic
+    verification stays in-group)."""
+    from docling_ray.stages.dedup import jaccard_near_dups
+
+    ds = _documents(sf_dir).select_columns(["doc_id", "text", "lang"])
+    pairs = jaccard_near_dups(ds, threshold=0.5)
+    return pairs.select_columns(["doc_a", "doc_b", "j_milli"])
+
+
 def q_simhash_near_dup(sf_dir: str):
     from docling_ray.stages.dedup import simhash_near_dups
 
@@ -478,6 +488,46 @@ _SIMHASH_NEAR_DUP_ORACLE_SQL = r"""
     WHERE bit_count(xor(a.v, b.v)) <= 3
 """
 
+# mirrors jaccard_near_dups at threshold 0.5 / k=3 within lang
+# partitions; shingle sets = DISTINCT md5-hashed 3-grams, the same
+# float division and floor-to-milli on both sides.  Pairs with zero
+# intersection can't pass the threshold, so the inner-join form is exact.
+_JACCARD_ORACLE_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, lang, regexp_extract_all(text, '[^\s]+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, unnest(
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                 ELSE [array_to_string(t, ' ')] END) AS g
+        FROM toks
+    ),
+    xs AS (
+        SELECT DISTINCT doc_id, lang,
+               ('0x' || substr(md5(g), 1, 16))::UBIGINT AS x
+        FROM grams
+    ),
+    sizes AS (
+        SELECT doc_id, count(*) AS n FROM xs GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM xs a JOIN xs b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id AND a.x = b.x
+        GROUP BY da, db
+    )
+    SELECT i.da AS doc_a, i.db AS doc_b,
+           CAST(floor((i.i * 1.0 / (sa.n + sb.n - i.i)) * 1000.0)
+                AS BIGINT) AS j_milli
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.da
+    JOIN sizes sb ON sb.doc_id = i.db
+    WHERE (i.i * 1.0 / (sa.n + sb.n - i.i)) >= 0.5
+"""
+
 _LANGID_ORACLE_SQL = r"""
     WITH cjk AS (
         SELECT doc_id, text,
@@ -557,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
+        "jaccard_near_dup": q_jaccard_near_dup,
         "langid": q_langid,
         "quality_score": q_quality_score,
         "extract_corpus": q_extract_corpus,
@@ -635,6 +686,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _minhash_oracle_sql(),
         "simhash": _SIMHASH_ORACLE_SQL,
         "simhash_near_dup": _SIMHASH_NEAR_DUP_ORACLE_SQL,
+        "jaccard_near_dup": _JACCARD_ORACLE_SQL,
         "langid": _LANGID_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         # extract_corpus / chunks / pdf_pipeline: deterministic but not

@@ -391,9 +391,12 @@ def jaccard_pairs_in_group(group: pa.Table, threshold: float,
                            shingle_k: int) -> pa.Table:
     """Brute-force shingle-set Jaccard within one (small) group — used after
     a coarse partition (e.g. lang+source) so the quadratic part stays local."""
+    import math
+
     ids = [v.as_py() for v in group["doc_id"]]
+    id_type = group.schema.field("doc_id").type
     sets = [shingles_of(v.as_py() or "", shingle_k) for v in group["text"]]
-    a_ids, b_ids, sims = [], [], []
+    a_ids, b_ids, sims, millis = [], [], [], []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             inter = len(sets[i] & sets[j])
@@ -403,8 +406,31 @@ def jaccard_pairs_in_group(group: pa.Table, threshold: float,
                 a_ids.append(min(ids[i], ids[j]))
                 b_ids.append(max(ids[i], ids[j]))
                 sims.append(sim)
+                millis.append(math.floor(sim * 1000.0))
     return pa.table({
-        "doc_a": pa.array(a_ids),
-        "doc_b": pa.array(b_ids),
+        "doc_a": pa.array(a_ids, id_type),
+        "doc_b": pa.array(b_ids, id_type),
         "jaccard": pa.array(sims, pa.float64()),
+        "j_milli": pa.array(millis, pa.int64()),
     })
+
+
+def jaccard_near_dups(ds, threshold: float = 0.5, shingle_k: int = 3,
+                      partition_col: str = "lang"):
+    """Exact n-gram Jaccard near-dups after a coarse partition: ONE
+    ``groupby(partition_col)`` keeps the quadratic verification local to
+    each partition (lang/source/domain at corpus scale)."""
+    import ray.data
+
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))["doc_id"]
+    pairs = ds.groupby(partition_col).map_groups(
+        lambda g: jaccard_pairs_in_group(g, threshold, shingle_k),
+        batch_format="pyarrow")
+    empty = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], id_type),
+        "doc_b": pa.array([], id_type),
+        "jaccard": pa.array([], pa.float64()),
+        "j_milli": pa.array([], pa.int64()),
+    }))
+    return empty.union(pairs)
