@@ -392,21 +392,34 @@ def jaccard_pairs_in_group(group: pa.Table, threshold: float,
     """Brute-force shingle-set Jaccard within one (small) group — used after
     a coarse partition (e.g. lang+source) so the quadratic part stays local."""
     import math
+    from collections import Counter
 
     ids = [v.as_py() for v in group["doc_id"]]
     id_type = group.schema.field("doc_id").type
     sets = [shingles_of(v.as_py() or "", shingle_k) for v in group["text"]]
+    # sparse intersection counts via shingle postings: cost scales with
+    # co-occurrence, not with the n²/2 all-pairs loop (a pair with zero
+    # shared shingles cannot reach any positive threshold, so this stays
+    # exact)
+    postings: dict[int, list[int]] = {}
+    for di, s in enumerate(sets):
+        for h in s:
+            postings.setdefault(h, []).append(di)
+    inter_count: Counter = Counter()
+    for docs in postings.values():
+        if len(docs) > 1:
+            for ai in range(len(docs)):
+                for bi in range(ai + 1, len(docs)):
+                    inter_count[(docs[ai], docs[bi])] += 1
     a_ids, b_ids, sims, millis = [], [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            inter = len(sets[i] & sets[j])
-            union = len(sets[i] | sets[j])
-            sim = inter / union if union else 0.0
-            if sim >= threshold:
-                a_ids.append(min(ids[i], ids[j]))
-                b_ids.append(max(ids[i], ids[j]))
-                sims.append(sim)
-                millis.append(math.floor(sim * 1000.0))
+    for (i, j), inter in sorted(inter_count.items()):
+        union = len(sets[i]) + len(sets[j]) - inter
+        sim = inter / union if union else 0.0
+        if sim >= threshold:
+            a_ids.append(min(ids[i], ids[j]))
+            b_ids.append(max(ids[i], ids[j]))
+            sims.append(sim)
+            millis.append(math.floor(sim * 1000.0))
     return pa.table({
         "doc_a": pa.array(a_ids, id_type),
         "doc_b": pa.array(b_ids, id_type),
