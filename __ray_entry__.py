@@ -15,10 +15,14 @@ here (or in ``docling_ray``) calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
 import pyarrow as pa
+
+_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "data")
 
 
 # --------------------------------------------------------------------------
@@ -192,15 +196,27 @@ def q_chunks(sf_dir: str):
 
 def q_pdf_pipeline(sf_dir: str):
     """Paginated (parsed-cell) pipeline: pages → layout → assemble →
-    doc-level reading-order reduce."""
+    doc-level reading-order reduce.  Compared against a TRUE golden: the
+    page generator computes each doc's expected assembled text
+    independently of the pipeline (committed as md5 in
+    tests/data/golden_pdf.parquet)."""
     import ray.data
 
     from docling_ray.sources.pdf_pages import make_pdf_pages_table
     from docling_ray.stages.pdf import pdf_pages_pipeline
 
     table, _ = make_pdf_pages_table(40, seed=42)
-    return pdf_pages_pipeline(ray.data.from_arrow(table)).select_columns(
-        ["doc_id", "n_pages", "parse_score"])
+    out = pdf_pages_pipeline(ray.data.from_arrow(table))
+
+    def hash_text(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        md5s = [hashlib.md5((v.as_py() or "").encode()).hexdigest()
+                for v in batch["text"]]
+        return batch.append_column("text_md5", pa.array(md5s, pa.string()))
+
+    return out.map_batches(hash_text, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_pages", "text_md5"])
 
 
 def q_minhash_near_dup(sf_dir: str):
@@ -689,8 +705,25 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_near_dup": _JACCARD_ORACLE_SQL,
         "langid": _LANGID_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
-        # extract_corpus / chunks / pdf_pipeline: deterministic but not
-        # SQL-expressible (DOM walk / chunker / layout pipeline) →
-        # rows-only; their correctness evidence is the byte-exact pytest
-        # goldens against the reference's own ground truth.
+        # committed-golden oracles for the non-SQL-expressible pipelines
+        # (scripts/gen_goldens.py): pdf is a TRUE golden (expected text
+        # computed by the page generator independently of the pipeline);
+        # extract/chunks are frozen outputs of kernels whose correctness
+        # is separately byte-exact-tested against the reference's ground
+        # truth — the oracle pins them against regression.
+        "pdf_pipeline": f"""
+            SELECT doc_id, n_pages, text_md5
+            FROM read_parquet('{_GOLDEN_DIR}/golden_pdf.parquet')
+        """,
+        "extract_corpus": f"""
+            SELECT url, doc_id, status, n_items
+            FROM read_parquet('{_GOLDEN_DIR}/golden_extract.parquet')
+        """,
+        "chunks": f"""
+            SELECT url, chunk_id, n_tokens, kind
+            FROM read_parquet('{_GOLDEN_DIR}/golden_chunks.parquet')
+        """,
+        # mets_gbs / multimodal_pages / enrich: rows-only; covered by the
+        # pytest parity suites (reference's own METS expectations, page
+        # tuple shape, annotation round-trips).
     }
