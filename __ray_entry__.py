@@ -182,6 +182,27 @@ def q_ann_lsh_bucketed(sf_dir: str):
                               planes_per_band=3, dim=64)
 
 
+def q_ann_lsh_topk(sf_dir: str):
+    """Bucketed ANN top-k: probe only same-band candidates (the
+    sub-quadratic IVF-style path; oracled exactly via identical seeded
+    planes)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from docling_ray.stages.ann import lsh_bucketed_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    query_ids = emb["vec_id"].to_pylist()[:5]
+    query_vecs = np.asarray(emb["embedding"].to_pylist()[:5], dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    table = lsh_bucketed_topk(ds, query_ids, query_vecs, k=10, dim=64,
+                              num_bands=8, planes_per_band=3)
+    return table.select(["query_id", "vec_id", "rank"])
+
+
 def q_chunks(sf_dir: str):
     """Hierarchical chunking over the synthetic web corpus."""
     import ray.data
@@ -606,6 +627,54 @@ _QUALITY_SCORE_ORACLE_SQL = r"""
 """
 
 
+def _lsh_topk_oracle_sql(num_bands: int = 8, planes_per_band: int = 3,
+                         k: int = 10) -> str:
+    """Mirror of ``lsh_bucketed_topk``: same seeded planes, candidates =
+    any shared band bucket, rank by (cosine DESC, vec_id) within the
+    candidate set only."""
+    from docling_ray.stages.ann import HyperplaneLSH
+
+    lsh = HyperplaneLSH(dim=64, n_planes=num_bands * planes_per_band, seed=11)
+
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in lsh.planes[p]) + "]"
+
+    band_exprs = []
+    for band in range(num_bands):
+        terms = " + ".join(
+            f"CASE WHEN list_dot_product(embedding, {plane_lit(band * planes_per_band + kk)})"
+            f" > 0 THEN {1 << kk} ELSE 0 END"
+            for kk in range(planes_per_band))
+        band_exprs.append(f"({terms}) AS band{band}")
+    sig_cols = ",\n                       ".join(band_exprs)
+    any_band = " OR ".join(f"q.band{b} = e.band{b}" for b in range(num_bands))
+    return f"""
+            WITH sigs AS (
+                SELECT vec_id, embedding,
+                       {sig_cols}
+                FROM embeddings
+            ),
+            q AS (
+                SELECT * FROM sigs ORDER BY vec_id LIMIT 5
+            ),
+            scored AS (
+                SELECT q.vec_id AS query_id, e.vec_id,
+                       list_cosine_similarity(q.embedding, e.embedding)
+                           AS cosine
+                FROM q JOIN sigs e ON ({any_band})
+            ),
+            ranked AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= {k}
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "lang_metrics": q_lang_metrics,
@@ -618,6 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "chunks": q_chunks,
         "pdf_pipeline": q_pdf_pipeline,
         "minhash_near_dup": q_minhash_near_dup,
@@ -699,6 +769,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
         """,
         "ann_lsh_bucketed": _lsh_bucketed_oracle_sql(),
+        "ann_lsh_topk": _lsh_topk_oracle_sql(),
         "minhash_near_dup": _minhash_oracle_sql(),
         "simhash": _SIMHASH_ORACLE_SQL,
         "simhash_near_dup": _SIMHASH_NEAR_DUP_ORACLE_SQL,

@@ -294,6 +294,91 @@ def _lsh_bucket_rerank(group: pa.Table, threshold: float, num_bands: int,
     })
 
 
+class LshBucketedTopK:
+    """Sub-quadratic top-k: only vectors sharing ≥1 LSH band bucket with a
+    query are scored against it (the IVF-style probe-list analog; the
+    brute-force stage scores every row).  Query bucket sets are broadcast
+    once (``ray.put``), fetched per actor; partial per-batch top-k rows
+    merge in the same small driver reduction as ``brute_force_topk``."""
+
+    def __init__(self, queries_ref, lsh_params: dict, k: int = 10,
+                 id_column: str = "vec_id", vec_column: str = "embedding"):
+        queries = (ray.get(queries_ref)
+                   if isinstance(queries_ref, ray.ObjectRef) else queries_ref)
+        self.query_ids = np.asarray(queries["ids"])
+        self.query_mat = _normalize(np.asarray(queries["vectors"],
+                                               dtype=np.float64))
+        self.lsh = HyperplaneLSH(**lsh_params)
+        self.num_bands = lsh_params.get("n_planes", 24) // 3
+        self.planes_per_band = 3
+        self.query_buckets = self._band_buckets(
+            np.asarray(queries["vectors"], dtype=np.float64))
+        self.k = k
+        self.id_column = id_column
+        self.vec_column = vec_column
+
+    def _band_buckets(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ self.lsh.planes.T) > 0
+        weights = (1 << np.arange(self.planes_per_band, dtype=np.int64))
+        per_band = bits.reshape(len(mat), self.num_bands,
+                                self.planes_per_band) @ weights
+        return per_band + (np.arange(self.num_bands, dtype=np.int64)
+                           << self.planes_per_band)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raw = _to_matrix(batch[self.vec_column])
+        mat = _normalize(raw)
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        row_buckets = self._band_buckets(raw)        # (n, bands)
+        sims = self.query_mat @ mat.T                # (q, n)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.query_ids)):
+            cand = np.nonzero(
+                (row_buckets == self.query_buckets[qi]).any(axis=1))[0]
+            if cand.size == 0:
+                continue
+            order = np.lexsort((ids[cand], -sims[qi, cand]))[:self.k]
+            for j in cand[order]:
+                out_q.append(int(self.query_ids[qi]))
+                out_v.append(ids[j])
+                out_s.append(float(sims[qi, j]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+
+def lsh_bucketed_topk(ds, query_ids: list[int], query_vectors: np.ndarray,
+                      k: int = 10, dim: int = 64, num_bands: int = 8,
+                      planes_per_band: int = 3, seed: int = 11,
+                      concurrency: int = 4) -> pa.Table:
+    """Bucketed ANN top-k pipeline (probe only same-bucket candidates),
+    merged exactly like ``brute_force_topk``."""
+    queries_ref = ray.put({"ids": query_ids, "vectors": query_vectors})
+    partials = ds.map_batches(
+        LshBucketedTopK, batch_format="pyarrow",
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref, "k": k,
+            "lsh_params": {"dim": dim,
+                           "n_planes": num_bands * planes_per_band,
+                           "seed": seed}},
+        concurrency=concurrency)
+    table = pa.concat_tables([ray.get(r) for r in partials.to_arrow_refs()])
+    out_chunks = []
+    for qid in sorted(set(query_ids)):
+        sub = table.filter(pa.compute.equal(table["query_id"], qid))
+        order = sorted(
+            range(sub.num_rows),
+            key=lambda i: (-sub["cosine"][i].as_py(),
+                           sub["vec_id"][i].as_py()))[:k]
+        ranked = sub.take(order)
+        ranked = ranked.append_column(
+            "rank", pa.array(list(range(1, len(order) + 1)), pa.int32()))
+        out_chunks.append(ranked)
+    return pa.concat_tables(out_chunks)
+
+
 def lsh_bucketed_pairs(ds, threshold: float, num_bands: int = 8,
                        planes_per_band: int = 3, dim: int = 64,
                        seed: int = 11, vec_column: str = "embedding",

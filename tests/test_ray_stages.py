@@ -324,3 +324,55 @@ def test_simhash_near_dups_pipeline(ray_session):
         "text": [base, near, "entirely other content " * 30]}))
     df2 = simhash_near_dups(ds2).to_pandas()
     assert list(zip(df2["doc_a"], df2["doc_b"])) == [(1, 2)]
+
+
+def test_lsh_bucketed_topk_matches_bucketed_bruteforce(ray_session):
+    import ray.data
+
+    from docling_ray.stages.ann import (
+        HyperplaneLSH,
+        _normalize,
+        lsh_bucketed_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(150, 64))
+    table = pa.table({"vec_id": pa.array(range(150), pa.int64()),
+                      "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(table)
+    out = lsh_bucketed_topk(ds, [0, 1], vecs[:2], k=5, dim=64).to_pandas()
+    # reference: candidates sharing >=1 band bucket, ranked by cosine
+    lsh = HyperplaneLSH(dim=64, n_planes=24, seed=11)
+    bits = (vecs @ lsh.planes.T) > 0
+    weights = 1 << np.arange(3)
+    bands = bits.reshape(150, 8, 3) @ weights + (np.arange(8) << 3)
+    normed = _normalize(vecs)
+    for qid in (0, 1):
+        cand = np.nonzero((bands == bands[qid]).any(axis=1))[0]
+        sims = normed[cand] @ normed[qid]
+        order = np.lexsort((cand, -sims))[:5]
+        expected = cand[order].tolist()
+        got = out[out["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert got == expected
+
+
+def test_layout_svg_visualizer():
+    from docling_ray.kernels.layout_viz import layout_svg, page_layout_data_uri
+
+    clusters = [{"label": "table", "l": 10, "t": 20, "r": 200, "b": 120},
+                {"label": "text", "l": 10, "t": 130, "r": 200, "b": 300}]
+    cells = [{"l": 12, "t": 22, "r": 80, "b": 34}]
+    svg = layout_svg(612, 792, clusters, cells)
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert svg.count("<rect") == 1 + len(cells) + len(clusters)
+    assert ">table</text>" in svg and ">text</text>" in svg
+    uri = page_layout_data_uri(612, 792, clusters)
+    assert uri.startswith("data:image/svg+xml;base64,")
+    # integrates with the split-page writer's page pane
+    from docling_ray.kernels.html_export import to_html_split_page
+    from docling_ray.kernels.reading_order import ROElement, reading_order_document
+
+    doc = reading_order_document("d", [
+        ROElement(0, 0, "text", 10, 130, 200, 300, "body text")])
+    html = to_html_split_page(doc, page_images={1: uri})
+    assert "data:image/svg+xml;base64," in html
