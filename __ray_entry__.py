@@ -299,6 +299,14 @@ def q_quality_score(sf_dir: str):
         .select_columns(["doc_id", "score_micro"])
 
 
+def _md5_text_col(batch: pa.Table, column: str = "text") -> pa.Table:
+    import hashlib
+
+    md5s = [hashlib.md5((v.as_py() or "").encode()).hexdigest()
+            for v in batch[column]]
+    return batch.append_column("text_md5", pa.array(md5s, pa.string()))
+
+
 def q_mets_gbs(sf_dir: str):
     """METS-GBS archive → paginated pipeline (reference's own fixture as
     the deterministic input; parity asserted byte-exact in pytest)."""
@@ -314,7 +322,8 @@ def q_mets_gbs(sf_dir: str):
         "archive": pa.array([raw], pa.large_binary()),
     })
     out = mets_gbs_pipeline(ray.data.from_arrow(table))
-    return out.select_columns(["doc_id", "n_pages"])
+    return out.map_batches(_md5_text_col, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_pages", "text_md5"])
 
 
 def q_multimodal_pages(sf_dir: str):
@@ -327,7 +336,10 @@ def q_multimodal_pages(sf_dir: str):
 
     table, _ = make_pdf_pages_table(20, seed=42)
     out = multimodal_export_pipeline(ray.data.from_arrow(table))
-    return out.select_columns(["doc_id", "page_no", "content_text"])
+    return out.map_batches(
+        lambda b: _md5_text_col(b, column="content_text"),
+        batch_format="pyarrow") \
+        .select_columns(["doc_id", "page_no", "text_md5"])
 
 
 def q_enrich(sf_dir: str):
@@ -794,7 +806,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, chunk_id, n_tokens, kind
             FROM read_parquet('{_GOLDEN_DIR}/golden_chunks.parquet')
         """,
-        # mets_gbs / multimodal_pages / enrich: rows-only; covered by the
-        # pytest parity suites (reference's own METS expectations, page
-        # tuple shape, annotation round-trips).
+        # likewise frozen (true parity is pytest-proven: the reference's
+        # own METS test expectations, page-tuple shape, annotation
+        # round-trips)
+        "mets_gbs": f"""
+            SELECT doc_id, n_pages, text_md5
+            FROM read_parquet('{_GOLDEN_DIR}/golden_mets.parquet')
+        """,
+        "multimodal_pages": f"""
+            SELECT doc_id, page_no, text_md5
+            FROM read_parquet('{_GOLDEN_DIR}/golden_multimodal.parquet')
+        """,
+        "enrich": f"""
+            SELECT url, n_enriched
+            FROM read_parquet('{_GOLDEN_DIR}/golden_enrich.parquet')
+        """,
     }

@@ -56,6 +56,90 @@ def main() -> None:
     pq.write_table(
         chunks.select(["url", "chunk_id", "n_tokens", "kind"]),
         os.path.join(out_dir, "golden_chunks.parquet"))
+
+    # -- mets_gbs: frozen doc-level output (parity with the reference's
+    #    own test expectations is separately pytest-proven)
+    import hashlib as _hl
+
+    from docling_ray.kernels.mets_gbs import parse_mets_gbs
+    from docling_ray.kernels.pdf_assemble import (
+        BBox, Cell, assemble_page_text, heuristic_clusters)
+    from docling_ray.kernels.layout_postprocess import postprocess_layout
+    from docling_ray.kernels.reading_order import (
+        ROElement, reading_order_document)
+
+    raw = open("/root/reference/tests/data/mets_gbs/"
+               "32044009881525_select.tar.gz", "rb").read()
+    pages = parse_mets_gbs(raw)
+    els = []
+    for page in pages:
+        cells = [Cell(index=c.index, text=c.text,
+                      bbox=BBox(c.l, c.t, c.r, c.b), from_ocr=True,
+                      confidence=c.confidence) for c in page.line_cells]
+        clusters = heuristic_clusters(cells, page.width or 612.0)
+        clusters = postprocess_layout(cells, clusters, page.width or 612.0,
+                                      page.height or 792.0)
+        by_id = {cl.id: cl for cl in clusters}
+        for e in assemble_page_text(clusters):
+            cl = by_id[e["cluster_id"]]
+            els.append(ROElement(cid=len(els), page_no=page.page_no,
+                                 label=e["label"], l=cl.bbox.l, t=cl.bbox.t,
+                                 r=cl.bbox.r, b=cl.bbox.b, text=e["text"],
+                                 page_width=page.width or 612.0,
+                                 page_height=page.height or 792.0))
+    doc = reading_order_document("gbs-1", els)
+    text = "\n".join(i.text for i, _ in doc.iterate()
+                     if getattr(i, "text", "") and i.content_layer == "body")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(["gbs-1"], pa.string()),
+        "n_pages": pa.array([len(pages)], pa.int32()),
+        "text_md5": pa.array([_hl.md5(text.encode()).hexdigest()], pa.string()),
+    }), os.path.join(out_dir, "golden_mets.parquet"))
+
+    # -- multimodal pages: frozen page-tuple hashes
+    from docling_ray.sources.pdf_pages import make_pdf_pages_table as _mk
+    from docling_ray.kernels.multimodal_export import multimodal_page_tuples
+    from docling_ray.stages.pdf import (
+        LayoutHeuristicStage, assemble_page_batch, page_parse_batch)
+
+    mm_table, _ = _mk(20, seed=42)
+    b = assemble_page_batch(LayoutHeuristicStage()(page_parse_batch(mm_table)),
+                            keep_cells=True)
+    rows = {"doc_id": [], "page_no": [], "text_md5": []}
+    import collections
+    by_doc = collections.defaultdict(list)
+    for r in range(b.num_rows):
+        by_doc[b["doc_id"][r].as_py()].append({
+            "page_no": b["page_no"][r].as_py(),
+            "width": b["width"][r].as_py(), "height": b["height"][r].as_py(),
+            "cells": b["cells"][r].as_py() or [],
+            "elements": b["elements"][r].as_py() or []})
+    for doc_id in sorted(by_doc):
+        for rec in multimodal_page_tuples(by_doc[doc_id]):
+            rows["doc_id"].append(doc_id)
+            rows["page_no"].append(rec["page_no"])
+            rows["text_md5"].append(
+                _hl.md5(rec["content_text"].encode()).hexdigest())
+    pq.write_table(pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.string()),
+        "page_no": pa.array(rows["page_no"], pa.int32()),
+        "text_md5": pa.array(rows["text_md5"], pa.string()),
+    }), os.path.join(out_dir, "golden_multimodal.parquet"))
+
+    # -- enrich: frozen per-doc annotation counts
+    from docling_ray.stages.enrich import (
+        EnrichmentStage)
+
+    web_e = make_table(60, seed=42)
+    extracted_e = extract_and_project(web_e, )
+    # re-extract with doc_json for the enrichment path
+    from docling_ray.stages.extract import extract_batch, sniff_batch
+    ext = extract_batch(sniff_batch(web_e), emit_doc_json=True)
+    enriched = EnrichmentStage()(ext.select(["url", "doc_json"]))
+    pq.write_table(pa.table({
+        "url": enriched["url"],
+        "n_enriched": enriched["n_enriched"],
+    }), os.path.join(out_dir, "golden_enrich.parquet"))
     print("goldens written to", out_dir)
 
 
