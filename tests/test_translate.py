@@ -59,3 +59,39 @@ def test_translation_stage_actor(ray_session):
     doc = load_docjson(out.loc[0, "doc_json"])
     texts = [i.text for i, _ in doc.iterate() if getattr(i, "text", None)]
     assert texts[0] == "[zh] Hello"
+
+
+def test_http_translator_against_local_server():
+    """HttpTranslator speaks the documented JSON contract (verified
+    against a throwaway localhost server; no external network)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from docling_ray.stages.translate import HttpTranslator
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(self.rfile.read(
+                int(self.headers["Content-Length"])))
+            out = json.dumps({"text": f"[{body['dest']}] {body['text']}"})
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(out.encode())
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        tr = HttpTranslator(
+            f"http://127.0.0.1:{server.server_address[1]}/translate")
+        assert tr.translate("Hello", dest="zh") == "[zh] Hello"
+        doc = translate_document(_doc(), tr)
+        items = [i for i, _ in doc.iterate()]
+        assert items[0].text == "[zh] Hello" and items[0].orig == "Hello"
+    finally:
+        server.shutdown()
