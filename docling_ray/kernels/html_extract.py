@@ -615,7 +615,9 @@ def _cell_spans(cell: Tag) -> tuple[int, int]:
 
     def parse(value) -> int:
         s = str(value)
-        if s.isdigit():  # fast path: plain integers (the common case)
+        # fast path: plain ASCII integers only (unicode digit-likes such
+        # as '²' pass isdigit() but crash int())
+        if s.isascii() and s.isdigit():
             return int(s)
         if s and s[0].isnumeric():
             m = re.search(r"\d+", s)

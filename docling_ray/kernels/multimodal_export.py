@@ -52,11 +52,21 @@ def multimodal_page_tuples(pages: list[dict]) -> Iterable[dict]:
     for page in sorted(pages, key=lambda p: p["page_no"]):
         meta[page["page_no"]] = page
         for e in page.get("elements") or []:
+            payload = {}
+            if e.get("table_json"):
+                from docling_ray.doctree import TableItem
+                from docling_ray.kernels.html_export import _table_html
+                from docling_ray.kernels.table_structure import table_from_json
+
+                data = table_from_json(e["table_json"])
+                payload["table_data"] = data
+                payload["table_html"] = _table_html(
+                    TableItem(None, "body", data))
             elements.append(ROElement(
                 cid=len(elements), page_no=page["page_no"],
                 label=e["label"], l=e["l"], t=e["t"], r=e["r"], b=e["b"],
                 text=e["text"], page_width=page.get("width") or 612.0,
-                page_height=page.get("height") or 792.0))
+                page_height=page.get("height") or 792.0, payload=payload))
     ordered = predict_reading_order(elements)
 
     by_page: dict[int, list[tuple[int, ROElement]]] = {}

@@ -245,6 +245,29 @@ def _attach_cap_or_foot(doc: DocTree, elem: ROElement, parent) -> object:
     return item
 
 
+def _detached_caption(elem: ROElement):
+    """Serializers consume ``item.caption`` (a possibly-detached TextItem),
+    so the FIRST caption becomes that; further captions/footnotes are tree
+    children."""
+    from docling_ray.doctree import BODY as _BODY, TextItem
+
+    cap = TextItem(None, _BODY, elem.label, elem.text)
+    cap.prov = [_prov(elem, (0, len(elem.text)))]
+    return cap
+
+
+def _wire_float_attachments(doc: DocTree, item, el: ROElement,
+                            by_cid: dict, el_to_captions: dict,
+                            el_to_footnotes: dict) -> None:
+    caps = el_to_captions.get(el.cid, [])
+    if caps:
+        item.caption = _detached_caption(by_cid[caps[0]])
+        for cap_cid in caps[1:]:
+            _attach_cap_or_foot(doc, by_cid[cap_cid], item)
+    for f_cid in el_to_footnotes.get(el.cid, []):
+        _attach_cap_or_foot(doc, by_cid[f_cid], item)
+
+
 def build_document(name: str,
                    sorted_elements: list[ROElement],
                    el_to_captions: dict[int, list[int]],
@@ -270,21 +293,14 @@ def build_document(name: str,
                 num_rows=0, num_cols=0, table_cells=[])
             item = doc.add_table(data=data)
             item.prov = [_prov(el, (0, 0))]
-            # captions/footnotes become CHILDREN of the table item (the
-            # reference additionally keeps RefItem lists; the tree edge is
-            # the part serializers consume)
-            for cap_cid in el_to_captions.get(el.cid, []):
-                _attach_cap_or_foot(doc, by_cid[cap_cid], item)
-            for f_cid in el_to_footnotes.get(el.cid, []):
-                _attach_cap_or_foot(doc, by_cid[f_cid], item)
+            _wire_float_attachments(doc, item, el, by_cid,
+                                    el_to_captions, el_to_footnotes)
         elif label in ("picture", "figure", "chart"):
             current_list = None
             item = doc.add_picture()
             item.prov = [_prov(el, (0, 0))]
-            for cap_cid in el_to_captions.get(el.cid, []):
-                _attach_cap_or_foot(doc, by_cid[cap_cid], item)
-            for f_cid in el_to_footnotes.get(el.cid, []):
-                _attach_cap_or_foot(doc, by_cid[f_cid], item)
+            _wire_float_attachments(doc, item, el, by_cid,
+                                    el_to_captions, el_to_footnotes)
             _add_children(doc, el, item)
         elif label in _CONTAINER_LABELS:
             current_list = None
@@ -296,6 +312,8 @@ def build_document(name: str,
             current_list = None
             item = doc.add_code(text=el.text)
             item.prov = [_prov(el, (0, len(el.text)))]
+            # code items have no caption slot; captions/footnotes attach
+            # as children
             for cap_cid in el_to_captions.get(el.cid, []):
                 _attach_cap_or_foot(doc, by_cid[cap_cid], item)
             for f_cid in el_to_footnotes.get(el.cid, []):

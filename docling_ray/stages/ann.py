@@ -93,8 +93,9 @@ class CosinePairsStage:
     """Embedding-cosine near-dup: each batch row is compared against the
     broadcast full matrix; a pair (a, b) is emitted by the batch holding
     ``a`` with ``b > a`` only, so the union over batches is exact and
-    duplicate-free.  Broadcast side must fit worker memory — the LSH-bucket
-    variant below is the 100 TB path."""
+    duplicate-free.  Kept as the documented SMALL-SIDE special case (one
+    side fits worker memory); ``cosine_pairs_blockwise`` is the default
+    exact path and ``lsh_bucketed_pairs`` the sub-quadratic one."""
 
     def __init__(self, all_ref, threshold: float,
                  id_column: str = "vec_id", vec_column: str = "embedding"):
@@ -136,7 +137,9 @@ def _block_pair_rows(batch: pa.Table, num_blocks: int,
     """Explode each vector into ``num_blocks`` rows, one per block pair it
     participates in.  A row in block p is shipped to every canonical pair
     key ``(min(p,q), max(p,q))`` — so any two rows meet in exactly one
-    group.  Shuffle volume = num_blocks × data; num_blocks ~ O(√cluster)."""
+    group.  Shuffle volume = num_blocks × data; num_blocks ~ O(√cluster).
+    Fully vectorized (np.repeat/tile + Arrow take) — this stage multiplies
+    data volume, so a per-row Python loop would dominate at scale."""
     n = batch.num_rows
     if n == 0:
         return pa.table({"pair_key": pa.array([], pa.int64()),
@@ -146,19 +149,15 @@ def _block_pair_rows(batch: pa.Table, num_blocks: int,
     ids = batch[id_column].combine_chunks()
     vecs = batch[vec_column].combine_chunks()
     blocks = (ids.to_numpy(zero_copy_only=False).astype(np.int64)
-              % num_blocks).astype(np.int32)
-    keys, out_block, take = [], [], []
-    for i in range(n):
-        p = int(blocks[i])
-        for q in range(num_blocks):
-            lo, hi = (p, q) if p <= q else (q, p)
-            keys.append(lo * num_blocks + hi)
-            out_block.append(p)
-            take.append(i)
-    idx = pa.array(take, pa.int32())
+              % num_blocks)
+    p = np.repeat(blocks, num_blocks)                       # (n*B,)
+    q = np.tile(np.arange(num_blocks, dtype=np.int64), n)   # (n*B,)
+    lo = np.minimum(p, q)
+    hi = np.maximum(p, q)
+    idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), num_blocks))
     return pa.table({
-        "pair_key": pa.array(keys, pa.int64()),
-        "block": pa.array(out_block, pa.int32()),
+        "pair_key": pa.array(lo * num_blocks + hi, pa.int64()),
+        "block": pa.array(p.astype(np.int32), pa.int32()),
         id_column: ids.take(idx),
         vec_column: vecs.take(idx),
     })
@@ -302,15 +301,18 @@ class LshBucketedTopK:
     merge in the same small driver reduction as ``brute_force_topk``."""
 
     def __init__(self, queries_ref, lsh_params: dict, k: int = 10,
+                 num_bands: int = 8, planes_per_band: int = 3,
                  id_column: str = "vec_id", vec_column: str = "embedding"):
         queries = (ray.get(queries_ref)
                    if isinstance(queries_ref, ray.ObjectRef) else queries_ref)
+        if lsh_params.get("n_planes") != num_bands * planes_per_band:
+            raise ValueError("n_planes must equal num_bands*planes_per_band")
         self.query_ids = np.asarray(queries["ids"])
         self.query_mat = _normalize(np.asarray(queries["vectors"],
                                                dtype=np.float64))
         self.lsh = HyperplaneLSH(**lsh_params)
-        self.num_bands = lsh_params.get("n_planes", 24) // 3
-        self.planes_per_band = 3
+        self.num_bands = num_bands
+        self.planes_per_band = planes_per_band
         self.query_buckets = self._band_buckets(
             np.asarray(queries["vectors"], dtype=np.float64))
         self.k = k
@@ -330,18 +332,19 @@ class LshBucketedTopK:
         mat = _normalize(raw)
         ids = batch[self.id_column].to_numpy(zero_copy_only=False)
         row_buckets = self._band_buckets(raw)        # (n, bands)
-        sims = self.query_mat @ mat.T                # (q, n)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(self.query_ids)):
             cand = np.nonzero(
                 (row_buckets == self.query_buckets[qi]).any(axis=1))[0]
             if cand.size == 0:
                 continue
-            order = np.lexsort((ids[cand], -sims[qi, cand]))[:self.k]
-            for j in cand[order]:
+            # score ONLY the candidates — this is the probe-list saving
+            sims = mat[cand] @ self.query_mat[qi]
+            order = np.lexsort((ids[cand], -sims))[:self.k]
+            for oi in order:
                 out_q.append(int(self.query_ids[qi]))
-                out_v.append(ids[j])
-                out_s.append(float(sims[qi, j]))
+                out_v.append(ids[cand[oi]])
+                out_s.append(float(sims[oi]))
         return pa.table({
             "query_id": pa.array(out_q, pa.int64()),
             "vec_id": pa.array(out_v),
@@ -360,6 +363,7 @@ def lsh_bucketed_topk(ds, query_ids: list[int], query_vectors: np.ndarray,
         LshBucketedTopK, batch_format="pyarrow",
         fn_constructor_kwargs={
             "queries_ref": queries_ref, "k": k,
+            "num_bands": num_bands, "planes_per_band": planes_per_band,
             "lsh_params": {"dim": dim,
                            "n_planes": num_bands * planes_per_band,
                            "seed": seed}},

@@ -84,6 +84,13 @@ class MinHashStage:
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7,
                  num_bands: int = 16):
+        # the bands must jointly cover every permutation or the band-key
+        # vector stops being a signature-equality witness (the collapse
+        # invariant the pipeline relies on)
+        if num_bands > num_perm or num_perm % num_bands != 0:
+            raise ValueError(
+                f"num_perm ({num_perm}) must be a positive multiple of "
+                f"num_bands ({num_bands})")
         self.a, self.b = _hash_params(num_perm, seed)
         self.num_perm = num_perm
         self.shingle_k = shingle_k

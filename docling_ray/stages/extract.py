@@ -158,14 +158,17 @@ def extract_doc(raw: bytes, fmt: str):
 
             return extract_jats(raw)
         lowered = head.lower()
-        if "<html" in lowered or "xhtml" in lowered:
+        if "<html" in lowered:
             return extract_html(raw)
-        # fallback: JATS articles in the wild often omit the DOCTYPE;
-        # accept <article> roots, otherwise refuse
+        # doctype-free JATS (common in the wild): the <article> root wins
+        # over an incidental 'xhtml' substring (a table-namespace decl or
+        # URL would otherwise misroute the article to tag-soup HTML)
         if "<article" in lowered:
             from docling_ray.kernels.jats_extract import extract_jats
 
             return extract_jats(raw)
+        if "xhtml" in lowered[:1000]:  # reference's 1KB xhtml sniff window
+            return extract_html(raw)
         raise ValueError("unsupported XML document (no USPTO/JATS/XHTML markers)")
     if fmt == "uspto":
         from docling_ray.kernels.uspto_extract import extract_uspto

@@ -46,7 +46,10 @@ def translate_document(doc: DocTree, translator: Translator,
     table cells translate in place; empty text passes through."""
     for item, _ in doc.iterate():
         if isinstance(item, TextItem):
-            item.orig = item.text
+            # keep a pre-existing distinct orig (e.g. formula sources live
+            # in orig with text="") instead of clobbering it with text
+            if item.orig is None or item.orig == item.text:
+                item.orig = item.text
             item.text = _safe(translator, item.text, src, dest)
         elif isinstance(item, TableItem):
             for cell in item.data.table_cells:

@@ -92,3 +92,28 @@ def test_multimodal_page_export_pipeline(ray_session):
     flat = [s["index_in_doc"] for _, r in doc_rows.iterrows()
             for s in r["segments"]]
     assert flat == list(range(len(flat)))
+
+
+def test_multimodal_segments_carry_table_html():
+    """Table clusters produce html payloads in segments (review fix)."""
+    from docling_ray.kernels.multimodal_export import multimodal_page_tuples
+    from docling_ray.kernels.pdf_assemble import BBox, Cell, Cluster, assemble_page_text
+
+    table_cl = Cluster(id=0, label="table", bbox=BBox(10, 10, 200, 60))
+    table_cl.cells = [
+        Cell(index=0, text="H1", bbox=BBox(10, 10, 60, 22)),
+        Cell(index=1, text="H2", bbox=BBox(80, 10, 140, 22)),
+        Cell(index=2, text="v1", bbox=BBox(10, 30, 60, 42)),
+        Cell(index=3, text="v2", bbox=BBox(80, 30, 140, 42)),
+    ]
+    els = assemble_page_text([table_cl])
+    pages = [{"page_no": 0, "width": 612.0, "height": 792.0, "cells": [],
+              "elements": [{"cluster_id": e["cluster_id"], "label": e["label"],
+                            "l": 10, "t": 10, "r": 200, "b": 60,
+                            "text": e["text"],
+                            "table_json": e.get("table_json", "")}
+                           for e in els]}]
+    rec = next(iter(multimodal_page_tuples(pages)))
+    seg = rec["segments"][0]
+    assert seg["label"] == "table"
+    assert seg["data"] and "H1" in seg["data"][0]["html_seq"]

@@ -175,11 +175,18 @@ def test_build_document_furniture_layer_and_caption_children():
     items = {item.label: item for item, _ in doc.iterate()}
     assert items["page_header"].content_layer == "furniture"
     table = items["table"]
-    child_labels = [c.label for c in table.children]
-    assert child_labels == ["caption", "footnote"]
+    # first caption lands on item.caption (what serializers consume);
+    # footnotes are tree children
+    assert table.caption is not None
+    assert table.caption.text == "Table 1: stats"
+    assert [c.label for c in table.children] == ["footnote"]
     # captions/footnotes are consumed by the table — not top-level items
     top = [item.label for item, depth in doc.iterate() if depth == 1]
     assert top == ["page_header", "table"]
+    # and the caption text survives into markdown
+    from docling_ray.kernels.markdown import to_markdown
+
+    assert "Table 1: stats" in to_markdown(doc)
 
 
 def test_build_document_formula_and_container():

@@ -95,3 +95,12 @@ def test_http_translator_against_local_server():
         assert items[0].text == "[zh] Hello" and items[0].orig == "Hello"
     finally:
         server.shutdown()
+
+
+def test_formula_orig_survives_translation():
+    from docling_ray.doctree import DocTree
+
+    doc = DocTree("d")
+    f = doc.add_text(label="formula", text="", orig="E = mc^2")
+    translate_document(doc, MarkingStubTranslator())
+    assert f.orig == "E = mc^2"  # source not clobbered

@@ -100,3 +100,15 @@ def test_strict_text_export():
     assert "Title" in text and "Some **bold** text." not in text
     assert "bold" in text and "#" not in text and "- item" not in text
     assert "item one" in text
+
+
+def test_unicode_digitlike_span_does_not_crash():
+    """'²'.isdigit() is True but int('²') raises — must fall through to
+    span 1, not fail the document (round-2 review finding)."""
+    from docling_ray.kernels.html_extract import extract_html
+    from docling_ray.kernels.markdown import to_markdown
+
+    raw = ('<html><body><table><tr><td colspan="²">a</td><td>b</td></tr>'
+           "<tr><td>c</td><td>d</td></tr></table></body></html>").encode()
+    md = to_markdown(extract_html(raw))
+    assert "a" in md and "d" in md
