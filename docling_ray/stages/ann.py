@@ -70,7 +70,7 @@ def brute_force_topk(ds, query_ids: list[int], query_vectors: np.ndarray,
     partials = ds.map_batches(
         BruteForceTopK, batch_format="pyarrow",
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
-        concurrency=concurrency)
+        concurrency=(1, concurrency))
     merged = partials.to_arrow_refs()
     table = pa.concat_tables([ray.get(r) for r in merged])
     # final exact top-k per query (ties broken by vec_id for determinism)
@@ -129,7 +129,7 @@ def cosine_pairs(ds, ids: list[int], vectors: np.ndarray, threshold: float,
     return ds.map_batches(
         CosinePairsStage, batch_format="pyarrow",
         fn_constructor_kwargs={"all_ref": all_ref, "threshold": threshold},
-        concurrency=concurrency)
+        concurrency=(1, concurrency))
 
 
 def _block_pair_rows(batch: pa.Table, num_blocks: int,
@@ -367,7 +367,7 @@ def lsh_bucketed_topk(ds, query_ids: list[int], query_vectors: np.ndarray,
             "lsh_params": {"dim": dim,
                            "n_planes": num_bands * planes_per_band,
                            "seed": seed}},
-        concurrency=concurrency)
+        concurrency=(1, concurrency))
     table = pa.concat_tables([ray.get(r) for r in partials.to_arrow_refs()])
     out_chunks = []
     for qid in sorted(set(query_ids)):

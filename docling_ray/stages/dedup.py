@@ -267,7 +267,10 @@ def minhash_near_dups(ds, num_perm: int = 64, num_bands: int = 16,
     sigs = ds.map_batches(
         MinHashStage, batch_format="pyarrow",
         fn_constructor_kwargs={"num_perm": num_perm, "num_bands": num_bands},
-        concurrency=concurrency,
+        # autoscaling (1, N): a fixed pool of N min-actors can reserve every
+        # CPU of a small cluster and deadlock any all-to-all op in the same
+        # graph (observed with an upstream repartition at num_cpus=4)
+        concurrency=(1, concurrency),
     ).select_columns(["doc_id", "band_keys", "sketch"])
     bands = sigs.map_batches(
         lambda b: band_explode(b, num_bands=num_bands,

@@ -225,5 +225,5 @@ class EnrichmentStage:
 def enrich_dataset(ds, model_classes=DEFAULT_ENRICHMENT_MODELS,
                    concurrency: int = 2):
     return ds.map_batches(
-        EnrichmentStage, batch_format="pyarrow", concurrency=concurrency,
+        EnrichmentStage, batch_format="pyarrow", concurrency=(1, concurrency),
         fn_constructor_kwargs={"model_classes": model_classes})

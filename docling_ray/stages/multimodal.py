@@ -139,4 +139,4 @@ def make_media_table(n: int, seed: int = 42, kind: str = "image") -> pa.Table:
 def image_pipeline(ds, concurrency: int = 2, batch_size: int = 8):
     """Decode as an actor pool with small batches (payload-heavy rows)."""
     return ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+                          batch_size=batch_size, concurrency=(1, concurrency))

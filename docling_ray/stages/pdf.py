@@ -266,7 +266,7 @@ def mets_gbs_pipeline(ds, layout_concurrency: int = 2, limits=None):
     pages = ds.map_batches(
         lambda b: mets_gbs_explode_batch(b, limits=limits),
         batch_format="pyarrow")
-    return pdf_pages_pipeline(pages, layout_concurrency=layout_concurrency)
+    return pdf_pages_pipeline(pages, layout_concurrency=(1, layout_concurrency))
 
 
 MM_CELL_STRUCT = pa.struct([
@@ -333,7 +333,7 @@ def multimodal_export_pipeline(ds, layout_concurrency: int = 2):
     rows, one per page, ready for parquet training-set export."""
     ds = ds.map_batches(page_parse_batch, batch_format="pyarrow")
     ds = ds.map_batches(LayoutHeuristicStage, batch_format="pyarrow",
-                        concurrency=layout_concurrency)
+                        concurrency=(1, layout_concurrency))
     ds = ds.map_batches(lambda b: assemble_page_batch(b, keep_cells=True),
                         batch_format="pyarrow")
     return ds.groupby("doc_id").map_groups(multimodal_pages_group,
@@ -346,7 +346,7 @@ def pdf_pages_pipeline(ds, layout_concurrency: int = 2, limits=None):
     inside the per-doc reduce — limit-invalid docs are dropped."""
     ds = ds.map_batches(page_parse_batch, batch_format="pyarrow")
     ds = ds.map_batches(LayoutHeuristicStage, batch_format="pyarrow",
-                        concurrency=layout_concurrency)
+                        concurrency=(1, layout_concurrency))
     ds = ds.map_batches(assemble_page_batch, batch_format="pyarrow")
     return ds.groupby("doc_id").map_groups(
         lambda g: assemble_document(g, limits=limits),

@@ -132,6 +132,6 @@ def translate_dataset(ds, translator_factory=MarkingStubTranslator,
                       src: str = "en", dest: str = "zh",
                       concurrency: int = 2):
     return ds.map_batches(
-        TranslationStage, batch_format="pyarrow", concurrency=concurrency,
+        TranslationStage, batch_format="pyarrow", concurrency=(1, concurrency),
         fn_constructor_kwargs={"translator_factory": translator_factory,
                                "src": src, "dest": dest})

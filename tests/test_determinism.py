@@ -1,0 +1,58 @@
+"""Determinism under parallelism — the engine's analog of the reference's
+threaded-vs-standard equivalence tests
+(``/root/reference/tests/test_threaded_pipeline.py:19-117``): the same
+input must produce identical outputs regardless of block count, batch
+size, or actor concurrency."""
+
+import pyarrow as pa
+
+
+def _sorted_df(ds, keys):
+    return ds.to_pandas().sort_values(keys).reset_index(drop=True)
+
+
+def test_extraction_invariant_to_blocks_and_batch_size(ray_session):
+    import ray.data
+
+    from docling_ray.pipelines.extract_pipeline import extract_dataset
+    from docling_ray.sources.webpages import make_table
+
+    table = make_table(80, seed=11)
+    a = _sorted_df(extract_dataset(
+        ray.data.from_arrow(table).repartition(2), batch_size=64), ["url"])
+    b = _sorted_df(extract_dataset(
+        ray.data.from_arrow(table).repartition(13), batch_size=7), ["url"])
+    assert a.equals(b)
+
+
+def test_pdf_pipeline_invariant_to_layout_concurrency(ray_session):
+    import ray.data
+
+    from docling_ray.sources.pdf_pages import make_pdf_pages_table
+    from docling_ray.stages.pdf import pdf_pages_pipeline
+
+    table, _ = make_pdf_pages_table(10, seed=13)
+    a = _sorted_df(pdf_pages_pipeline(
+        ray.data.from_arrow(table), layout_concurrency=1), ["doc_id"])
+    b = _sorted_df(pdf_pages_pipeline(
+        ray.data.from_arrow(table).repartition(7), layout_concurrency=3),
+        ["doc_id"])
+    assert a.equals(b)
+
+
+def test_minhash_invariant_to_partition_count(ray_session):
+    import ray.data
+
+    from docling_ray.stages.dedup import minhash_near_dups
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta " * 6)
+    rows = {"doc_id": [f"d{i}" for i in range(8)],
+            "text": [base, base, base.replace("zeta", "omega"),
+                     "one two three " * 20, "four five six " * 20,
+                     base, "seven eight nine " * 20, base + " tail words"]}
+    ds = ray.data.from_arrow(pa.table(rows))
+    a = _sorted_df(minhash_near_dups(ds, num_partitions=2),
+                   ["doc_a", "doc_b"])
+    b = _sorted_df(minhash_near_dups(ds.repartition(5), num_partitions=64),
+                   ["doc_a", "doc_b"])
+    assert a.equals(b)
