@@ -266,7 +266,7 @@ def mets_gbs_pipeline(ds, layout_concurrency: int = 2, limits=None):
     pages = ds.map_batches(
         lambda b: mets_gbs_explode_batch(b, limits=limits),
         batch_format="pyarrow")
-    return pdf_pages_pipeline(pages, layout_concurrency=(1, layout_concurrency))
+    return pdf_pages_pipeline(pages, layout_concurrency=layout_concurrency)
 
 
 MM_CELL_STRUCT = pa.struct([
