@@ -29,19 +29,49 @@ def test_incremental_dedup_within_and_across_runs(ray_session):
     assert total == 4  # alpha, beta, gamma, delta
 
 
-def test_index_dump_load_roundtrip(ray_session):
+def test_index_dump_restore_across_shard_counts(ray_session):
     import ray
     import ray.data
 
-    from docling_ray.state.dedup_index import create_index, incremental_dedup
+    from docling_ray.state.dedup_index import (
+        create_index,
+        incremental_dedup,
+        restore_index,
+    )
 
     shards = create_index(num_shards=2)
     ds = ray.data.from_arrow(pa.table({
-        "doc_id": [1, 2], "text": ["one", "two"]}))
+        "doc_id": [1, 2, 3], "text": ["one", "two", "three"]}))
     incremental_dedup(ds, shards).to_pandas()
     blobs = ray.get([s.dump.remote() for s in shards])
-    # fresh index restored from the snapshots drops the same docs
-    restored = create_index(num_shards=2)
-    ray.get([s.load.remote(b) for s, b in zip(restored, blobs)])
+    # restored onto a DIFFERENT shard count: records re-route, lookups
+    # still hit (the naive per-shard load silently lost them)
+    restored = create_index(num_shards=5)
+    assert restore_index(restored, blobs) >= 3
     again = incremental_dedup(ds, restored).to_pandas()
     assert len(again) == 0
+
+
+def test_retry_idempotence_and_null_text(ray_session):
+    import ray
+
+    from docling_ray.state.dedup_index import (
+        IncrementalDedupFilter,
+        create_index,
+    )
+
+    shards = create_index(num_shards=2)
+    filt = IncrementalDedupFilter(shards)
+    batch = pa.table({"doc_id": [1, 2, 3, 4],
+                      "text": ["alpha", "beta", None, None]})
+    out1 = filt(batch)
+    # null-text rows are NOT deduped against each other or ""
+    assert out1["doc_id"].to_pylist() == [1, 2, 3, 4]
+    # a Ray task retry re-runs the same batch: same token -> same answers,
+    # not zero rows
+    out2 = filt(batch)
+    assert out2["doc_id"].to_pylist() == [1, 2, 3, 4]
+    # a DIFFERENT batch with the same texts is a true duplicate
+    other = pa.table({"doc_id": [9], "text": ["alpha"]})
+    assert len(filt(other)) == 0
+    _ = ray
