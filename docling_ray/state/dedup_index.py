@@ -14,11 +14,12 @@ Design for scale and failure:
   cluster holds 10^12 docs;
 - batches query shards with ONE vectorized call per shard per batch (no
   per-row RPCs);
-- RETRY-SAFE: each batch sends a deterministic ownership token (hash of
-  its digest set) alongside its keys; a key is "fresh" if unseen OR
+- RETRY-SAFE: each batch sends an ownership token (run nonce fixed at
+  graph-build time + batch content hash); a key is "fresh" if unseen OR
   already owned by the same token, so a Ray task retry of a crashed
   batch reproduces its original answers instead of seeing its own keys
-  as duplicates and dropping every row;
+  as duplicates and dropping every row — while a genuine re-ingest in a
+  NEW run carries a different nonce and correctly dedups;
 - ``dump``/``restore_index`` snapshot the raw key+token bytes and
   re-route them on load, so the index can be restored onto a DIFFERENT
   shard count without silently losing lookups.
