@@ -110,6 +110,26 @@ def merge_horizontal_cells(cells: list[Cell],
     return merged
 
 
+def render_page(raw: bytes, page_no: int = 0,
+                scale: float = 1.0):  # pragma: no cover - native lib path
+    """Page rendering with the reference's sharpness trick: rasterize at
+    1.5× the requested scale, then downscale
+    (``pypdfium2_backend.py:327-361``).  Needs pypdfium2 + PIL (absent in
+    this runtime)."""
+    try:
+        import pypdfium2 as pdfium
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "page rendering needs pypdfium2 + PIL (native; absent here)"
+        ) from exc
+    pdf = pdfium.PdfDocument(raw)
+    page = pdf[page_no]
+    image = page.render(scale=scale * 1.5).to_pil()
+    return image.resize((round(page.get_width() * scale),
+                         round(page.get_height() * scale)))
+
+
 def compute_text_cells(raw: bytes, page_no: int = 0) -> list[Cell]:
     """Real pdfium path (rect enumeration + bounded re-read), available
     only when the native library is importable."""
