@@ -221,6 +221,8 @@ def extract_batch(batch: pa.Table, emit_doc_json: bool = False,
     column so downstream stages (chunking, enrichment, re-serialization)
     never re-parse the raw bytes.
     """
+    import time as _time
+
     formats = (batch["format"].to_pylist() if "format" in batch.column_names
                else None)
     texts: list[str] = []
@@ -228,7 +230,10 @@ def extract_batch(batch: pa.Table, emit_doc_json: bool = False,
     statuses: list[str] = []
     errors: list[str] = []
     doc_jsons: list[str] = []
+    doc_secs: list[float] = []
+    timeout = getattr(limits, "document_timeout", None) if limits else None
     for i, value in enumerate(batch["html"]):
+        _t0 = _time.monotonic()
         raw = value.as_py() or b""
         fmt = formats[i] if formats else "html"
         if limits is not None and len(raw) > limits.max_file_size:
@@ -240,6 +245,7 @@ def extract_batch(batch: pa.Table, emit_doc_json: bool = False,
             errors.append(f"file size {len(raw)} exceeds limit "
                           f"{limits.max_file_size}")
             doc_jsons.append("")
+            doc_secs.append(_time.monotonic() - _t0)
             continue
         if fmt == "binary":
             # undecodable payload with no recognized container: a failure
@@ -249,6 +255,7 @@ def extract_batch(batch: pa.Table, emit_doc_json: bool = False,
             statuses.append("failure")
             errors.append("unsupported binary payload")
             doc_jsons.append("")
+            doc_secs.append(_time.monotonic() - _t0)
             continue
         try:
             doc = extract_doc(raw, fmt if fmt != "empty" else "html")
@@ -263,12 +270,14 @@ def extract_batch(batch: pa.Table, emit_doc_json: bool = False,
                 doc_jsons.append(to_docjson(doc))
             else:
                 doc_jsons.append("")
+            doc_secs.append(_time.monotonic() - _t0)
         except Exception as exc:  # never raise: errors are data
             texts.append("")
             n_items.append(0)
             statuses.append("failure")
             errors.append(f"{type(exc).__name__}: {exc}")
             doc_jsons.append("")
+            doc_secs.append(_time.monotonic() - _t0)
     out = batch.append_column("extracted_text", pa.array(texts, pa.large_string()))
     out = out.append_column("n_items", pa.array(n_items, pa.int32()))
     out = out.append_column("status", pa.array(statuses, pa.string()))
@@ -276,6 +285,11 @@ def extract_batch(batch: pa.Table, emit_doc_json: bool = False,
     if emit_doc_json:
         out = out.append_column("doc_json",
                                 pa.array(doc_jsons, pa.large_string()))
+    if timeout is not None:
+        out = out.append_column("doc_sec", pa.array(doc_secs, pa.float64()))
+        out = out.append_column(
+            "timed_out",
+            pa.array([s > timeout for s in doc_secs], pa.bool_()))
     return out
 
 

@@ -33,6 +33,12 @@ class DocumentLimits:
     max_num_pages: int = sys.maxsize
     max_file_size: int = sys.maxsize
     page_range: tuple[int, int] = DEFAULT_PAGE_RANGE
+    # reference document_timeout aborts between page batches with
+    # PARTIAL_SUCCESS (base_pipeline.py:181-189).  A single-doc kernel
+    # call is atomic here, so the analog is a measured per-doc wall time
+    # plus a timed_out flag column — downstream policy (drop, retry
+    # elsewhere, alert) stays with the pipeline author.
+    document_timeout: float | None = None
 
 
 def page_count_valid(n_pages_total: int, limits: DocumentLimits) -> bool:

@@ -149,3 +149,21 @@ def test_extract_batch_max_file_size():
                         limits=DocumentLimits(max_file_size=1000))
     assert out["status"].to_pylist() == ["success", "failure"]
     assert "exceeds limit" in out["error"].to_pylist()[1]
+
+
+def test_document_timeout_flag_column():
+    import pyarrow as pa
+
+    from docling_ray.stages.extract import extract_batch
+    from docling_ray.stages.limits import DocumentLimits
+
+    batch = pa.table({"html": [b"<html><body><p>quick</p></body></html>"],
+                      "format": ["html"]})
+    out = extract_batch(batch, limits=DocumentLimits(document_timeout=60.0))
+    assert out["timed_out"].to_pylist() == [False]
+    assert out["doc_sec"][0].as_py() >= 0.0
+    slow = extract_batch(batch, limits=DocumentLimits(document_timeout=0.0))
+    assert slow["timed_out"].to_pylist() == [True]
+    # without a timeout budget the columns are absent (schema unchanged)
+    plain = extract_batch(batch)
+    assert "timed_out" not in plain.column_names
