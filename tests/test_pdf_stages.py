@@ -167,3 +167,37 @@ def test_document_timeout_flag_column():
     # without a timeout budget the columns are absent (schema unchanged)
     plain = extract_batch(batch)
     assert "timed_out" not in plain.column_names
+
+
+def test_run_pdf_extract_resume(ray_session, tmp_path):
+    import pyarrow.parquet as pq_
+
+    from docling_ray.pipelines.pdf_pipeline import run_pdf_extract
+    from docling_ray.sources.pdf_pages import make_pdf_pages_table
+
+    src, dst = tmp_path / "pages", tmp_path / "out"
+    src.mkdir()
+    table, expected = make_pdf_pages_table(8, seed=21)
+    # shard by doc so no doc spans files (the layout contract)
+    doc_ids = sorted(set(table["doc_id"].to_pylist()))
+    import pyarrow.compute as pc_
+
+    for i in range(2):
+        part = table.filter(pc_.is_in(
+            table["doc_id"],
+            value_set=__import__("pyarrow").array(doc_ids[i::2])))
+        pq_.write_table(part, src / f"shard{i}.parquet")
+    stats1 = run_pdf_extract(str(src), str(dst))
+    assert stats1["shards_processed"] == 2
+    assert stats1["rows_done"] == 8
+    # resume: nothing left
+    stats2 = run_pdf_extract(str(src), str(dst))
+    assert stats2["shards_processed"] == 0 and stats2["rows_done"] == 8
+    # crash simulation: drop one manifest line -> only that shard re-runs
+    import json as _json
+
+    mf = dst / "_manifest.jsonl"
+    entries = [_json.loads(l) for l in mf.read_text().splitlines()]
+    mf.write_text("\n".join(_json.dumps(e) for e in entries[1:]) + "\n")
+    stats3 = run_pdf_extract(str(src), str(dst))
+    assert stats3["shards_processed"] == 1 and stats3["rows_done"] == 8
