@@ -16,13 +16,19 @@ here (or in ``docling_ray``) calls ``ray.init()`` / ``ray.shutdown()``.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import pyarrow as pa
 
-_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "tests", "data")
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_GOLDEN_DIR = os.path.join(_REPO_DIR, "tests", "data")
+# driver-side import robustness (Ray WORKERS additionally need the repo on
+# their path — the driver provides that by running with cwd=/root/repo, as
+# it did in round 1, or via PYTHONPATH before ray.init)
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 
 # --------------------------------------------------------------------------
