@@ -50,16 +50,18 @@ def entry() -> Any:
 # per-operator queries
 # --------------------------------------------------------------------------
 
-def _documents(sf_dir: str):
+def _documents(sf_dir: str, columns: list[str] | None = None):
+    """Pruned read: only the columns the query touches leave storage."""
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=columns)
 
 
 def q_lang_metrics(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
-    ds = _documents(sf_dir)
+    ds = _documents(sf_dir, columns=["lang", "n_chars"])
     out = ds.groupby("lang").aggregate(
         Count(alias_name="n_docs"),
         Sum(on="n_chars", alias_name="sum_chars"),
@@ -68,26 +70,34 @@ def q_lang_metrics(sf_dir: str):
 
 
 def q_dedup_exact(sf_dir: str):
-    from docling_ray.stages.dedup import exact_dedup_keep_first
+    """Exact dedup winners via the native vectorized ``Min`` aggregate —
+    one shuffle of (digest, id) pairs, zero per-group Python (the
+    full-row variant ``exact_dedup_keep_first`` is exercised by
+    ``corpus_pipeline``)."""
+    from docling_ray.stages.dedup import exact_dedup_min_ids
     from docling_ray.stages.textstats import fingerprint_batch
 
-    ds = _documents(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
-    survivors = exact_dedup_keep_first(ds, key_column="fingerprint",
-                                       order_column="doc_id")
+    ds = _documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(fingerprint_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "fingerprint"])
+    survivors = exact_dedup_min_ids(ds, key_column="fingerprint",
+                                    order_column="doc_id")
     return survivors.select_columns(["doc_id", "fingerprint"])
 
 
 def q_token_quality(sf_dir: str):
     from docling_ray.stages.textstats import quality_batch
 
-    ds = _documents(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+    ds = _documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(quality_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "n_tokens", "n_alpha", "n_digit", "n_space"])
 
 
 def q_fingerprint(sf_dir: str):
     from docling_ray.stages.textstats import fingerprint_batch
 
-    ds = _documents(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+    ds = _documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
@@ -249,7 +259,7 @@ def q_pdf_pipeline(sf_dir: str):
 def q_minhash_near_dup(sf_dir: str):
     from docling_ray.stages.dedup import minhash_near_dups
 
-    ds = _documents(sf_dir).select_columns(["doc_id", "text"])
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
     pairs = minhash_near_dups(ds, threshold=0.5)
     # integer columns only (hash-stable driver comparison)
     return pairs.select_columns(["doc_a", "doc_b", "n_agree"])
@@ -258,16 +268,18 @@ def q_minhash_near_dup(sf_dir: str):
 def q_simhash(sf_dir: str):
     from docling_ray.stages.textstats import simhash_batch
 
-    ds = _documents(sf_dir).map_batches(simhash_batch, batch_format="pyarrow")
+    ds = _documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(simhash_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "simhash"])
 
 
 def q_jaccard_near_dup(sf_dir: str):
-    """Exact n-gram Jaccard after a coarse lang partition (quadratic
-    verification stays in-group)."""
+    """Exact n-gram Jaccard over MinHash-LSH candidates — the scale-safe
+    candidate/verify shape (no partition ever holds a whole language;
+    recall is the LSH candidate bound, mirrored exactly in the oracle)."""
     from docling_ray.stages.dedup import jaccard_near_dups
 
-    ds = _documents(sf_dir).select_columns(["doc_id", "text", "lang"])
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
     pairs = jaccard_near_dups(ds, threshold=0.5)
     return pairs.select_columns(["doc_a", "doc_b", "j_milli"])
 
@@ -275,21 +287,23 @@ def q_jaccard_near_dup(sf_dir: str):
 def q_simhash_near_dup(sf_dir: str):
     from docling_ray.stages.dedup import simhash_near_dups
 
-    ds = _documents(sf_dir).select_columns(["doc_id", "text"])
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
     return simhash_near_dups(ds, max_hamming=3)
 
 
 def q_langid(sf_dir: str):
     from docling_ray.stages.textstats import langid_batch
 
-    ds = _documents(sf_dir).map_batches(langid_batch, batch_format="pyarrow")
+    ds = _documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(langid_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
 def q_quality_score(sf_dir: str):
     from docling_ray.stages.textstats import quality_score_batch
 
-    ds = _documents(sf_dir).map_batches(quality_score_batch, batch_format="pyarrow")
+    ds = _documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(quality_score_batch, batch_format="pyarrow")
 
     def to_micro(batch: pa.Table) -> pa.Table:
         # floor to integer micro-units: float-free comparison that is
@@ -543,27 +557,60 @@ _SIMHASH_NEAR_DUP_ORACLE_SQL = r"""
     WHERE bit_count(xor(a.v, b.v)) <= 3
 """
 
-# mirrors jaccard_near_dups at threshold 0.5 / k=3 within lang
-# partitions; shingle sets = DISTINCT md5-hashed 3-grams, the same
-# float division and floor-to-milli on both sides.  Pairs with zero
-# intersection can't pass the threshold, so the inner-join form is exact.
-_JACCARD_ORACLE_SQL = r"""
+def _jaccard_oracle_sql(num_perm: int = 64, num_bands: int = 16,
+                        shingle_k: int = 3, threshold: float = 0.5) -> str:
+    """DuckDB mirror of the candidate/verify ``jaccard_near_dups``: the
+    SAME seeded MinHash permutations (literals) gate candidate pairs on
+    ≥1 shared band slice, then exact Jaccard over DISTINCT md5-hashed
+    3-gram sets with the same float division and floor-to-milli.  Pairs
+    sharing no band are missed by BOTH sides by construction, so the
+    LSH approximation is oracled exactly; pairs with zero intersection
+    can't pass the threshold, so the inner-join form is exact."""
+    from docling_ray.stages.dedup import _hash_params
+
+    a, b = _hash_params(num_perm, seed=7)
+    perm_rows = ",\n                ".join(
+        f"({i}, {int(a[i])}::UBIGINT, {int(b[i])}::UBIGINT)"
+        for i in range(num_perm))
+    rpb = num_perm // num_bands
+    band_eq = " OR ".join(
+        f"sga.sig[{band * rpb + 1}:{(band + 1) * rpb}]"
+        f" = sgb.sig[{band * rpb + 1}:{(band + 1) * rpb}]"
+        for band in range(num_bands))
+    return f"""
     WITH toks AS (
-        SELECT doc_id, lang, regexp_extract_all(text, '[^\s]+') AS t
+        SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS t
         FROM documents
     ),
     grams AS (
-        SELECT doc_id, lang, unnest(
-            CASE WHEN len(t) >= 3
-                 THEN list_transform(range(1, len(t) - 1),
+        SELECT doc_id, unnest(
+            CASE WHEN len(t) >= {shingle_k}
+                 THEN list_transform(range(1, len(t) - {shingle_k - 2}),
                       i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
                  ELSE [array_to_string(t, ' ')] END) AS g
         FROM toks
     ),
     xs AS (
-        SELECT DISTINCT doc_id, lang,
+        SELECT DISTINCT doc_id,
                ('0x' || substr(md5(g), 1, 16))::UBIGINT AS x
         FROM grams
+    ),
+    perms(i, a, b) AS (VALUES
+        {perm_rows}
+    ),
+    sig_rows AS (
+        SELECT doc_id, p.i,
+               min(CAST(
+                   ((CAST(p.a AS UHUGEINT) * CAST(xs.x AS UHUGEINT)
+                     + CAST(p.b AS UHUGEINT))
+                    % CAST(18446744073709551616 AS UHUGEINT))
+                   % 2305843009213693951 AS UBIGINT)) AS m
+        FROM xs CROSS JOIN perms p
+        GROUP BY doc_id, p.i
+    ),
+    sigs AS (
+        SELECT doc_id, list(m ORDER BY i) AS sig
+        FROM sig_rows GROUP BY doc_id
     ),
     sizes AS (
         SELECT doc_id, count(*) AS n FROM xs GROUP BY doc_id
@@ -571,7 +618,7 @@ _JACCARD_ORACLE_SQL = r"""
     inter AS (
         SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
         FROM xs a JOIN xs b
-          ON a.lang = b.lang AND a.doc_id < b.doc_id AND a.x = b.x
+          ON a.doc_id < b.doc_id AND a.x = b.x
         GROUP BY da, db
     )
     SELECT i.da AS doc_a, i.db AS doc_b,
@@ -580,7 +627,10 @@ _JACCARD_ORACLE_SQL = r"""
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.da
     JOIN sizes sb ON sb.doc_id = i.db
-    WHERE (i.i * 1.0 / (sa.n + sb.n - i.i)) >= 0.5
+    JOIN sigs sga ON sga.doc_id = i.da
+    JOIN sigs sgb ON sgb.doc_id = i.db
+    WHERE (i.i * 1.0 / (sa.n + sb.n - i.i)) >= {threshold}
+      AND ({band_eq})
 """
 
 _LANGID_ORACLE_SQL = r"""
@@ -791,7 +841,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _minhash_oracle_sql(),
         "simhash": _SIMHASH_ORACLE_SQL,
         "simhash_near_dup": _SIMHASH_NEAR_DUP_ORACLE_SQL,
-        "jaccard_near_dup": _JACCARD_ORACLE_SQL,
+        "jaccard_near_dup": _jaccard_oracle_sql(),
         "langid": _LANGID_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         # committed-golden oracles for the non-SQL-expressible pipelines

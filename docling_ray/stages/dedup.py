@@ -291,96 +291,208 @@ def minhash_near_dups(ds, num_perm: int = 64, num_bands: int = 16,
     return pairs.map_batches(add_est, batch_format="pyarrow")
 
 
+# -- shared partition hashing ----------------------------------------------
+
+def _hash64_of(col) -> np.ndarray:
+    """Vectorized uint64 hash of an arbitrary key column: integer keys are
+    Fibonacci-mixed in numpy; everything else goes through pandas'
+    C-implemented siphash (`pd.util.hash_array`, deterministic across
+    processes).  Never a Python loop per row."""
+    vals = col.to_numpy(zero_copy_only=False)
+    if np.issubdtype(vals.dtype, np.integer):
+        return vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    import pandas as pd
+
+    return pd.util.hash_array(vals)
+
+
+def _part_of(col, num_partitions: int) -> np.ndarray:
+    return (_hash64_of(col) % np.uint64(num_partitions)).astype(np.int64)
+
+
 # -- exact dedup ------------------------------------------------------------
 
+def exact_dedup_min_ids(ds, key_column: str = "fingerprint",
+                        order_column: str = "doc_id"):
+    """Winner table ``(key, min(order))`` via Ray's NATIVE vectorized
+    aggregate — zero Python per group, the minimal-payload form when the
+    surviving row's other columns aren't needed (the reference keys
+    documents by content hash,
+    ``/root/reference/docling/utils/utils.py:19-37``).  At 10^9 unique
+    keys this is one shuffle of (digest, id) pairs and a kernel-level
+    min — no per-group UDF at maximal key cardinality."""
+    from ray.data.aggregate import Min
+
+    return ds.groupby(key_column).aggregate(
+        Min(on=order_column, alias_name=order_column))
+
+
 def exact_dedup_keep_first(ds, key_column: str = "fingerprint",
-                           order_column: str = "doc_id"):
-    """Hash-partitioned first-per-group (the reference keys documents by
-    content sha-256, ``/root/reference/docling/utils/utils.py:19-37``)."""
+                           order_column: str = "doc_id",
+                           num_partitions: int = 64):
+    """Full-row survivors (payload kept), ONE shuffle keyed on
+    ``part = hash(key) % P``: per-PARTITION vectorized sort + first-of-run,
+    so Python is invoked P times total — never once per distinct key.
+    (A plain ``groupby(key).map_groups`` runs the UDF per GROUP, i.e. once
+    per unique document — the high-cardinality trap this avoids.)"""
     import pyarrow.compute as pc
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        idx = pc.index(pc.equal(group[order_column],
-                                pc.min(group[order_column])), True).as_py()
-        return group.slice(idx, 1)
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_part", pa.array(_part_of(batch[key_column], num_partitions),
+                              pa.int64()))
 
-    return ds.groupby(key_column).map_groups(keep_min, batch_format="pyarrow")
+    def first_per_key(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        if n == 0:
+            return part.drop_columns(["_part"])
+        order = pc.sort_indices(part, sort_keys=[(key_column, "ascending"),
+                                                 (order_column, "ascending")])
+        g = part.take(order)
+        keys = g[key_column].combine_chunks()
+        neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+        mask = np.empty(n, dtype=bool)
+        mask[0] = True
+        mask[1:] = neq
+        return g.take(np.flatnonzero(mask)).drop_columns(["_part"])
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(first_per_key, batch_format="pyarrow")
 
 
 # -- simhash near-dup -------------------------------------------------------
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (numpy<2 has no
+    ``bitwise_count``): unpack the raw bytes once and sum."""
+    flat = np.ascontiguousarray(x).view(np.uint8)
+    return np.unpackbits(flat).reshape(x.size, 64).sum(axis=1) \
+        .reshape(x.shape).astype(np.int64)
+
+
 def simhash_bucket_rows(batch: pa.Table, bits: int = 64,
-                        num_buckets: int = 4) -> pa.Table:
-    """Explode per-doc simhash into quarter-signature buckets: two docs at
-    Hamming distance ≤ num_buckets-1 share at least one exact quarter."""
-    doc_ids, keys, hashes = [], [], []
+                        num_buckets: int = 4,
+                        num_partitions: int = 64) -> pa.Table:
+    """Explode per-doc simhash into quarter-signature bucket rows — pure
+    numpy shifts on the ``simhash_u64`` column, no per-row Python.  Two
+    docs at Hamming ≤ num_buckets-1 share at least one exact quarter.
+
+    ``bucket = (q << step) | quarter`` (int64); ``part = bucket % P`` is
+    the ONE shuffle key — a bucket never straddles partitions."""
+    n = batch.num_rows
+    id_type = batch.schema.field("doc_id").type
     step = bits // num_buckets
-    for doc_id, sh in zip(batch["doc_id"], batch["simhash"]):
-        value = int(sh.as_py(), 16)
-        for q in range(num_buckets):
-            part = (value >> (q * step)) & ((1 << step) - 1)
-            doc_ids.append(doc_id.as_py())
-            keys.append(f"{q}:{part:0{step // 4}x}")
-            hashes.append(sh.as_py())
+    if n == 0:
+        return pa.table({"part": pa.array([], pa.int64()),
+                         "bucket": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], id_type),
+                         "simhash_u64": pa.array([], pa.uint64())})
+    values = batch["simhash_u64"].to_numpy(zero_copy_only=False) \
+        .astype(np.uint64)
+    qs = np.arange(num_buckets, dtype=np.uint64)
+    mask = np.uint64((1 << step) - 1)
+    quarters = (values[None, :] >> (qs[:, None] * np.uint64(step))) & mask
+    bucket = (quarters | (qs[:, None] << np.uint64(step))) \
+        .astype(np.int64).flatten()          # row-major: q varies slowest
+    part = bucket % num_partitions
+    ids = batch["doc_id"].combine_chunks()
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.chunk(0) if ids.num_chunks else pa.array([], ids.type)
+    vals_arr = pa.array(values, pa.uint64())
+    tile = lambda arr: pa.chunked_array([arr] * num_buckets)
     return pa.table({
-        "bucket": pa.array(keys, pa.string()),
-        "doc_id": pa.array(doc_ids),
-        "simhash": pa.array(hashes, pa.string()),
+        "part": pa.array(part, pa.int64()),
+        "bucket": pa.array(bucket, pa.int64()),
+        "doc_id": tile(ids),
+        "simhash_u64": tile(vals_arr),
     })
 
 
-def simhash_pairs_from_bucket(group: pa.Table, max_hamming: int = 3,
-                              num_buckets: int = 4,
-                              bits: int = 64) -> pa.Table:
-    """Pairs within one quarter-bucket, emitted ONLY when this quarter is
-    the first quarter the two signatures share — exactly-once across the
-    4 bucket replicas without a dedup shuffle (the signature itself is
-    carried, so earlier quarters are recomputable locally, same trick as
-    the MinHash pipeline)."""
-    ids = [v.as_py() for v in group["doc_id"]]
-    id_type = group.schema.field("doc_id").type
-    values = [int(v.as_py(), 16) for v in group["simhash"]]
+def simhash_partition_pairs(part_table: pa.Table, max_hamming: int,
+                            num_buckets: int, bits: int,
+                            max_bucket: int) -> pa.Table:
+    """One shuffle partition: vectorized bucket run detection (singleton
+    buckets — the overwhelming majority — never touch Python), then per
+    non-trivial bucket an m×m XOR + popcount matrix with the
+    first-matching-quarter rule applied as numpy masks.  Python runs only
+    over the emitted pairs (output-scale)."""
+    id_type = part_table.schema.field("doc_id").type
+    out_a: list = []
+    out_b: list = []
+    out_d: list = []
+    n = part_table.num_rows
     step = bits // num_buckets
-    mask = (1 << step) - 1
-    bucket_q = int(group["bucket"][0].as_py().split(":")[0]) if ids else 0
-    a_ids, b_ids, dists = [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            if ids[i] == ids[j]:
-                continue
-            x = values[i] ^ values[j]
-            d = bin(x).count("1")
-            if d > max_hamming:
-                continue
-            first = next(q for q in range(num_buckets)
-                         if (x >> (q * step)) & mask == 0)
-            if first != bucket_q:
-                continue
-            a_ids.append(min(ids[i], ids[j]))
-            b_ids.append(max(ids[i], ids[j]))
-            dists.append(d)
+    mask = np.uint64((1 << step) - 1)
+    if n:
+        order = pa.compute.sort_indices(
+            part_table, sort_keys=[("bucket", "ascending"),
+                                   ("doc_id", "ascending")])
+        g = part_table.take(order)
+        buckets = g["bucket"].to_numpy(zero_copy_only=False)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = buckets[1:] != buckets[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        multi = ends - starts >= 2
+        if multi.any():
+            values = g["simhash_u64"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            doc_ids = g["doc_id"].to_pylist()
+            for s, e in zip(starts[multi], ends[multi]):
+                m = e - s
+                if m > max_bucket:
+                    logger.warning("simhash bucket over cap: %d rows, "
+                                   "dropping %d", m, m - max_bucket)
+                    e = s + max_bucket
+                    m = max_bucket
+                v = values[s:e]
+                bucket_q = int(buckets[s]) >> step
+                x = v[:, None] ^ v[None, :]
+                d = _popcount64(x)
+                # first quarter in which the two signatures agree
+                qmatch = np.stack([
+                    ((x >> np.uint64(q * step)) & mask) == 0
+                    for q in range(num_buckets)])
+                first = qmatch.argmax(axis=0)
+                iu, ju = np.triu_indices(m, k=1)
+                keep = (d[iu, ju] <= max_hamming) & (first[iu, ju] == bucket_q)
+                for i, j in zip(iu[keep], ju[keep]):
+                    a, b = doc_ids[s + i], doc_ids[s + j]
+                    if a == b:
+                        continue
+                    out_a.append(min(a, b))
+                    out_b.append(max(a, b))
+                    out_d.append(int(d[i, j]))
     return pa.table({
-        "doc_a": pa.array(a_ids, id_type),
-        "doc_b": pa.array(b_ids, id_type),
-        "hamming": pa.array(dists, pa.int64()),
+        "doc_a": pa.array(out_a, id_type),
+        "doc_b": pa.array(out_b, id_type),
+        "hamming": pa.array(out_d, pa.int64()),
     })
 
 
-def simhash_near_dups(ds, max_hamming: int = 3, num_buckets: int = 4):
+def simhash_near_dups(ds, max_hamming: int = 3, num_buckets: int = 4,
+                      num_partitions: int = 64, max_bucket: int = 4096):
     """SimHash near-dup pairs over a (doc_id, text) dataset: signature
-    stage → quarter-bucket explode (two docs at Hamming ≤ num_buckets-1
-    share ≥1 exact quarter) → ONE ``groupby(bucket)`` with in-bucket
-    verification and first-matching-quarter dedup."""
+    stage → vectorized quarter-bucket explode (two docs at Hamming ≤
+    num_buckets-1 share ≥1 exact quarter) → ONE pre-bucketed
+    ``groupby(part = bucket % P)`` with in-partition vectorized run
+    detection, m×m popcount verification, and first-matching-quarter
+    dedup.  Python never runs per group — only P partition invocations
+    and the emitted pairs themselves."""
     from docling_ray.stages.textstats import simhash_batch
 
     sigs = ds.map_batches(simhash_batch, batch_format="pyarrow") \
-        .select_columns(["doc_id", "simhash"])
+        .select_columns(["doc_id", "simhash_u64"])
     rows = sigs.map_batches(
-        lambda b: simhash_bucket_rows(b, num_buckets=num_buckets),
+        lambda b: simhash_bucket_rows(b, num_buckets=num_buckets,
+                                      num_partitions=num_partitions),
         batch_format="pyarrow")
-    pairs = rows.groupby("bucket").map_groups(
-        lambda g: simhash_pairs_from_bucket(g, max_hamming=max_hamming,
-                                            num_buckets=num_buckets),
+    pairs = rows.groupby("part").map_groups(
+        lambda g: simhash_partition_pairs(g, max_hamming=max_hamming,
+                                          num_buckets=num_buckets, bits=64,
+                                          max_bucket=max_bucket),
         batch_format="pyarrow")
     import ray.data
 
@@ -438,18 +550,203 @@ def jaccard_pairs_in_group(group: pa.Table, threshold: float,
     })
 
 
+def shingle_blob_batch(batch: pa.Table, shingle_k: int = 3,
+                       column: str = "text") -> pa.Table:
+    """Compact per-doc shingle-set blob for the verify join: the hashed
+    DISTINCT k-gram set, sorted, as little-endian uint64 bytes (8 B per
+    shingle ≈ 1.3× the text's token bytes — but shipped exactly once,
+    never replicated per LSH band)."""
+    ids = batch["doc_id"]
+    blobs, counts = [], []
+    for v in batch[column]:
+        sh = shingles_of(v.as_py() or "", shingle_k)
+        arr = np.sort(np.fromiter(sh, dtype=np.uint64, count=len(sh)))
+        blobs.append(arr.astype("<u8").tobytes())
+        counts.append(len(sh))
+    return pa.table({
+        "doc_id": ids,
+        "blob": pa.array(blobs, pa.binary()),
+        "n_sh": pa.array(counts, pa.int64()),
+    })
+
+
+def _pair_part(col_a, col_b, num_partitions: int) -> np.ndarray:
+    h = _hash64_of(col_a) * np.uint64(3) + _hash64_of(col_b)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _jaccard_attach(part_table: pa.Table, num_partitions: int) -> pa.Table:
+    """One doc-keyed partition: blob rows (kind 0) + need rows (kind 1,
+    one per pair side).  Attach each need row's blob via an in-partition
+    hash lookup and re-key by pair."""
+    id_type = part_table.schema.field("join_doc").type
+    kinds = part_table["kind"].to_numpy(zero_copy_only=False)
+    docs = part_table.filter(pa.array(kinds == 0))
+    needs = part_table.filter(pa.array(kinds == 1))
+    empty = pa.table({
+        "part": pa.array([], pa.int64()),
+        "doc_a": pa.array([], id_type),
+        "doc_b": pa.array([], id_type),
+        "blob": pa.array([], pa.binary()),
+        "n_sh": pa.array([], pa.int64()),
+    })
+    if needs.num_rows == 0 or docs.num_rows == 0:
+        return empty
+    lut = {d: (bl, ns) for d, bl, ns in zip(
+        docs["join_doc"].to_pylist(), docs["blob"].to_pylist(),
+        docs["n_sh"].to_pylist())}
+    out_a, out_b, out_blob, out_n = [], [], [], []
+    for jd, da, db in zip(needs["join_doc"].to_pylist(),
+                          needs["doc_a"].to_pylist(),
+                          needs["doc_b"].to_pylist()):
+        hit = lut.get(jd)
+        if hit is None:
+            continue
+        out_a.append(da)
+        out_b.append(db)
+        out_blob.append(hit[0])
+        out_n.append(hit[1])
+    a_arr = pa.array(out_a, id_type)
+    b_arr = pa.array(out_b, id_type)
+    if not out_a:
+        return empty
+    return pa.table({
+        "part": pa.array(_pair_part(a_arr, b_arr, num_partitions), pa.int64()),
+        "doc_a": a_arr,
+        "doc_b": b_arr,
+        "blob": pa.array(out_blob, pa.binary()),
+        "n_sh": pa.array(out_n, pa.int64()),
+    })
+
+
+def _jaccard_verify(part_table: pa.Table, threshold: float) -> pa.Table:
+    """One pair-keyed partition: every candidate pair's two blob rows are
+    co-located; sorted run detection pairs them up, ``np.intersect1d``
+    computes the exact intersection."""
+    import math
+
+    id_type = part_table.schema.field("doc_a").type
+    out_a, out_b, sims, millis = [], [], [], []
+    n = part_table.num_rows
+    if n:
+        order = pa.compute.sort_indices(
+            part_table, sort_keys=[("doc_a", "ascending"),
+                                   ("doc_b", "ascending")])
+        g = part_table.take(order)
+        ida = g["doc_a"].to_pylist()
+        idb = g["doc_b"].to_pylist()
+        blobs = g["blob"].to_pylist()
+        ns = g["n_sh"].to_pylist()
+        i = 0
+        while i + 1 < n:
+            if ida[i] != ida[i + 1] or idb[i] != idb[i + 1]:
+                i += 1            # orphan side (missing doc) — skip
+                continue
+            x = np.frombuffer(blobs[i], dtype="<u8")
+            y = np.frombuffer(blobs[i + 1], dtype="<u8")
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            union = ns[i] + ns[i + 1] - inter
+            sim = inter / union if union else 0.0
+            if sim >= threshold:
+                out_a.append(ida[i])
+                out_b.append(idb[i])
+                sims.append(sim)
+                millis.append(math.floor(sim * 1000.0))
+            i += 2
+    return pa.table({
+        "doc_a": pa.array(out_a, id_type),
+        "doc_b": pa.array(out_b, id_type),
+        "jaccard": pa.array(sims, pa.float64()),
+        "j_milli": pa.array(millis, pa.int64()),
+    })
+
+
 def jaccard_near_dups(ds, threshold: float = 0.5, shingle_k: int = 3,
-                      partition_col: str = "lang"):
-    """Exact n-gram Jaccard near-dups after a coarse partition: ONE
-    ``groupby(partition_col)`` keeps the quadratic verification local to
-    each partition (lang/source/domain at corpus scale)."""
+                      num_perm: int = 64, num_bands: int = 16,
+                      num_partitions: int = 64, max_bucket: int = 256,
+                      concurrency: int = 4):
+    """Exact n-gram Jaccard over MinHash-LSH candidates — the scale-safe
+    candidate/verify shape (no partition ever holds a whole language or
+    domain; every stage is keyed on a uniform hash).
+
+    1. **Candidates** (1 shuffle, ~200 B band rows): the MinHash pipeline
+       with ``min_agree=0`` — every distinct pair sharing ≥1 of
+       ``num_bands`` band keys, first-matching-band dedup, ``max_bucket``
+       cap with logged drops.
+    2. **Attach** (1 shuffle, ≈1× the shingle corpus + 2 rows/pair): doc
+       shingle blobs and per-pair need rows meet in ``hash(doc) % P``
+       partitions; blobs are shipped exactly once, never per band.
+    3. **Verify** (1 shuffle, 2 blobs/pair): pair-keyed partitions compute
+       exact ``np.intersect1d`` Jaccard and filter on ``threshold``.
+
+    The source dataset is consumed twice (candidates + blobs) — the
+    classic two-pass dedup; at corpus scale re-reading columnar storage
+    beats materializing a corpus-sized intermediate.  Recall is exactly
+    the LSH candidate bound (pairs sharing no band are missed on both the
+    engine and its oracle, by construction); precision is 1."""
     import ray.data
 
     sch = ds.schema()
     id_type = dict(zip(sch.names, sch.types))["doc_id"]
-    pairs = ds.groupby(partition_col).map_groups(
-        lambda g: jaccard_pairs_in_group(g, threshold, shingle_k),
+
+    # 1. candidate pairs via the proven MinHash single-shuffle machinery
+    sigs = ds.map_batches(
+        MinHashStage, batch_format="pyarrow",
+        fn_constructor_kwargs={"num_perm": num_perm, "num_bands": num_bands,
+                               "shingle_k": shingle_k},
+        concurrency=(1, concurrency),
+    ).select_columns(["doc_id", "band_keys", "sketch"])
+    bands = sigs.map_batches(
+        lambda b: band_explode(b, num_bands=num_bands,
+                               num_partitions=num_partitions),
         batch_format="pyarrow")
+    cands = bands.groupby("part").map_groups(
+        lambda g: lsh_partition_pairs(g, num_bands=num_bands, min_agree=0,
+                                      max_bucket=max_bucket,
+                                      num_perm=num_perm),
+        batch_format="pyarrow")
+
+    # 2. union blob rows (kind 0) and pair-need rows (kind 1) on one schema
+    def blob_rows(batch: pa.Table) -> pa.Table:
+        t = shingle_blob_batch(batch, shingle_k=shingle_k)
+        nrow = t.num_rows
+        return pa.table({
+            "part": pa.array(_part_of(t["doc_id"], num_partitions), pa.int64()),
+            "kind": pa.array(np.zeros(nrow, dtype=np.int8), pa.int8()),
+            "join_doc": t["doc_id"].combine_chunks().cast(id_type),
+            "doc_a": pa.nulls(nrow, id_type),
+            "doc_b": pa.nulls(nrow, id_type),
+            "blob": t["blob"],
+            "n_sh": t["n_sh"],
+        })
+
+    def need_rows(batch: pa.Table) -> pa.Table:
+        nrow = batch.num_rows
+        a = batch["doc_a"].combine_chunks()
+        b = batch["doc_b"].combine_chunks()
+        join_doc = pa.chunked_array([a, b]).combine_chunks()
+        aa = pa.chunked_array([a, a]).combine_chunks()
+        bb = pa.chunked_array([b, b]).combine_chunks()
+        return pa.table({
+            "part": pa.array(_part_of(join_doc, num_partitions), pa.int64()),
+            "kind": pa.array(np.ones(2 * nrow, dtype=np.int8), pa.int8()),
+            "join_doc": join_doc,
+            "doc_a": aa,
+            "doc_b": bb,
+            "blob": pa.nulls(2 * nrow, pa.binary()),
+            "n_sh": pa.nulls(2 * nrow, pa.int64()),
+        })
+
+    blobs = ds.map_batches(blob_rows, batch_format="pyarrow")
+    needs = cands.select_columns(["doc_a", "doc_b"]) \
+        .map_batches(need_rows, batch_format="pyarrow")
+    attached = blobs.union(needs).groupby("part").map_groups(
+        lambda g: _jaccard_attach(g, num_partitions=num_partitions),
+        batch_format="pyarrow")
+    pairs = attached.groupby("part").map_groups(
+        lambda g: _jaccard_verify(g, threshold=threshold),
+        batch_format="pyarrow")
+
     empty = ray.data.from_arrow(pa.table({
         "doc_a": pa.array([], id_type),
         "doc_b": pa.array([], id_type),

@@ -98,23 +98,40 @@ def _token_hash64(token: str) -> int:
 
 
 def simhash64(text: str) -> int:
-    """Classic 64-bit SimHash over whitespace tokens."""
-    weights = [0] * 64
-    for token in tokens_of(text):
-        h = _token_hash64(token)
-        for bit in range(64):
-            weights[bit] += 1 if (h >> bit) & 1 else -1
-    value = 0
-    for bit in range(64):
-        if weights[bit] > 0:
-            value |= 1 << bit
-    return value
+    """Classic 64-bit SimHash over whitespace tokens (occurrence-weighted).
+
+    Vectorized: tokens are md5-hashed once per DISTINCT token, the 64-way
+    bit loop runs as one numpy unpack + weighted column sum instead of
+    64 × n_tokens Python iterations."""
+    import numpy as np
+    from collections import Counter
+
+    counts = Counter(tokens_of(text))
+    if not counts:
+        return 0
+    digests = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8]
+                       for t in counts)
+    hs = np.frombuffer(digests, dtype=">u8")
+    w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    # bits[t, b] = bit b of token-hash t (b = 0 is the LSB, matching the
+    # scalar (h >> bit) & 1 loop this replaces)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+    weights = (w[:, None] * (2 * bits.astype(np.int64) - 1)).sum(axis=0)
+    sel = weights > 0
+    return int((np.uint64(1) << np.arange(64, dtype=np.uint64))[sel].sum())
 
 
 def simhash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append ``simhash`` (hex string, the oracle-compared form) and
+    ``simhash_u64`` (uint64, the zero-copy numpy form downstream LSH
+    bucketing shifts on directly)."""
+    import numpy as np
+
     hashes = [simhash64(v.as_py() or "") for v in batch[column]]
-    return batch.append_column(
+    out = batch.append_column(
         "simhash", pa.array([f"{h:016x}" for h in hashes], pa.string()))
+    return out.append_column(
+        "simhash_u64", pa.array(np.array(hashes, dtype=np.uint64), pa.uint64()))
 
 
 def langid_of(text: str) -> str:

@@ -1,0 +1,241 @@
+"""Scale-shape tests for the round-3 dedup rewrites: no per-group Python
+at high key cardinality, vectorized explodes, bounded partition fan-out on
+skewed corpora, candidate/verify Jaccard."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# -- exact dedup ------------------------------------------------------------
+
+def test_exact_dedup_min_ids_native_agg(ray_session):
+    import ray.data
+
+    from docling_ray.stages.dedup import exact_dedup_min_ids
+    from docling_ray.stages.textstats import fingerprint_batch
+
+    table = pa.table({
+        "doc_id": [5, 9, 1, 7, 3],
+        "text": ["a", "b", "a", "a", "b"],
+    })
+    ds = ray.data.from_arrow(table).map_batches(
+        fingerprint_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "fingerprint"])
+    out = exact_dedup_min_ids(ds).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1, 3]
+    assert set(out.columns) == {"doc_id", "fingerprint"}
+
+
+def test_exact_dedup_keep_first_full_rows_and_string_ids(ray_session):
+    import ray.data
+
+    from docling_ray.stages.dedup import exact_dedup_keep_first
+    from docling_ray.stages.textstats import fingerprint_batch
+
+    table = pa.table({
+        "doc_id": ["z", "a", "m", "b"],
+        "text": ["same", "same", "other", "same"],
+        "payload": [10, 20, 30, 40],
+    })
+    ds = ray.data.from_arrow(table).map_batches(
+        fingerprint_batch, batch_format="pyarrow")
+    out = exact_dedup_keep_first(ds).to_pandas().sort_values("doc_id")
+    # survivor of the "same" group is the min doc_id ("a"), full row kept
+    assert out["doc_id"].tolist() == ["a", "m"]
+    assert out["payload"].tolist() == [20, 30]
+    assert "_part" not in out.columns
+
+
+def test_part_of_spreads_high_cardinality_keys():
+    from docling_ray.stages.dedup import _part_of
+
+    keys = pa.array([f"fp-{i:06d}" for i in range(2000)])
+    parts = _part_of(keys, 64)
+    counts = np.bincount(parts, minlength=64)
+    assert counts.min() > 0
+    assert counts.max() < 3 * counts.mean()
+    # determinism across calls (hash key is process-stable)
+    assert np.array_equal(parts, _part_of(keys, 64))
+
+    ints = pa.array(np.arange(2000, dtype=np.int64))
+    parts_i = _part_of(ints, 64)
+    counts_i = np.bincount(parts_i, minlength=64)
+    assert counts_i.max() < 3 * counts_i.mean()
+
+
+# -- simhash ----------------------------------------------------------------
+
+def _simhash64_slow(text: str) -> int:
+    """Scalar reference implementation (the pre-vectorization semantics)."""
+    import hashlib
+
+    weights = [0] * 64
+    for token in text.split():
+        h = int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "big")
+        for bit in range(64):
+            weights[bit] += 1 if (h >> bit) & 1 else -1
+    value = 0
+    for bit in range(64):
+        if weights[bit] > 0:
+            value |= 1 << bit
+    return value
+
+
+def test_simhash64_vectorized_matches_scalar():
+    from docling_ray.stages.textstats import simhash64
+
+    for text in ["", "one", "one two three", "dup dup dup distinct",
+                 "a b c d e f g h i j " * 30]:
+        assert simhash64(text) == _simhash64_slow(text)
+
+
+def test_popcount64():
+    from docling_ray.stages.dedup import _popcount64
+
+    x = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF, 1 << 63], dtype=np.uint64)
+    assert _popcount64(x).tolist() == [0, 1, 2, 64, 1]
+    m = np.array([[0, 7], [15, 0]], dtype=np.uint64)
+    assert _popcount64(m).tolist() == [[0, 3], [4, 0]]
+
+
+def test_simhash_bucket_rows_vectorized_shape():
+    from docling_ray.stages.dedup import simhash_bucket_rows
+
+    batch = pa.table({
+        "doc_id": ["x", "y"],
+        "simhash_u64": pa.array(
+            np.array([0x1234_5678_9ABC_DEF0, 0xFFFF_0000_FFFF_0000],
+                     dtype=np.uint64), pa.uint64()),
+    })
+    rows = simhash_bucket_rows(batch, num_buckets=4, num_partitions=8)
+    assert rows.num_rows == 8
+    # bucket encodes (q << 16) | quarter; doc x quarter 0 is 0xDEF0
+    got = dict(zip(rows["bucket"].to_pylist(), rows["doc_id"].to_pylist()))
+    assert got[0xDEF0] == "x"
+    assert got[(3 << 16) | 0x1234] == "x"
+    assert got[(1 << 16) | 0xFFFF] == "y"
+    # bucket never straddles partitions
+    seen = {}
+    for b, p in zip(rows["bucket"].to_pylist(), rows["part"].to_pylist()):
+        assert seen.setdefault(b, p) == p
+        assert 0 <= p < 8
+
+
+def test_simhash_partition_pairs_cap_logs_drops(caplog):
+    import logging
+
+    from docling_ray.stages.dedup import simhash_partition_pairs
+
+    n = 10
+    part = pa.table({
+        "part": pa.array([0] * n, pa.int64()),
+        "bucket": pa.array([7] * n, pa.int64()),
+        "doc_id": [f"d{i}" for i in range(n)],
+        "simhash_u64": pa.array(np.full(n, 7, dtype=np.uint64), pa.uint64()),
+    })
+    with caplog.at_level(logging.WARNING):
+        out = simhash_partition_pairs(part, max_hamming=3, num_buckets=4,
+                                      bits=64, max_bucket=4)
+    assert any("over cap" in r.message for r in caplog.records)
+    # capped to 4 members -> 6 pairs (identical sigs, first quarter = q0 = 7's bucket q)
+    assert out.num_rows == 6
+
+
+def test_simhash_near_dups_matches_old_semantics(ray_session):
+    """The rewritten pipeline must emit exactly the pairs the quarter-LSH
+    contract defines: share >=1 exact quarter AND hamming <= k, each pair
+    once."""
+    import ray.data
+
+    from docling_ray.stages.dedup import simhash_near_dups
+    from docling_ray.stages.textstats import simhash64
+
+    texts = {
+        "a": "word " * 120 + "alpha beta gamma delta",
+        "b": "word " * 120 + "alpha beta gamma epsilon",
+        "c": "entirely other content " * 30,
+        "d": "word " * 120 + "alpha beta gamma delta",  # exact dup of a
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": list(texts), "text": list(texts.values())}))
+    df = simhash_near_dups(ds, max_hamming=3).to_pandas()
+    got = set(zip(df["doc_a"], df["doc_b"]))
+    # expected from the scalar contract
+    vals = {k: simhash64(t) for k, t in texts.items()}
+    exp = set()
+    ks = list(texts)
+    for i in range(len(ks)):
+        for j in range(i + 1, len(ks)):
+            x = vals[ks[i]] ^ vals[ks[j]]
+            shares = any(((x >> (q * 16)) & 0xFFFF) == 0 for q in range(4))
+            if shares and bin(x).count("1") <= 3:
+                exp.add((min(ks[i], ks[j]), max(ks[i], ks[j])))
+    assert got == exp
+    assert ("a", "d") in got
+    assert len(df) == len(got)
+
+
+# -- jaccard candidate/verify ----------------------------------------------
+
+def test_jaccard_near_dups_skewed_single_lang(ray_session):
+    """The old design partitioned by lang — a single-lang corpus landed
+    whole in one worker.  The new candidate/verify shape must (1) find the
+    planted near-dups, (2) spread its shuffle keys over many partitions
+    even when every doc shares one lang."""
+    import ray.data
+
+    from docling_ray.stages.dedup import (
+        MinHashStage,
+        band_explode,
+        jaccard_near_dups,
+        jaccard_pairs_in_group,
+    )
+
+    base1 = ("stream data batch query table scan merge sort join filter "
+             "shard spill vector page cell block arrow shuffle") * 4
+    base2 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon") * 4
+    rows = {"doc_id": [], "text": [], "lang": []}
+    for i in range(30):
+        rows["doc_id"].append(i)
+        rows["text"].append(f"unique document number {i} " +
+                            " ".join(f"tok{i}_{j}" for j in range(40)))
+        rows["lang"].append("en")
+    rows["doc_id"] += [100, 101, 200, 201]
+    rows["text"] += [base1, base1.replace("arrow", "parquet"),
+                     base2, base2.replace("sigma", "omega")]
+    rows["lang"] += ["en"] * 4
+    table = pa.table(rows)
+    ds = ray.data.from_arrow(table)
+    df = jaccard_near_dups(ds, threshold=0.5).to_pandas()
+    got = set(zip(df["doc_a"], df["doc_b"]))
+    assert got == {(100, 101), (200, 201)}
+    # exact jaccard values match the in-memory brute force
+    brute = jaccard_pairs_in_group(table, threshold=0.5, shingle_k=3)
+    exp = {(a, b): m for a, b, m in zip(brute["doc_a"].to_pylist(),
+                                        brute["doc_b"].to_pylist(),
+                                        brute["j_milli"].to_pylist())}
+    for _, r in df.iterrows():
+        assert exp[(r["doc_a"], r["doc_b"])] == r["j_milli"]
+    # shuffle keys spread across partitions despite single-lang skew
+    stage = MinHashStage()
+    bands = band_explode(stage(table), num_partitions=64)
+    parts = set(bands["part"].to_pylist())
+    assert len(parts) > 16
+
+
+def test_jaccard_empty_result_keeps_schema(ray_session):
+    import ray.data
+
+    from docling_ray.stages.dedup import jaccard_near_dups
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["totally distinct words here", "other unrelated tokens now"],
+    }))
+    out = jaccard_near_dups(ds, threshold=0.5)
+    # NOTE: Ray 2.49 to_pandas() drops columns on any 0-row dataset; the
+    # schema contract lives on the Dataset itself
+    assert out.schema().names == ["doc_a", "doc_b", "jaccard", "j_milli"]
+    assert out.count() == 0
