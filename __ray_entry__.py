@@ -328,14 +328,15 @@ def _md5_text_col(batch: pa.Table, column: str = "text") -> pa.Table:
 
 
 def q_mets_gbs(sf_dir: str):
-    """METS-GBS archive → paginated pipeline (reference's own fixture as
-    the deterministic input; parity asserted byte-exact in pytest)."""
+    """METS-GBS archive → paginated pipeline (repo-committed copy of the
+    reference's own fixture as the deterministic input; parity asserted
+    byte-exact in pytest)."""
     import ray.data
 
     from docling_ray.stages.pdf import mets_gbs_pipeline
 
-    raw = open("/root/reference/tests/data/mets_gbs/"
-               "32044009881525_select.tar.gz", "rb").read()
+    raw = open(os.path.join(_GOLDEN_DIR,
+                            "32044009881525_select.tar.gz"), "rb").read()
     table = pa.table({
         "doc_id": ["gbs-1"],
         "url": ["https://example.org/gbs-1"],

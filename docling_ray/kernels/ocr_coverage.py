@@ -38,6 +38,16 @@ def _expanded(rects: list[tuple[float, float, float, float]],
     out = []
     for l, t, r, b in rects:
         l, t, r, b = round(l), round(t), round(r), round(b)
+        # clip the RAW rect to the page FIRST (the reference draws rects
+        # into a page-sized image — clipping — before dilation); a rect
+        # fully off-page must not leave a phantom dilated strip near the
+        # edge that could flip the OCR-trigger decision
+        l = max(0, l)
+        t = max(0, t)
+        r = min(width - 1, r)
+        b = min(height - 1, b)
+        if r < l or b < t:
+            continue
         el = max(0, l - _DILATE_NEG)
         et = max(0, t - _DILATE_NEG)
         er = min(width - 1, r + _DILATE_POS)

@@ -41,7 +41,10 @@ class Stage:
         if self.batch_size is not None:
             opts["batch_size"] = self.batch_size
         if inspect.isclass(self.fn):
-            opts["concurrency"] = self.concurrency or 2
+            # autoscaling (1, N): a fixed min-actor pool can reserve every
+            # CPU of a small cluster and deadlock an all-to-all op in the
+            # same graph — same convention as every other stateful stage
+            opts["concurrency"] = (1, self.concurrency or 2)
             if self.kwargs:
                 opts["fn_constructor_kwargs"] = self.kwargs
             return ds.map_batches(self.fn, **opts)

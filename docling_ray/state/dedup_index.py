@@ -123,12 +123,25 @@ class IncrementalDedupFilter:
         digests = [None if v is None
                    else hashlib.md5(v.encode("utf-8")).digest()
                    for v in values]
-        # ownership token: deterministic for a task RETRY (same run nonce
-        # from the pipeline build + same batch content) but distinct
-        # across runs, so a genuine re-ingest of identical content is a
-        # duplicate, not a replay
-        token = hashlib.md5(self.run_nonce + b"".join(
-            d for d in digests if d is not None)).digest()[:_TOKEN_LEN]
+        # ownership token: run nonce + the executing TASK's id + batch
+        # content.  A task retry (same task id, any attempt, any actor)
+        # reproduces the token, so replayed rows stay owned; two DIFFERENT
+        # tasks carrying identical content get distinct tokens, so a
+        # genuinely duplicated input block is filtered, not waved through.
+        # Residual limitation (documented): two identical batches inside
+        # ONE task are indistinguishable from a replay — Ray provides no
+        # retry-stable within-task batch ordinal to separate them.
+        tid = ""
+        try:
+            import ray
+
+            tid = ray.get_runtime_context().get_task_id() or ""
+        except Exception:  # outside a Ray task (unit tests / driver use)
+            pass
+        token = hashlib.md5(
+            self.run_nonce + tid.encode()
+            + b"".join(d for d in digests if d is not None)
+        ).digest()[:_TOKEN_LEN]
         by_shard: dict[int, list[int]] = {}
         for i, d in enumerate(digests):
             if d is not None:

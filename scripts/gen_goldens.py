@@ -131,8 +131,7 @@ def main() -> None:
         EnrichmentStage)
 
     web_e = make_table(60, seed=42)
-    extracted_e = extract_and_project(web_e, )
-    # re-extract with doc_json for the enrichment path
+    # extract with doc_json for the enrichment path
     from docling_ray.stages.extract import extract_batch, sniff_batch
     ext = extract_batch(sniff_batch(web_e), emit_doc_json=True)
     enriched = EnrichmentStage()(ext.select(["url", "doc_json"]))

@@ -5,8 +5,9 @@ from pathlib import Path
 
 import pytest
 
-FIXTURE = Path("/root/reference/tests/data/mets_gbs/"
-               "32044009881525_select.tar.gz")
+# repo-committed copy of the reference fixture
+# (/root/reference/tests/data/mets_gbs/32044009881525_select.tar.gz)
+FIXTURE = Path(__file__).parent / "data" / "32044009881525_select.tar.gz"
 
 
 @pytest.fixture(scope="module")

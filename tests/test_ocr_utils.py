@@ -128,3 +128,18 @@ def test_tesseract_box_scale_and_offset():
     assert rect["r_y0"] == 30 / 2 + 50
     assert rect["r_x2"] == 40 / 2 + 100
     assert rect["r_y2"] == 20 / 2 + 50
+
+
+def test_off_page_rect_no_phantom_dilation():
+    """A bitmap rect lying fully off-page (but within dilation reach of an
+    edge) must contribute NOTHING: the reference clips rects into the
+    page-sized image BEFORE dilating, so there is no pixel to dilate."""
+    from docling_ray.kernels.ocr_coverage import find_ocr_rects
+
+    cov, boxes = find_ocr_rects((100, 100), [(-9.0, 10.0, -1.0, 30.0)])
+    assert cov == 0.0
+    assert boxes == []
+    # an on-page rect still dilates past its raw bounds as before
+    cov2, boxes2 = find_ocr_rects((100, 100), [(20.0, 20.0, 30.0, 30.0)])
+    assert cov2 > 0.0
+    assert boxes2 == [(10, 10, 39, 39)]
