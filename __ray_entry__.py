@@ -846,11 +846,13 @@ def oracle_sql() -> dict[str, str]:
         "langid": _LANGID_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         # committed-golden oracles for the non-SQL-expressible pipelines
-        # (scripts/gen_goldens.py): pdf is a TRUE golden (expected text
-        # computed by the page generator independently of the pipeline);
-        # extract/chunks are frozen outputs of kernels whose correctness
-        # is separately byte-exact-tested against the reference's ground
-        # truth — the oracle pins them against regression.
+        # (scripts/gen_goldens.py).  pdf, extract_corpus and chunks are
+        # TRUE goldens: expected values computed by the GENERATORS
+        # independently of the pipelines (pdf: page generator's assembled
+        # text; extract: sha-256 of the raw bytes + per-construct item
+        # counts emitted by webpages.make_html; chunks: the generator's
+        # simulation of the chunker contract over its own construct
+        # stream — see sources/webpages.py).
         "pdf_pipeline": f"""
             SELECT doc_id, n_pages, text_md5
             FROM read_parquet('{_GOLDEN_DIR}/golden_pdf.parquet')

@@ -43,45 +43,107 @@ def _sentence(rng: random.Random, n: int) -> str:
     return " ".join(rng.choice(_WORDS) for _ in range(n))
 
 
-def _inline_run(rng: random.Random) -> str:
+def _inline_run(rng: random.Random) -> tuple[str, tuple]:
+    """Returns (html, annotation key).  The key identifies the run's
+    annotation set under the walker's annotated-run algebra: adjacent runs
+    with EQUAL annotations (separated only by whitespace) merge into one
+    item — plain with plain, bold with bold, hyperlinks only when the href
+    matches."""
     kind = rng.randrange(6)
     words = _sentence(rng, rng.randint(2, 6))
     if kind == 0:
-        return f"<b>{words}</b>"
+        return f"<b>{words}</b>", ("b",)
     if kind == 1:
-        return f"<i>{words}</i>"
+        return f"<i>{words}</i>", ("i",)
     if kind == 2:
-        return f"<a href=\"/page/{rng.randrange(1000)}\">{words}</a>"
+        href = f"/page/{rng.randrange(1000)}"
+        return f"<a href=\"{href}\">{words}</a>", ("a", href)
     if kind == 3:
-        return f"<code>{words.replace(' ', '_')}</code>"
+        return f"<code>{words.replace(' ', '_')}</code>", ("code",)
     if kind == 4:
-        return rng.choice(_UNICODE_SNIPPETS)
-    return words
+        return rng.choice(_UNICODE_SNIPPETS), ("plain",)
+    return words, ("plain",)
 
 
-def _paragraph(rng: random.Random) -> str:
-    runs = " ".join(_inline_run(rng) for _ in range(rng.randint(1, 5)))
-    return f"<p>{_sentence(rng, rng.randint(4, 12))} {runs}.</p>"
+def _paragraph(rng: random.Random) -> tuple[str, int, list]:
+    """Returns (html, expected item count, chunk events).  A paragraph
+    without formatting elements is ONE text item; with any formatting it
+    becomes an inline group + one item per merged run: the run sequence is
+    [lead sentence(plain)] + runs + [trailing '.'(plain)], whitespace
+    separators vanish into either side, and adjacent runs with equal
+    annotation keys collapse into one item.  Chunk events are one
+    ``("text", n_tokens)`` per merged run (the chunker emits a chunk per
+    leaf text item); a trailing '.' attaches to an open plain run without
+    adding a token, or stands alone as one."""
+    # NOTE: runs are drawn BEFORE the sentence — the original f-string
+    # evaluation order; preserving the rng call sequence keeps every
+    # committed corpus byte (and downstream golden) stable
+    runs = [_inline_run(rng) for _ in range(rng.randint(1, 5))]
+    sentence = _sentence(rng, rng.randint(4, 12))
+    html = f"<p>{sentence} {' '.join(h for h, _ in runs)}.</p>"
+    pieces = [(("plain",), len(sentence.split()))] + [
+        (k, 1 if k == ("code",) else len(_run_words(h, k).split()))
+        for h, k in runs]
+    # collapse adjacent equal annotation keys
+    groups: list[list] = []
+    for key, tok in pieces:
+        if groups and groups[-1][0] == key:
+            groups[-1][1] += tok
+        else:
+            groups.append([key, tok])
+    if groups[-1][0] == ("plain",):
+        pass                      # '.' merges into the open plain run
+    else:
+        groups.append([("plain",), 1])   # '.' stands alone
+    events = [("text", tok) for _, tok in groups]
+    if len(groups) == 1:
+        return html, 1, events    # no formatting: single text item
+    return html, 1 + len(groups), events   # inline group + merged runs
 
 
-def _list(rng: random.Random, ordered: bool, nested: bool) -> str:
+def _run_words(html_run: str, key: tuple) -> str:
+    """Visible text of an inline run (strip the tag when present)."""
+    if key == ("plain",):
+        return html_run
+    inner = html_run[html_run.index(">") + 1:html_run.rindex("<")]
+    return inner
+
+
+def _list(rng: random.Random, ordered: bool, nested: bool) -> tuple[str, int, int]:
+    """Returns (html, expected item count, chunk tokens): 1 group + 1 per
+    <li>, plus the nested sub-list's own group and items — the walker
+    contract this corpus's TRUE golden is derived from.  The chunker
+    flattens the whole (nested) list into ONE "list" chunk whose token
+    count sums over all item lines."""
     tag = "ol" if ordered else "ul"
     attrs = ""
     if ordered and rng.random() < 0.5:
         attrs = f' start="{rng.choice([0, 2, 5, 42])}"'
     items = []
+    count = 1
+    tokens = 0
     for _ in range(rng.randint(2, 5)):
         body = _sentence(rng, rng.randint(2, 6))
+        count += 1
+        tokens += len(body.split())
         if nested and rng.random() < 0.4:
-            body += _list(rng, not ordered, nested=False)
+            sub_html, sub_count, sub_tokens = _list(rng, not ordered,
+                                                    nested=False)
+            body += sub_html
+            count += sub_count
+            tokens += sub_tokens
         items.append(f"<li>{body}</li>")
-    return f"<{tag}{attrs}>{''.join(items)}</{tag}>"
+    return f"<{tag}{attrs}>{''.join(items)}</{tag}>", count, tokens
 
 
-def _table(rng: random.Random) -> str:
+def _table(rng: random.Random) -> tuple[str, int]:
+    """Returns (html, chunk tokens).  The chunker serializes the grid with
+    spanned cells REPEATED per covered column, so a colspan-2 cell's 3
+    tokens count twice; header cells are 1 token each."""
     cols = rng.randint(2, 4)
     rows = rng.randint(2, 5)
     out = ["<table>", "<tr>" + "".join(f"<th>h{c}</th>" for c in range(cols)) + "</tr>"]
+    tokens = cols                       # "h0".."h{cols-1}", 1 token each
     for r in range(rows):
         cells = []
         c = 0
@@ -89,23 +151,29 @@ def _table(rng: random.Random) -> str:
             span = 2 if (c + 1 < cols and rng.random() < 0.2) else 1
             attr = f' colspan="{span}"' if span > 1 else ""
             cells.append(f"<td{attr}>{_sentence(rng, 2)} {r}{c}</td>")
+            tokens += 3 * span          # "w w rc" repeated per column
             c += span
         out.append("<tr>" + "".join(cells) + "</tr>")
     out.append("</table>")
-    return "".join(out)
+    return "".join(out), tokens
 
 
-def _figure(rng: random.Random) -> str:
+def _figure(rng: random.Random) -> tuple[str, int]:
+    """Returns (html, caption chunk tokens): "Caption {3 words}" = 4, or
+    the alt text "figure {i}" = 2."""
     i = rng.randrange(100)
     if rng.random() < 0.5:
         return (f'<figure><img src="img{i}.png" alt="alt {i}"/>'
-                f"<figcaption>Caption {_sentence(rng, 3)}</figcaption></figure>")
-    return f'<img src="img{i}.png" alt="figure {i}"/>'
+                f"<figcaption>Caption {_sentence(rng, 3)}</figcaption>"
+                f"</figure>"), 4
+    return f'<img src="img{i}.png" alt="figure {i}"/>', 2
 
 
-def _pre(rng: random.Random) -> str:
-    lines = "\n".join(f"x{j} = f({j})" for j in range(rng.randint(2, 5)))
-    return f"<pre><code>{lines}</code></pre>"
+def _pre(rng: random.Random) -> tuple[str, int]:
+    """Returns (html, code chunk tokens): each line "xJ = f(J)" is 3."""
+    n = rng.randint(2, 5)
+    lines = "\n".join(f"x{j} = f({j})" for j in range(n))
+    return f"<pre><code>{lines}</code></pre>", 3 * n
 
 
 def _noise(rng: random.Random) -> str:
@@ -117,60 +185,138 @@ def _noise(rng: random.Random) -> str:
     ])
 
 
-def make_html(rng: random.Random, doc_idx: int, n_sections: int) -> str:
+def make_html(rng: random.Random, doc_idx: int,
+              n_sections: int) -> tuple[str, int, list]:
+    """Returns (html, expected item count, expected chunk rows).
+
+    Both expectations are derived WHILE EMITTING each construct — never by
+    running the extractor — so they are pipeline-independent TRUE goldens.
+    Item contract (the docling walk semantics this engine reproduces
+    byte-exactly): <title> 1, heading 1 plus ``max(0, level - cur - 1)``
+    invisible section groups for skipped levels (cur starts at 0), <p> 1
+    or inline group + merged runs, list = 1 group + 1/li (+ nested
+    group/items), table 1, figure/img 2 (picture + caption from figcaption
+    or alt), pre 1, script/style/hidden 0, details = group + summary +
+    body, footer = group + body.
+
+    Chunk contract (``kernels/chunker.py``): one chunk per leaf text run /
+    list / table / code / picture-caption under its heading path (title
+    clears the path; section headers stack by level; footer is furniture,
+    no chunks), then a greedy 256-token merge of adjacent same-path chunks
+    (kind becomes "merged").  Expected rows are ``(kind, n_tokens)`` in
+    document order."""
     parts = [
         "<html><head>",
         f"<title>Synthetic page {doc_idx}</title>",
         _noise(rng),
         "</head><body>",
         f"<h1>Document {doc_idx}</h1>",
-        _paragraph(rng),
     ]
+    # chunk events: (heading_path, kind, tokens) in document order
+    events: list[tuple[tuple, str, int]] = []
+    path: list[tuple[int, str]] = [(0, f"Document {doc_idx}")]
+
+    def snap() -> tuple:
+        return tuple(text for _, text in path)
+
+    lead_html, lead_count, lead_events = _paragraph(rng)
+    parts.append(lead_html)
+    events += [(snap(), k, t) for k, t in lead_events]
+    n_items = 2 + lead_count   # title + h1 (cur 0 -> 1) + lead paragraph
+    cur = 1
     level = 2
     for s in range(n_sections):
         # occasionally skip a heading level to exercise invisible groups
         level = min(6, max(2, level + rng.choice([-1, 0, 0, 1, 2])))
-        parts.append(f"<h{level}>Section {doc_idx}.{s}</h{level}>")
+        heading = f"Section {doc_idx}.{s}"
+        parts.append(f"<h{level}>{heading}</h{level}>")
+        n_items += max(0, level - cur - 1) + 1
+        cur = level
+        # chunker stack semantics: pop to above this level, then push
+        # (chunk level = html level - 1; the title sits at level 0)
+        while path and path[-1][0] >= level - 1:
+            path.pop()
+        path.append((level - 1, heading))
         for _ in range(rng.randint(1, 4)):
             roll = rng.random()
             if roll < 0.45:
-                parts.append(_paragraph(rng))
+                p_html, p_count, p_events = _paragraph(rng)
+                parts.append(p_html)
+                n_items += p_count
+                events += [(snap(), k, t) for k, t in p_events]
             elif roll < 0.6:
-                parts.append(_list(rng, ordered=rng.random() < 0.5, nested=True))
+                sub_html, sub_count, sub_tokens = _list(
+                    rng, ordered=rng.random() < 0.5, nested=True)
+                parts.append(sub_html)
+                n_items += sub_count
+                events.append((snap(), "list", sub_tokens))
             elif roll < 0.75:
-                parts.append(_table(rng))
+                t_html, t_tokens = _table(rng)
+                parts.append(t_html)
+                n_items += 1
+                events.append((snap(), "table", t_tokens))
             elif roll < 0.85:
-                parts.append(_figure(rng))
+                f_html, f_tokens = _figure(rng)
+                parts.append(f_html)
+                n_items += 2
+                events.append((snap(), "picture", f_tokens))
             elif roll < 0.95:
-                parts.append(_pre(rng))
+                c_html, c_tokens = _pre(rng)
+                parts.append(c_html)
+                n_items += 1
+                events.append((snap(), "code", c_tokens))
             else:
                 parts.append(_noise(rng))
     if rng.random() < 0.3:
-        parts.append(f"<details><summary>More</summary><p>{_sentence(rng, 6)}</p></details>")
+        detail_sent = _sentence(rng, 6)
+        parts.append(f"<details><summary>More</summary><p>{detail_sent}</p></details>")
+        n_items += 3
+        events.append((snap(), "text", 1))                     # "More"
+        events.append((snap(), "text", len(detail_sent.split())))
     if rng.random() < 0.3:
         parts.append(f"<footer><p>footer {_sentence(rng, 4)}</p></footer>")
+        n_items += 2                    # furniture: items but no chunks
     parts.append("</body></html>")
-    return "".join(parts)
+    # greedy same-path merge with the chunker's 256-token budget
+    chunks: list[list] = []             # [path, kind, tokens]
+    for p, k, t in events:
+        if chunks and chunks[-1][0] == p and chunks[-1][2] + t <= 256:
+            chunks[-1][1] = "merged"
+            chunks[-1][2] += t
+        else:
+            chunks.append([p, k, t])
+    return "".join(parts), n_items, [(k, t) for _, k, t in chunks]
 
 
 def make_rows(start: int, count: int, seed: int = 42,
-              skew_every: int = 50) -> dict:
-    """Build ``count`` rows [start, start+count) as python lists (columnar)."""
+              skew_every: int = 50,
+              with_expected: bool = False) -> dict | tuple[dict, list, list]:
+    """Build ``count`` rows [start, start+count) as python lists (columnar).
+
+    With ``with_expected=True`` additionally returns the generator-side
+    expected item count and expected chunk rows per row (see
+    ``make_html``)."""
     t0 = datetime(2024, 1, 1)
     urls, tss, htmls, texts, langs = [], [], [], [], []
+    expected: list[int] = []
+    expected_chunks: list[list] = []
     for i in range(start, start + count):
         rng = random.Random((seed << 20) ^ i)
         n_sections = rng.randint(1, 4)
         if skew_every and i and i % skew_every == 0:
             n_sections *= rng.randint(10, 50)  # long-tail giant documents
-        html = make_html(rng, i, n_sections)
+        html, n_items, chunks = make_html(rng, i, n_sections)
         lang = LANGS[i % len(LANGS)]
         urls.append(f"https://synthetic-{seed}.example.org/{lang}/doc-{i}")
         tss.append(t0 + timedelta(seconds=17 * i))
         htmls.append(html.encode("utf-8"))
         texts.append(_sentence(random.Random(i), 20))
         langs.append(lang)
-    return {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
+        expected.append(n_items)
+        expected_chunks.append(chunks)
+    data = {"url": urls, "warc_ts": tss, "html": htmls, "text": texts,
+            "lang": langs}
+    return (data, expected, expected_chunks) if with_expected else data
 
 
 SCHEMA = pa.schema([
@@ -184,6 +330,50 @@ SCHEMA = pa.schema([
 
 def make_table(n: int, seed: int = 42, start: int = 0, skew_every: int = 50) -> pa.Table:
     return pa.table(make_rows(start, n, seed=seed, skew_every=skew_every), schema=SCHEMA)
+
+
+def make_expected_table(n: int, seed: int = 42, start: int = 0,
+                        skew_every: int = 50) -> pa.Table:
+    """Generator-side TRUE golden for the extraction pipeline:
+    ``(url, doc_id, status, n_items)`` where ``doc_id`` is the sha-256 of
+    the raw bytes (the documented input contract) and ``n_items`` is
+    counted while emitting constructs (``make_html``) — both derivable
+    from the input alone, never from running the extractor."""
+    import hashlib
+
+    data, expected, _ = make_rows(start, n, seed=seed, skew_every=skew_every,
+                                  with_expected=True)
+    doc_ids = [hashlib.sha256(h).hexdigest() for h in data["html"]]
+    return pa.table({
+        "url": pa.array(data["url"], pa.string()),
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "status": pa.array(["success"] * n, pa.string()),
+        "n_items": pa.array(expected, pa.int32()),
+    })
+
+
+def make_expected_chunks_table(n: int, seed: int = 42, start: int = 0,
+                               skew_every: int = 50) -> pa.Table:
+    """Generator-side TRUE golden for the chunking pipeline:
+    ``(url, chunk_id, n_tokens, kind)`` rows simulated from the generative
+    structure under the chunker contract (see ``make_html``) — never by
+    running the extractor or chunker."""
+    data, _, expected_chunks = make_rows(start, n, seed=seed,
+                                         skew_every=skew_every,
+                                         with_expected=True)
+    urls, ids, toks, kinds = [], [], [], []
+    for url, chunks in zip(data["url"], expected_chunks):
+        for ci, (kind, tok) in enumerate(chunks):
+            urls.append(url)
+            ids.append(ci)
+            toks.append(tok)
+            kinds.append(kind)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "chunk_id": pa.array(ids, pa.int32()),
+        "n_tokens": pa.array(toks, pa.int32()),
+        "kind": pa.array(kinds, pa.string()),
+    })
 
 
 def write_corpus(path: str, n: int, seed: int = 42, rows_per_file: int = 5000,

@@ -16,9 +16,30 @@ import pyarrow as pa
 import ray
 
 
-def _to_matrix(column: pa.ChunkedArray) -> np.ndarray:
-    rows = column.to_pylist()
-    return np.asarray(rows, dtype=np.float64)
+def _to_matrix(column) -> np.ndarray:
+    """``list<float>`` column → ``(n, dim)`` float64 matrix via a zero-copy
+    view of the flat values buffer (one vectorized widen, no per-row
+    Python) whenever the layout allows — uniform row length, no nulls;
+    anything irregular falls back to ``to_pylist``.  This sits inside
+    every ANN matmul stage, so the fast path matters."""
+    arr = column.combine_chunks() if isinstance(column, pa.ChunkedArray) \
+        else column
+    try:
+        if pa.types.is_fixed_size_list(arr.type) and arr.null_count == 0:
+            flat = arr.values.to_numpy(zero_copy_only=True)
+            return flat.reshape(len(arr), arr.type.list_size) \
+                .astype(np.float64, copy=False)
+        if (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)) \
+                and arr.null_count == 0 and len(arr):
+            offsets = arr.offsets.to_numpy()
+            widths = np.diff(offsets)
+            if (widths == widths[0]).all() and widths[0] > 0:
+                flat = arr.flatten().to_numpy(zero_copy_only=True)
+                return flat.reshape(len(arr), int(widths[0])) \
+                    .astype(np.float64, copy=False)
+    except (pa.ArrowInvalid, ValueError):
+        pass
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
 def _normalize(matrix: np.ndarray) -> np.ndarray:

@@ -40,22 +40,20 @@ def main() -> None:
             pa.string()),
     }), os.path.join(out_dir, "golden_pdf.parquet"))
 
-    # -- extract + chunks: frozen kernel outputs over the synthetic corpus
-    from docling_ray.sources.webpages import make_table
-    from docling_ray.stages.chunk import chunk_batch
-    from docling_ray.stages.extract import extract_and_project
+    # -- extract: TRUE golden — (url, doc_id, status, n_items) computed by
+    #    the CORPUS GENERATOR while emitting constructs (sha-256 of the raw
+    #    bytes + per-construct item counts), never by running the extractor
+    from docling_ray.sources.webpages import make_expected_table, make_table
 
-    web = make_table(120, seed=42)
-    extracted = extract_and_project(web)
-    pq.write_table(
-        extracted.select(["url", "doc_id", "status", "n_items"]),
-        os.path.join(out_dir, "golden_extract.parquet"))
+    pq.write_table(make_expected_table(120, seed=42),
+                   os.path.join(out_dir, "golden_extract.parquet"))
 
-    web60 = make_table(60, seed=42)
-    chunks = chunk_batch(web60)
-    pq.write_table(
-        chunks.select(["url", "chunk_id", "n_tokens", "kind"]),
-        os.path.join(out_dir, "golden_chunks.parquet"))
+    # -- chunks: TRUE golden — chunk rows simulated by the generator from
+    #    its own construct stream under the chunker contract
+    from docling_ray.sources.webpages import make_expected_chunks_table
+
+    pq.write_table(make_expected_chunks_table(60, seed=42),
+                   os.path.join(out_dir, "golden_chunks.parquet"))
 
     # -- mets_gbs: frozen doc-level output (parity with the reference's
     #    own test expectations is separately pytest-proven)
@@ -68,8 +66,8 @@ def main() -> None:
     from docling_ray.kernels.reading_order import (
         ROElement, reading_order_document)
 
-    raw = open("/root/reference/tests/data/mets_gbs/"
-               "32044009881525_select.tar.gz", "rb").read()
+    raw = open(os.path.join(out_dir, "32044009881525_select.tar.gz"),
+               "rb").read()
     pages = parse_mets_gbs(raw)
     els = []
     for page in pages:
