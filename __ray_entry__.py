@@ -378,6 +378,23 @@ def q_enrich(sf_dir: str):
     return out.select_columns(["url", "n_enriched"])
 
 
+def q_corpus_pipeline(sf_dir: str):
+    """The composed training-data chain a corpus user actually runs —
+    extract → exact dedup (keep-first by url) → MinHash near-dup drop →
+    doc-quality floor → chunk — as ONE streamed pipeline
+    (``pipelines/corpus.corpus_chunks``).  Input: 80 synthetic pages plus
+    planted exact duplicates (identical bytes under later-sorting urls).
+    Oracle: the generator's simulation of surviving docs' chunk streams
+    (TRUE golden; duplicates provably dropped by construction)."""
+    import ray.data
+
+    from docling_ray.pipelines.corpus import corpus_chunks
+    from docling_ray.sources.webpages import make_table, plant_exact_dups
+
+    table = plant_exact_dups(make_table(80, seed=42), every=10)
+    return corpus_chunks(ray.data.from_arrow(table))
+
+
 def q_extract_corpus(sf_dir: str):
     """Flagship HTML extraction over the deterministic synthetic corpus
     (byte-parity with the reference is asserted by the pytest goldens)."""
@@ -766,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "quality_score": q_quality_score,
         "extract_corpus": q_extract_corpus,
+        "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
         "enrich": q_enrich,
@@ -864,6 +882,10 @@ def oracle_sql() -> dict[str, str]:
         "chunks": f"""
             SELECT url, chunk_id, n_tokens, kind
             FROM read_parquet('{_GOLDEN_DIR}/golden_chunks.parquet')
+        """,
+        "corpus_pipeline": f"""
+            SELECT url, chunk_id, n_tokens, kind
+            FROM read_parquet('{_GOLDEN_DIR}/golden_corpus.parquet')
         """,
         # likewise frozen (true parity is pytest-proven: the reference's
         # own METS test expectations, page-tuple shape, annotation

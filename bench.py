@@ -69,11 +69,32 @@ def bench_extract(n_docs: int, batch_size: int = 64) -> dict:
     return {"docs": n, "sec": wall, "docs_per_sec": n / wall}
 
 
+def bench_corpus(n_docs: int) -> dict:
+    """Composed training-data chain (extract → exact dedup → minhash →
+    quality floor → chunk) via the checkpointed resumable runner — the
+    at-scale shape with per-stage wall times."""
+    import shutil
+
+    from docling_ray.pipelines.corpus import run_corpus
+
+    path = corpus_dir(n_docs)
+    out = os.path.join(BENCH_TMP, f"corpus_out_{n_docs}")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    res = run_corpus(path, out)
+    wall = time.time() - t0
+    return {"sec": round(wall, 3), "docs": n_docs,
+            "docs_per_sec": round(n_docs / wall, 1),
+            "n_chunks": res["n_chunks"], "stages": res["timings"]}
+
+
 def bench_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as entrymod
 
     timings: dict[str, float] = {}
-    skip = {"extract_corpus"}  # covered by the headline extraction bench
+    # extract_corpus is covered by the headline bench; corpus_pipeline by
+    # the dedicated checkpointed-runner bench above
+    skip = {"extract_corpus", "corpus_pipeline"}
     for name, fn in entrymod.queries().items():
         if name in skip:
             continue
@@ -98,6 +119,9 @@ def run(sf_dir: str, num_cpus: int, extract_only: bool = False) -> dict:
     result["extract"] = ext
     queries = {"extract_pipeline": round(ext["sec"], 3)}
     if not extract_only:
+        corpus = bench_corpus(min(10_000, max(1_000, n_docs // 5)))
+        result["corpus_pipeline"] = corpus
+        queries["corpus_pipeline"] = corpus["sec"]
         queries.update(bench_queries(sf_dir))
     result["queries"] = queries
     result["metric"] = "end-to-end extraction seconds (synthetic web corpus)"

@@ -1,0 +1,212 @@
+"""Composed training-data pipeline: extract → exact dedup → MinHash
+near-dup drop → doc-quality filter → chunk.
+
+Two shapes:
+
+- ``corpus_chunks(ds)``: the whole chain as one lazy Dataset composition
+  (the driver-query / test form).  The near-dup drop set is the only
+  driver-side materialization — it is bounded by the NEAR-DUP count, not
+  the corpus (pairs are ~0.1-1% of docs on real crawls), and is broadcast
+  into the filter stage.  Branching the deduped stream into the pair pass
+  and the chunk pass re-executes the extract lineage once more; at corpus
+  scale use ``run_corpus`` instead, which checkpoints each stage.
+
+- ``run_corpus(input_dir, output_dir)``: the 100 TB shape — each stage
+  writes partitioned parquet and records a manifest entry, so a failed
+  run resumes at the first unfinished stage; per-stage wall times are
+  reported (the reference's profiling surface,
+  ``/root/reference/docling/utils/profiling.py:20-62``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MIN_DOC_TOKENS = 30
+
+
+def _pairs_input(batch: pa.Table) -> pa.Table:
+    return pa.table({"doc_id": batch["url"], "text": batch["extracted_text"]})
+
+
+class DropUrls:
+    """Broadcast anti-filter: the (bounded) drop set is ``ray.put`` once,
+    fetched once per ACTOR, applied per batch — the same shape as
+    ``stages/joins.BroadcastLookupJoin``."""
+
+    def __init__(self, drop_ref, column: str = "url"):
+        import ray
+
+        self.drop = (ray.get(drop_ref)
+                     if isinstance(drop_ref, ray.ObjectRef) else drop_ref)
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.drop:
+            return batch
+        mask = [u not in self.drop for u in batch[self.column].to_pylist()]
+        return batch.filter(pa.array(mask))
+
+
+def _chunk_and_filter(batch: pa.Table, min_doc_tokens: int) -> pa.Table:
+    """Chunk the docs of one batch and drop every chunk of a document whose
+    TOTAL token count is under the quality floor — the per-doc sum is
+    available in-stage (chunk rows of a doc are contiguous), so the
+    quality filter costs no extra shuffle."""
+    from docling_ray.stages.chunk import chunk_batch
+
+    chunks = chunk_batch(batch)
+    if chunks.num_rows == 0:
+        return chunks.select(["url", "chunk_id", "n_tokens", "kind"])
+    urls = chunks["url"].to_numpy(zero_copy_only=False)
+    toks = chunks["n_tokens"].to_numpy(zero_copy_only=False)
+    import numpy as np
+
+    # per-doc token totals via run boundaries (rows per doc are contiguous)
+    change = np.empty(len(urls), dtype=bool)
+    change[0] = True
+    change[1:] = urls[1:] != urls[:-1]
+    doc_idx = np.cumsum(change) - 1
+    totals = np.bincount(doc_idx, weights=toks)
+    keep = totals[doc_idx] >= min_doc_tokens
+    return chunks.filter(pa.array(keep)) \
+        .select(["url", "chunk_id", "n_tokens", "kind"])
+
+
+def corpus_chunks(ds, minhash_threshold: float = 0.7,
+                  min_doc_tokens: int = MIN_DOC_TOKENS,
+                  keep_timings: dict | None = None):
+    """web pages → chunk rows of surviving, quality-filtered documents.
+
+    Dedup semantics: exact duplicates (identical raw bytes ⇒ identical
+    sha-256 ``doc_id``) keep the lexicographically smallest url; near-dup
+    pairs (MinHash-LSH on the EXTRACTED text at ``minhash_threshold``)
+    drop the larger url of each pair.  Quality: documents whose chunks
+    total fewer than ``min_doc_tokens`` tokens are dropped whole."""
+    import ray
+
+    from docling_ray.pipelines.extract_pipeline import extract_dataset
+    from docling_ray.stages.dedup import exact_dedup_keep_first, minhash_near_dups
+
+    timings = keep_timings if keep_timings is not None else {}
+    extracted = extract_dataset(ds, emit_doc_json=True)
+    deduped = exact_dedup_keep_first(extracted, key_column="doc_id",
+                                     order_column="url")
+    t0 = time.time()
+    pairs = minhash_near_dups(
+        deduped.map_batches(_pairs_input, batch_format="pyarrow"),
+        threshold=minhash_threshold)
+    # bounded driver materialization: near-dup PAIRS, not the corpus
+    drop = set()
+    for b in pairs.select_columns(["doc_b"]).iter_batches(
+            batch_format="pyarrow"):
+        drop.update(b["doc_b"].to_pylist())
+    timings["minhash_pairs_sec"] = round(time.time() - t0, 3)
+    drop_ref = ray.put(drop)
+
+    survivors = deduped.map_batches(
+        DropUrls, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs={"drop_ref": drop_ref})
+    return survivors.map_batches(
+        lambda b: _chunk_and_filter(b, min_doc_tokens),
+        batch_format="pyarrow")
+
+
+def run_corpus(input_dir: str, output_dir: str,
+               minhash_threshold: float = 0.7,
+               min_doc_tokens: int = MIN_DOC_TOKENS,
+               resume: bool = True) -> dict:
+    """Checkpointed, resumable corpus run (the at-scale shape):
+
+    1. ``extract+dedup`` → ``{out}/dedup/`` partitioned parquet (via the
+       manifest-resumable ``run_extract`` then a keyed dedup write)
+    2. ``minhash pairs`` over the checkpoint (pruned url+text read) →
+       ``{out}/pairs.parquet``
+    3. ``chunk`` the checkpoint minus dropped urls (broadcast set) with
+       the in-stage quality floor → ``{out}/chunks/``
+
+    Each stage is skipped when its done-marker exists (``resume=True``);
+    per-stage wall seconds are returned and persisted to
+    ``{out}/stage_timings.json``."""
+    import ray
+    import ray.data
+
+    from docling_ray.pipelines.extract_pipeline import run_extract
+    from docling_ray.stages.dedup import exact_dedup_keep_first, minhash_near_dups
+
+    os.makedirs(output_dir, exist_ok=True)
+    timings_path = os.path.join(output_dir, "stage_timings.json")
+    timings: dict = {}
+    if resume and os.path.exists(timings_path):
+        timings = json.load(open(timings_path))
+
+    def _mark(stage: str) -> str:
+        return os.path.join(output_dir, f"_{stage}_done")
+
+    # stage 1: extract (per-shard manifest resume) + exact dedup checkpoint
+    extract_dir = os.path.join(output_dir, "extracted")
+    dedup_dir = os.path.join(output_dir, "dedup")
+    if not (resume and os.path.exists(_mark("dedup"))):
+        t0 = time.time()
+        run_extract(input_dir, extract_dir, resume=resume,
+                    emit_doc_json=True)
+        timings["extract_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        ds = ray.data.read_parquet(os.path.join(extract_dir, "data"))
+        deduped = exact_dedup_keep_first(ds, key_column="doc_id",
+                                         order_column="url")
+        deduped.write_parquet(dedup_dir)
+        open(_mark("dedup"), "w").write("ok")
+        timings["dedup_sec"] = round(time.time() - t0, 3)
+
+    # stage 2: minhash near-dup pairs over the checkpoint (pruned read)
+    pairs_path = os.path.join(output_dir, "pairs")
+    if not (resume and os.path.exists(_mark("pairs"))):
+        t0 = time.time()
+        ds = ray.data.read_parquet(dedup_dir,
+                                   columns=["url", "extracted_text"])
+        pairs = minhash_near_dups(
+            ds.map_batches(_pairs_input, batch_format="pyarrow"),
+            threshold=minhash_threshold)
+        pairs.write_parquet(pairs_path)
+        open(_mark("pairs"), "w").write("ok")
+        timings["minhash_sec"] = round(time.time() - t0, 3)
+
+    # stage 3: chunk survivors with the in-stage quality floor
+    chunks_dir = os.path.join(output_dir, "chunks")
+    if not (resume and os.path.exists(_mark("chunks"))):
+        t0 = time.time()
+        import pyarrow.parquet as pq
+        import glob
+
+        drop = set()
+        for f in glob.glob(os.path.join(pairs_path, "*.parquet")):
+            drop.update(pq.read_table(f, columns=["doc_b"])["doc_b"]
+                        .to_pylist())
+        drop_ref = ray.put(drop)
+
+        ds = ray.data.read_parquet(dedup_dir)
+        out = ds.map_batches(
+            DropUrls, batch_format="pyarrow", concurrency=(1, 4),
+            fn_constructor_kwargs={"drop_ref": drop_ref},
+        ).map_batches(
+            lambda b: _chunk_and_filter(b, min_doc_tokens),
+            batch_format="pyarrow")
+        out.write_parquet(chunks_dir)
+        open(_mark("chunks"), "w").write("ok")
+        timings["chunks_sec"] = round(time.time() - t0, 3)
+
+    json.dump(timings, open(timings_path, "w"))
+    n_chunks = 0
+    import glob
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(os.path.join(chunks_dir, "*.parquet")):
+        n_chunks += pq.ParquetFile(f).metadata.num_rows
+    return {"timings": timings, "n_chunks": n_chunks,
+            "output_dir": output_dir}

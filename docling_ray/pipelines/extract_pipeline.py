@@ -31,9 +31,13 @@ def read_web_pages(path: str, columns: Optional[list[str]] = None,
     return ray.data.read_parquet(path, columns=columns or INPUT_COLUMNS, **kwargs)
 
 
-def extract_dataset(ds: ray.data.Dataset,
-                    batch_size: int = 128) -> ray.data.Dataset:
+def extract_dataset(ds: ray.data.Dataset, batch_size: int = 128,
+                    emit_doc_json: bool = False) -> ray.data.Dataset:
     """The extraction chain on an already-constructed dataset."""
+    if emit_doc_json:
+        return ds.map_batches(
+            lambda b: extract_and_project(b, emit_doc_json=True),
+            batch_format="pyarrow", batch_size=batch_size)
     return ds.map_batches(extract_and_project, batch_format="pyarrow",
                           batch_size=batch_size)
 
@@ -83,7 +87,7 @@ def _add_len_cols(batch):
 
 
 def run_extract(input_dir: str, output_dir: str, batch_size: int = 64,
-                resume: bool = True) -> dict:
+                resume: bool = True, emit_doc_json: bool = False) -> dict:
     """Resumable corpus run: one output partition per input shard.
 
     Shards already recorded in the output manifest are skipped; remaining
@@ -109,7 +113,8 @@ def run_extract(input_dir: str, output_dir: str, batch_size: int = 64,
                 shutil.rmtree(stale)
         ds = read_web_pages(todo, columns=INPUT_COLUMNS + [], include_paths=True)
         ds = ds.map_batches(_shard_from_path, batch_format="pyarrow")
-        ds = extract_dataset(ds, batch_size=batch_size)
+        ds = extract_dataset(ds, batch_size=batch_size,
+                             emit_doc_json=emit_doc_json)
         ds.write_parquet(data_dir, partition_cols=["shard"])
         for f in todo:
             shard = os.path.basename(f)

@@ -352,6 +352,49 @@ def make_expected_table(n: int, seed: int = 42, start: int = 0,
     })
 
 
+def make_expected_corpus_chunks_table(n: int, seed: int = 42, start: int = 0,
+                                      skew_every: int = 50,
+                                      min_doc_tokens: int = 30) -> pa.Table:
+    """TRUE golden for the COMPOSED corpus pipeline
+    (``pipelines/corpus.corpus_chunks``): the expected chunk rows of every
+    document whose total expected token count clears the quality floor.
+    Planted duplicates (same bytes under a later-sorting url) are dropped
+    upstream by exact dedup, so they are simply absent here — the caller
+    plants them in the INPUT only."""
+    data, _, expected_chunks = make_rows(start, n, seed=seed,
+                                         skew_every=skew_every,
+                                         with_expected=True)
+    urls, ids, toks, kinds = [], [], [], []
+    for url, chunks in zip(data["url"], expected_chunks):
+        if sum(t for _, t in chunks) < min_doc_tokens:
+            continue
+        for ci, (kind, tok) in enumerate(chunks):
+            urls.append(url)
+            ids.append(ci)
+            toks.append(tok)
+            kinds.append(kind)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "chunk_id": pa.array(ids, pa.int32()),
+        "n_tokens": pa.array(toks, pa.int32()),
+        "kind": pa.array(kinds, pa.string()),
+    })
+
+
+def plant_exact_dups(table: pa.Table, every: int = 10) -> pa.Table:
+    """Append an exact duplicate (identical bytes, different url) of every
+    ``every``-th row.  Duplicate urls sort AFTER every original url
+    (zz- prefix), so keep-first-by-url dedup keeps the originals
+    deterministically."""
+    idx = list(range(0, table.num_rows, every))
+    dups = table.take(pa.array(idx, pa.int64()))
+    new_urls = pa.array([f"https://zz-dup.example.org/{i}" for i in idx],
+                        pa.string())
+    dups = dups.set_column(dups.schema.get_field_index("url"), "url",
+                           new_urls)
+    return pa.concat_tables([table, dups])
+
+
 def make_expected_chunks_table(n: int, seed: int = 42, start: int = 0,
                                skew_every: int = 50) -> pa.Table:
     """Generator-side TRUE golden for the chunking pipeline:

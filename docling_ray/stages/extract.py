@@ -293,12 +293,16 @@ def extract_batch(batch: pa.Table, emit_doc_json: bool = False,
     return out
 
 
-def extract_and_project(batch: pa.Table) -> pa.Table:
+def extract_and_project(batch: pa.Table,
+                        emit_doc_json: bool = False) -> pa.Table:
     """Fused sniff+hash+extract, dropping the heavy ``html`` payload on the
-    way out — the downstream pipeline only ships extracted text."""
+    way out — the downstream pipeline only ships extracted text (plus the
+    ``doc_json`` item tree when a downstream stage — chunking, enrichment —
+    consumes the structure; re-parsing raw bytes downstream is wasted
+    work)."""
     batch = sniff_batch(batch)
     batch = hash_batch(batch)
-    batch = extract_batch(batch)
+    batch = extract_batch(batch, emit_doc_json=emit_doc_json)
     keep = [c for c in batch.column_names if c != "html"]
     return batch.select(keep)
 

@@ -50,10 +50,19 @@ def main() -> None:
 
     # -- chunks: TRUE golden — chunk rows simulated by the generator from
     #    its own construct stream under the chunker contract
-    from docling_ray.sources.webpages import make_expected_chunks_table
+    from docling_ray.sources.webpages import (
+        make_expected_chunks_table,
+        make_expected_corpus_chunks_table,
+    )
 
     pq.write_table(make_expected_chunks_table(60, seed=42),
                    os.path.join(out_dir, "golden_chunks.parquet"))
+
+    # -- corpus_pipeline: TRUE golden — surviving docs' chunk streams for
+    #    the composed extract→dedup→minhash→quality→chunk chain (planted
+    #    duplicates are dropped by construction, quality floor applied)
+    pq.write_table(make_expected_corpus_chunks_table(80, seed=42),
+                   os.path.join(out_dir, "golden_corpus.parquet"))
 
     # -- mets_gbs: frozen doc-level output (parity with the reference's
     #    own test expectations is separately pytest-proven)

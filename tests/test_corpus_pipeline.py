@@ -1,0 +1,63 @@
+"""Composed corpus pipeline (extract → exact dedup → minhash drop →
+quality floor → chunk): generator-predicted output, planted-duplicate
+drop, and checkpointed resume."""
+
+import json
+import os
+
+import pyarrow as pa
+
+
+def test_corpus_chunks_matches_generator_expectation(ray_session):
+    import ray.data
+
+    from docling_ray.pipelines.corpus import corpus_chunks
+    from docling_ray.sources.webpages import (
+        make_expected_corpus_chunks_table,
+        make_table,
+        plant_exact_dups,
+    )
+
+    table = plant_exact_dups(make_table(40, seed=17), every=8)
+    got = corpus_chunks(ray.data.from_arrow(table)).to_pandas() \
+        .sort_values(["url", "chunk_id"]).reset_index(drop=True)
+    exp = make_expected_corpus_chunks_table(40, seed=17).to_pandas() \
+        .sort_values(["url", "chunk_id"]).reset_index(drop=True)
+    assert not got["url"].str.startswith("https://zz-dup").any(), \
+        "planted duplicate urls must be dropped"
+    assert got[["url", "chunk_id", "n_tokens", "kind"]].values.tolist() == \
+        exp[["url", "chunk_id", "n_tokens", "kind"]].values.tolist()
+
+
+def test_run_corpus_checkpointed_resume(ray_session, tmp_path):
+    from docling_ray.pipelines.corpus import run_corpus
+    from docling_ray.sources.webpages import write_corpus
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    write_corpus(str(src), 30, seed=3, rows_per_file=10)
+    res1 = run_corpus(str(src), str(out))
+    assert res1["n_chunks"] > 0
+    for key in ("extract_sec", "dedup_sec", "minhash_sec", "chunks_sec"):
+        assert key in res1["timings"]
+    timings = json.load(open(os.path.join(str(out), "stage_timings.json")))
+    assert timings == res1["timings"]
+    # resume: every stage marker exists, nothing recomputes, same output
+    res2 = run_corpus(str(src), str(out))
+    assert res2["n_chunks"] == res1["n_chunks"]
+    assert res2["timings"] == res1["timings"]
+
+
+def test_plant_exact_dups_shape():
+    from docling_ray.sources.webpages import make_table, plant_exact_dups
+
+    t = make_table(20, seed=5)
+    p = plant_exact_dups(t, every=10)
+    assert p.num_rows == 22
+    base = t.to_pydict()
+    dup = p.slice(20).to_pydict()
+    # identical bytes, later-sorting urls
+    assert dup["html"][0] == base["html"][0]
+    assert dup["html"][1] == base["html"][10]
+    assert all(u.startswith("https://zz-dup") for u in dup["url"])
+    assert min(dup["url"]) > max(base["url"])
