@@ -110,37 +110,44 @@ def merge_horizontal_cells(cells: list[Cell],
     return merged
 
 
-def render_page(raw: bytes, page_no: int = 0,
-                scale: float = 1.0):  # pragma: no cover - native lib path
+def render_page(raw: bytes, page_no: int = 0, scale: float = 1.0,
+                pdfium_module=None):
     """Page rendering with the reference's sharpness trick: rasterize at
     1.5× the requested scale, then downscale
-    (``pypdfium2_backend.py:327-361``).  Needs pypdfium2 + PIL (absent in
-    this runtime)."""
-    try:
-        import pypdfium2 as pdfium
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "page rendering needs pypdfium2 + PIL (native; absent here)"
-        ) from exc
-    pdf = pdfium.PdfDocument(raw)
+    (``pypdfium2_backend.py:327-361``).  ``pdfium_module`` is injectable
+    so the argument plumbing and 1.5×+resize math are testable without
+    the native library; when omitted, the real pypdfium2 + PIL pair is
+    required (absent in this runtime)."""
+    if pdfium_module is None:  # pragma: no cover - native lib boundary
+        try:
+            import pypdfium2 as pdfium_module
+            from PIL import Image  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "page rendering needs pypdfium2 + PIL (native; absent here)"
+            ) from exc
+    pdf = pdfium_module.PdfDocument(raw)
     page = pdf[page_no]
     image = page.render(scale=scale * 1.5).to_pil()
     return image.resize((round(page.get_width() * scale),
                          round(page.get_height() * scale)))
 
 
-def compute_text_cells(raw: bytes, page_no: int = 0) -> list[Cell]:
-    """Real pdfium path (rect enumeration + bounded re-read), available
-    only when the native library is importable."""
-    try:
-        import pypdfium2 as pdfium
-    except ImportError as exc:  # pragma: no cover - native lib boundary
-        raise NotImplementedError(
-            "pypdfium2 (native) is not available in this runtime; feed "
-            "parsed-cell tables instead (FIXTURES.md §F3)") from exc
+def compute_text_cells(raw: bytes, page_no: int = 0,
+                       pdfium_module=None) -> list[Cell]:
+    """Real pdfium path (rect enumeration + bounded re-read).
+    ``pdfium_module`` is injectable so the y-flip, the bounded re-read
+    arguments and the merge wiring are testable without the native
+    library (which is what this runtime lacks)."""
+    if pdfium_module is None:  # pragma: no cover - native lib boundary
+        try:
+            import pypdfium2 as pdfium_module
+        except ImportError as exc:
+            raise NotImplementedError(
+                "pypdfium2 (native) is not available in this runtime; feed "
+                "parsed-cell tables instead (FIXTURES.md §F3)") from exc
 
-    pdf = pdfium.PdfDocument(raw)  # pragma: no cover - native lib path
+    pdf = pdfium_module.PdfDocument(raw)
     page = pdf[page_no]
     text_page = page.get_textpage()
     height = page.get_height()

@@ -78,3 +78,115 @@ def test_single_cells_pass_through_unmerged():
     assert [c.text for c in out] == ["only"]
     assert out[0].index == 1
     assert merge_horizontal_cells([]) == []
+
+
+# -- fake-injected native-slot tests (the libs never ship in this runtime,
+# but the argument plumbing, y-flip and 1.5x render math must be real) ----
+
+class _FakeImage:
+    def __init__(self, log):
+        self.log = log
+
+    def resize(self, size):
+        self.log["resize"] = size
+        return ("resized", size)
+
+
+class _FakeBitmap:
+    def __init__(self, log):
+        self.log = log
+
+    def to_pil(self):
+        return _FakeImage(self.log)
+
+
+class _FakeTextPage:
+    """Tiny pdfium-coordinate (y-up) text page: two fragments on one line
+    plus one far-right fragment.  get_text_bounded answers from the rect
+    list so the merged re-read is observable."""
+
+    def __init__(self, rects, texts, log):
+        self.rects = rects      # (x0, y0, x1, y1) y-up
+        self.texts = texts
+        self.log = log
+
+    def count_rects(self):
+        return len(self.rects)
+
+    def get_rect(self, i):
+        return self.rects[i]
+
+    def get_text_bounded(self, x0, y0, x1, y1):
+        self.log.setdefault("bounded_calls", []).append((x0, y0, x1, y1))
+        out = [t for (a, b, c, d), t in zip(self.rects, self.texts)
+               if a >= x0 - 1e-6 and c <= x1 + 1e-6
+               and b >= y0 - 1e-6 and d <= y1 + 1e-6]
+        return "".join(out)
+
+
+class _FakePage:
+    def __init__(self, width, height, textpage, log):
+        self._w, self._h = width, height
+        self._tp = textpage
+        self.log = log
+
+    def get_width(self):
+        return self._w
+
+    def get_height(self):
+        return self._h
+
+    def render(self, scale):
+        self.log["render_scale"] = scale
+        return _FakeBitmap(self.log)
+
+    def get_textpage(self):
+        return self._tp
+
+
+class _FakePdfium:
+    def __init__(self, page):
+        self._page = page
+
+    def PdfDocument(self, raw):
+        self._raw = raw
+        return {0: self._page}
+
+
+def test_render_page_scale_math_via_fake():
+    from docling_ray.kernels.pdfium_cells import render_page
+
+    log = {}
+    page = _FakePage(612.0, 792.0, None, log)
+    out = render_page(b"%PDF-fake", page_no=0, scale=2.0,
+                      pdfium_module=_FakePdfium(page))
+    # rasterize at 1.5x the requested scale, then resize to scale x page
+    assert log["render_scale"] == 3.0
+    assert log["resize"] == (1224, 1584)
+    assert out == ("resized", (1224, 1584))
+
+
+def test_compute_text_cells_via_fake_yflip_and_bounded_reread():
+    from docling_ray.kernels.pdfium_cells import compute_text_cells
+
+    log = {}
+    height = 100.0
+    # pdfium rects are y-UP: y0 bottom, y1 top.  Two close fragments on one
+    # line (gap 2 < avg height 10) and one far fragment (gap 50 > 10).
+    rects = [(10.0, 80.0, 30.0, 90.0),
+             (32.0, 80.0, 50.0, 90.0),
+             (100.0, 80.0, 120.0, 90.0)]
+    texts = ["Hel", "lo", "far"]
+    tp = _FakeTextPage(rects, texts, log)
+    page = _FakePage(612.0, height, tp, log)
+    cells = compute_text_cells(b"%PDF-fake", page_no=0,
+                               pdfium_module=_FakePdfium(page))
+    assert [c.text for c in cells] == ["Hello", "far"]
+    # y-flip: pdfium (y0=80, y1=90) -> top-left t=100-90=10, b=100-80=20
+    assert (cells[0].bbox.t, cells[0].bbox.b) == (10.0, 20.0)
+    # merged cell indices re-based at 1 (reference quirk)
+    assert [c.index for c in cells] == [1, 2]
+    # the merged text was RE-READ from the union bbox in pdfium coords
+    # (x0, height-b, x1, height-t) = (10, 80, 50, 90) - after the initial
+    # three per-rect reads
+    assert log["bounded_calls"][3] == (10.0, 80.0, 50.0, 90.0)
