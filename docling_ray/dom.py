@@ -150,6 +150,28 @@ class Tag:
         limit: Optional[int] = None,
         **attrs,
     ) -> list["Tag"]:
+        if limit is None and not attrs \
+                and isinstance(name, (str, tuple, frozenset, set)):
+            if not recursive:
+                if isinstance(name, str):
+                    return [n for n in self.contents
+                            if (n.__class__ is Tag or isinstance(n, Tag))
+                            and n.name == name]
+                return [n for n in self.contents
+                        if (n.__class__ is Tag or isinstance(n, Tag))
+                        and n.name in name]
+            # hot path (img/tr/td scans): inline DFS, no generator frames
+            single = isinstance(name, str)
+            out_f: list[Tag] = []
+            stack = self.contents[::-1]
+            while stack:
+                node = stack.pop()
+                if node.__class__ is Tag or isinstance(node, Tag):
+                    if (node.name == name) if single else (node.name in name):
+                        out_f.append(node)
+                    if node.contents:
+                        stack.extend(node.contents[::-1])
+            return out_f
         source: Iterable[Node] = self.descendants() if recursive else self.contents
         out: list[Tag] = []
         is_str = isinstance(name, str)
@@ -179,6 +201,17 @@ class Tag:
     __call__ = find_all
 
     def find(self, name=None, recursive: bool = True, **attrs) -> Optional["Tag"]:
+        if recursive and not attrs and isinstance(name, str):
+            # hot path: early-exit DFS without generator frames
+            stack = self.contents[::-1]
+            while stack:
+                node = stack.pop()
+                if node.__class__ is Tag or isinstance(node, Tag):
+                    if node.name == name:
+                        return node
+                    if node.contents:
+                        stack.extend(node.contents[::-1])
+            return None
         found = self.find_all(name, recursive=recursive, limit=1, **attrs)
         return found[0] if found else None
 
@@ -269,19 +302,26 @@ class _TreeBuilder(HTMLParser):
     def _append_text(self, text: str, cls=NavStr) -> None:
         if not text:
             return
-        if cls is NavStr and all(ch in _ASCII_SPACES for ch in text):
-            if not any(tag.name in _PRESERVE_WHITESPACE_TAGS for tag in self.stack):
+        # strip-to-empty ⟺ every char in _ASCII_SPACES, but in C
+        if cls is NavStr and not text.strip(" \n\t\f\r"):
+            for tag in self.stack:
+                if tag.name in _PRESERVE_WHITESPACE_TAGS:
+                    break
+            else:
                 text = "\n" if "\n" in text else " "
-        self._top().append(cls(text))
+        self.stack[-1].append(cls(text))
 
     # -- parser events ---------------------------------------------------
     def handle_starttag(self, name, attrs):
         attr_dict: dict[str, str] = {}
-        for key, value in attrs:
-            if key not in attr_dict:  # keep the first duplicate, like bs4
-                attr_dict[key] = "" if value is None else value
+        if attrs:
+            for key, value in attrs:
+                if key not in attr_dict:  # keep the first duplicate, like bs4
+                    attr_dict[key] = "" if value is None else value
         tag = Tag(name, attr_dict)
-        self._top().append(tag)
+        top = self.stack[-1]
+        tag.parent = top
+        top.contents.append(tag)
         if name not in VOID_ELEMENTS:
             self.stack.append(tag)
 

@@ -37,6 +37,9 @@ _CDATA_CLOSE = {
 }
 _ATTR_LETTERS = frozenset(
     "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+# bounded tag-name lowercase cache: avoids a str alloc per start/end tag
+# (real markup repeats a tiny tag vocabulary)
+_TAG_LOWER: dict[str, str] = {}
 
 
 def feed(text: str, b) -> None:
@@ -62,6 +65,25 @@ def feed(text: str, b) -> None:
         return k
 
     def parse_starttag(i: int) -> int:
+        nonlocal cdata
+        # fast path: "<name>" with no attributes — the dominant shape in
+        # real markup.  The dispatcher guarantees text[i+1] is a letter,
+        # so an alnum-only candidate is exactly what tagfind_tolerant +
+        # locatestarttagend_tolerant would produce: tag = name.lower(),
+        # no attrs, end '>' — byte-identical to the slow path below.
+        gt = text.find(">", i + 1)
+        if gt > i + 1:
+            cand = text[i + 1:gt]
+            if cand.isalnum():
+                tag = _TAG_LOWER.get(cand)
+                if tag is None:
+                    tag = cand.lower()
+                    if len(_TAG_LOWER) < 1024:
+                        _TAG_LOWER[cand] = tag
+                handle_starttag(tag, [])
+                if tag in _CDATA_ELEMS:
+                    cdata = tag
+                return gt + 1
         m = locatestarttagend_tolerant.match(text, i)
         j = m.end()
         nxt = text[j:j + 1]
@@ -102,7 +124,6 @@ def feed(text: str, b) -> None:
             b.handle_startendtag(tag, attrs)
         else:
             handle_starttag(tag, attrs)
-            nonlocal cdata
             if tag in _CDATA_ELEMS:
                 cdata = tag
         return endpos
@@ -113,6 +134,22 @@ def feed(text: str, b) -> None:
         if gt < 0:
             return -1
         gtpos = gt + 1
+        # fast path: "</name>" — exactly what endtagfind would match
+        # (first char must be an ASCII letter; a digit-first name falls to
+        # the tolerant recovery below, which treats it differently)
+        cand = text[i + 2:gt]
+        if cand.isalnum() and ("a" <= cand[0] <= "z" or "A" <= cand[0] <= "Z"):
+            elem = _TAG_LOWER.get(cand)
+            if elem is None:
+                elem = cand.lower()
+                if len(_TAG_LOWER) < 1024:
+                    _TAG_LOWER[cand] = elem
+            if cdata is not None and elem != cdata:
+                handle_data(text[i:gtpos])
+                return gtpos
+            handle_endtag(elem)
+            cdata = None
+            return gtpos
         m = endtagfind.match(text, i)
         if not m:
             if cdata is not None:

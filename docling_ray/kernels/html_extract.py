@@ -365,15 +365,20 @@ class HtmlExtractor:
 
     # -- inline extraction -------------------------------------------------
     def _parent_format_tags(self, node) -> list[str]:
-        tags = []
-        for fmt in FORMAT_TAG_FIELDS:
-            ancestor = node.parent
-            while ancestor is not None:
-                if ancestor.name == fmt:
-                    tags.append(fmt)
-                    break
-                ancestor = ancestor.parent
-        return tags
+        # ONE ancestor walk collecting format names, then ordered by the
+        # field table — equivalent to per-field walks, ~F× cheaper
+        names = None
+        ancestor = node.parent
+        while ancestor is not None:
+            if ancestor.name in FORMAT_TAG_FIELDS:
+                if names is None:
+                    names = {ancestor.name}
+                else:
+                    names.add(ancestor.name)
+            ancestor = ancestor.parent
+        if names is None:
+            return []
+        return [fmt for fmt in FORMAT_TAG_FIELDS if fmt in names]
 
     def _runs_of(self, node, ignore_list: bool = False,
                  parent_annotation: bool = False,
@@ -381,16 +386,30 @@ class HtmlExtractor:
         """Recursive inline text + annotation accumulation
         (html_backend.py:388-466)."""
         if parent_annotation:
-            fmt_tags = self._parent_format_tags(node)
+            # one combined ancestor walk: format names over the FULL chain
+            # plus the NEAREST hyperlink ancestor (the fmt list is only
+            # consumed when such an ancestor exists)
+            names = None
+            a_ancestor = None
             ancestor = node.parent
             while ancestor is not None:
-                if ancestor.name == "a" and ancestor.get("href"):
-                    with self._use_format(fmt_tags):
-                        with self._use_hyperlink(ancestor):
-                            # NB: keep_newlines intentionally NOT propagated —
-                            # mirrors the reference's re-entry at :407-409.
-                            return self._runs_of(node, ignore_list)
+                nm = ancestor.name
+                if nm in FORMAT_TAG_FIELDS:
+                    if names is None:
+                        names = {nm}
+                    else:
+                        names.add(nm)
+                elif a_ancestor is None and nm == "a" and ancestor.get("href"):
+                    a_ancestor = ancestor
                 ancestor = ancestor.parent
+            if a_ancestor is not None:
+                fmt_tags = ([] if names is None else
+                            [fmt for fmt in FORMAT_TAG_FIELDS if fmt in names])
+                with self._use_format(fmt_tags):
+                    with self._use_hyperlink(a_ancestor):
+                        # NB: keep_newlines intentionally NOT propagated —
+                        # mirrors the reference's re-entry at :407-409.
+                        return self._runs_of(node, ignore_list)
 
         if isinstance(node, Preformatted):
             return []
@@ -405,18 +424,39 @@ class HtmlExtractor:
 
         result: list[Run] = []
         if not ignore_list or node.name not in ("ul", "ol"):
+            # hoisted per-call inline state: format_tags cannot change
+            # across PLAIN children (only the fmt/a branches push context),
+            # so the code flag and Formatting snapshot are loop-invariant
+            code = any(tag in self.format_tags for tag in CODE_TAGS)
+            hyperlink = self.hyperlink
+            formatting = self._formatting
             for child in node.contents:
-                if isinstance(child, Tag) and child.name in FORMAT_TAG_FIELDS:
-                    with self._use_format([child.name]):
-                        result.extend(self._runs_of(child, ignore_list,
-                                                    keep_newlines=keep_newlines))
-                elif isinstance(child, Tag) and child.name == "a":
-                    with self._use_hyperlink(child):
-                        result.extend(self._runs_of(child, ignore_list,
-                                                    keep_newlines=keep_newlines))
-                else:
-                    result.extend(self._runs_of(child, ignore_list,
-                                                keep_newlines=keep_newlines))
+                if child.__class__ is NavStr:
+                    # hot leaf inlined (the NavStr branch above, minus the
+                    # per-leaf state recompute)
+                    stripped = child.strip()
+                    if stripped:
+                        result.append(Run(stripped, hyperlink, formatting,
+                                          code))
+                    elif keep_newlines and child.strip("\n\r") == "":
+                        result.append(Run("\n", hyperlink, formatting, code))
+                    continue
+                if isinstance(child, Tag):
+                    cname = child.name
+                    if cname in FORMAT_TAG_FIELDS:
+                        with self._use_format([cname]):
+                            result.extend(self._runs_of(
+                                child, ignore_list,
+                                keep_newlines=keep_newlines))
+                        continue
+                    if cname == "a":
+                        with self._use_hyperlink(child):
+                            result.extend(self._runs_of(
+                                child, ignore_list,
+                                keep_newlines=keep_newlines))
+                        continue
+                result.extend(self._runs_of(child, ignore_list,
+                                            keep_newlines=keep_newlines))
         return result
 
     # -- block handlers ----------------------------------------------------
