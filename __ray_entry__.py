@@ -864,13 +864,14 @@ def oracle_sql() -> dict[str, str]:
         "langid": _LANGID_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         # committed-golden oracles for the non-SQL-expressible pipelines
-        # (scripts/gen_goldens.py).  pdf, extract_corpus and chunks are
-        # TRUE goldens: expected values computed by the GENERATORS
-        # independently of the pipelines (pdf: page generator's assembled
-        # text; extract: sha-256 of the raw bytes + per-construct item
-        # counts emitted by webpages.make_html; chunks: the generator's
-        # simulation of the chunker contract over its own construct
-        # stream — see sources/webpages.py).
+        # (scripts/gen_goldens.py).  pdf, extract_corpus, chunks,
+        # corpus_pipeline and enrich are TRUE goldens: expected values
+        # computed by the GENERATORS independently of the pipelines
+        # (pdf: page generator's assembled text; extract: sha-256 of the
+        # raw bytes + per-construct item counts emitted by
+        # webpages.make_html; chunks/corpus: the generator's simulation
+        # of the chunker contract over its own construct stream; enrich:
+        # predicted enrichable-item counts — see sources/webpages.py).
         "pdf_pipeline": f"""
             SELECT doc_id, n_pages, text_md5
             FROM read_parquet('{_GOLDEN_DIR}/golden_pdf.parquet')

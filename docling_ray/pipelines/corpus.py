@@ -4,18 +4,23 @@ near-dup drop → doc-quality filter → chunk.
 Two shapes:
 
 - ``corpus_chunks(ds)``: the whole chain as one lazy Dataset composition
-  (the driver-query / test form).  The near-dup drop set is the only
-  driver-side materialization — it is bounded by the NEAR-DUP count, not
-  the corpus (pairs are ~0.1-1% of docs on real crawls), and is broadcast
-  into the filter stage.  Branching the deduped stream into the pair pass
-  and the chunk pass re-executes the extract lineage once more; at corpus
-  scale use ``run_corpus`` instead, which checkpoints each stage.
+  (the driver-query / test form).  The drop set (exact-dup losers +
+  near-dup pair members) is the only driver-side materialization — it is
+  bounded by the DUPLICATE count, not the corpus, and is broadcast into
+  the anti-filter stage.  Branching the extracted stream into the two
+  decision passes re-executes the extract lineage; at corpus scale use
+  ``run_corpus`` instead, which checkpoints extraction once and runs the
+  decisions over pruned column reads.
 
-- ``run_corpus(input_dir, output_dir)``: the 100 TB shape — each stage
-  writes partitioned parquet and records a manifest entry, so a failed
-  run resumes at the first unfinished stage; per-stage wall times are
-  reported (the reference's profiling surface,
-  ``/root/reference/docling/utils/profiling.py:20-62``).
+- ``run_corpus(input_dir, output_dir)``: the 100 TB shape — extract
+  checkpoints to partitioned parquet (per-shard manifest resume), then
+  every dedup DECISION runs over pruned tiny projections (exact-dup
+  losers from (doc_id, url); MinHash pairs from (url, text)) and only the
+  final chunk pass streams the payload again, anti-filtered by the
+  broadcast drop set.  The corpus payload never enters a shuffle.  Each
+  stage writes a done marker, so a failed run resumes at the first
+  unfinished stage; per-stage wall times are reported (the reference's
+  profiling surface, ``/root/reference/docling/utils/profiling.py:20-62``).
 """
 
 from __future__ import annotations
@@ -28,6 +33,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 MIN_DOC_TOKENS = 30
+
+
+
+def _signature_concurrency() -> int:
+    """Size the MinHash signature pool to the cluster: shingling+md5 is
+    the compute-heavy stage of the near-dup pass, so give it half the
+    CPUs (autoscaling (1, N) — it yields them when idle)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(4, cpus // 2)
 
 
 def _pairs_input(batch: pa.Table) -> pa.Table:
@@ -91,25 +110,37 @@ def corpus_chunks(ds, minhash_threshold: float = 0.7,
     import ray
 
     from docling_ray.pipelines.extract_pipeline import extract_dataset
-    from docling_ray.stages.dedup import exact_dedup_keep_first, minhash_near_dups
+    from docling_ray.stages.dedup import exact_dedup_losers, minhash_near_dups
 
     timings = keep_timings if keep_timings is not None else {}
     extracted = extract_dataset(ds, emit_doc_json=True)
-    deduped = exact_dedup_keep_first(extracted, key_column="doc_id",
-                                     order_column="url")
+
+    # exact-dup LOSERS from the (doc_id, url) projection — the payload
+    # never enters a shuffle (see exact_dedup_losers)
+    t0 = time.time()
+    drop: set = set()
+    for b in exact_dedup_losers(extracted, key_column="doc_id",
+                                order_column="url") \
+            .iter_batches(batch_format="pyarrow"):
+        drop.update(b["url"].to_pylist())
+    timings["exact_losers_sec"] = round(time.time() - t0, 3)
+
+    # near-dup pairs on the pre-collapse stream: drop-the-larger-url is
+    # INVARIANT to exact-dup collapse (an exact-dup loser's winner shares
+    # its text, hence generates the same pairs with a smaller url), so one
+    # combined anti-filter gives the sequential dedup→near-dup semantics
     t0 = time.time()
     pairs = minhash_near_dups(
-        deduped.map_batches(_pairs_input, batch_format="pyarrow"),
-        threshold=minhash_threshold)
-    # bounded driver materialization: near-dup PAIRS, not the corpus
-    drop = set()
+        extracted.map_batches(_pairs_input, batch_format="pyarrow"),
+        threshold=minhash_threshold,
+        concurrency=_signature_concurrency())
     for b in pairs.select_columns(["doc_b"]).iter_batches(
             batch_format="pyarrow"):
         drop.update(b["doc_b"].to_pylist())
     timings["minhash_pairs_sec"] = round(time.time() - t0, 3)
     drop_ref = ray.put(drop)
 
-    survivors = deduped.map_batches(
+    survivors = extracted.map_batches(
         DropUrls, batch_format="pyarrow", concurrency=(1, 4),
         fn_constructor_kwargs={"drop_ref": drop_ref})
     return survivors.map_batches(
@@ -123,12 +154,16 @@ def run_corpus(input_dir: str, output_dir: str,
                resume: bool = True) -> dict:
     """Checkpointed, resumable corpus run (the at-scale shape):
 
-    1. ``extract+dedup`` → ``{out}/dedup/`` partitioned parquet (via the
-       manifest-resumable ``run_extract`` then a keyed dedup write)
-    2. ``minhash pairs`` over the checkpoint (pruned url+text read) →
-       ``{out}/pairs.parquet``
-    3. ``chunk`` the checkpoint minus dropped urls (broadcast set) with
-       the in-stage quality floor → ``{out}/chunks/``
+    1. ``extract`` → ``{out}/extracted/data`` partitioned parquet (the
+       manifest-resumable ``run_extract``, doc_json emitted for chunking)
+    2. ``exact-dup losers`` from a pruned (doc_id, url) read →
+       ``{out}/exact_losers/`` — the payload never enters a shuffle
+    3. ``minhash pairs`` over a pruned (url, text) read →
+       ``{out}/pairs/`` (pre-collapse stream; drop-the-larger-url is
+       invariant to exact-dup collapse)
+    4. ``chunk`` the checkpoint anti-filtered by the broadcast drop set
+       (exact losers + pair members) with the in-stage quality floor →
+       ``{out}/chunks/``
 
     Each stage is skipped when its done-marker exists (``resume=True``);
     per-stage wall seconds are returned and persisted to
@@ -137,7 +172,7 @@ def run_corpus(input_dir: str, output_dir: str,
     import ray.data
 
     from docling_ray.pipelines.extract_pipeline import run_extract
-    from docling_ray.stages.dedup import exact_dedup_keep_first, minhash_near_dups
+    from docling_ray.stages.dedup import exact_dedup_losers, minhash_near_dups
 
     os.makedirs(output_dir, exist_ok=True)
     timings_path = os.path.join(output_dir, "stage_timings.json")
@@ -148,36 +183,48 @@ def run_corpus(input_dir: str, output_dir: str,
     def _mark(stage: str) -> str:
         return os.path.join(output_dir, f"_{stage}_done")
 
-    # stage 1: extract (per-shard manifest resume) + exact dedup checkpoint
+    # stage 1: extract (per-shard manifest resume)
     extract_dir = os.path.join(output_dir, "extracted")
-    dedup_dir = os.path.join(output_dir, "dedup")
-    if not (resume and os.path.exists(_mark("dedup"))):
+    data_dir = os.path.join(extract_dir, "data")
+    if not (resume and os.path.exists(_mark("extract"))):
         t0 = time.time()
         run_extract(input_dir, extract_dir, resume=resume,
                     emit_doc_json=True)
+        open(_mark("extract"), "w").write("ok")
         timings["extract_sec"] = round(time.time() - t0, 3)
+
+    # stage 2: exact-dup LOSER urls from the (doc_id, url) projection —
+    # the corpus payload never enters a shuffle (exact_dedup_losers)
+    losers_path = os.path.join(output_dir, "exact_losers")
+    if not (resume and os.path.exists(_mark("dedup"))):
         t0 = time.time()
-        ds = ray.data.read_parquet(os.path.join(extract_dir, "data"))
-        deduped = exact_dedup_keep_first(ds, key_column="doc_id",
-                                         order_column="url")
-        deduped.write_parquet(dedup_dir)
+        ds = ray.data.read_parquet(data_dir, columns=["doc_id", "url"])
+        exact_dedup_losers(ds, key_column="doc_id", order_column="url") \
+            .write_parquet(losers_path)
         open(_mark("dedup"), "w").write("ok")
         timings["dedup_sec"] = round(time.time() - t0, 3)
 
-    # stage 2: minhash near-dup pairs over the checkpoint (pruned read)
+    # stage 3: minhash near-dup pairs over the checkpoint (pruned read).
+    # Run on the pre-collapse stream: drop-the-larger-url is invariant to
+    # exact-dup collapse (the winner shares the loser's text), so one
+    # combined anti-filter below reproduces sequential dedup→near-dup.
     pairs_path = os.path.join(output_dir, "pairs")
     if not (resume and os.path.exists(_mark("pairs"))):
         t0 = time.time()
-        ds = ray.data.read_parquet(dedup_dir,
+        ds = ray.data.read_parquet(data_dir,
                                    columns=["url", "extracted_text"])
         pairs = minhash_near_dups(
             ds.map_batches(_pairs_input, batch_format="pyarrow"),
-            threshold=minhash_threshold)
+            threshold=minhash_threshold,
+            concurrency=_signature_concurrency())
         pairs.write_parquet(pairs_path)
         open(_mark("pairs"), "w").write("ok")
         timings["minhash_sec"] = round(time.time() - t0, 3)
 
-    # stage 3: chunk survivors with the in-stage quality floor
+    # stage 4: chunk survivors with the in-stage quality floor; the drop
+    # set (exact losers + near-dup doc_b) is bounded by the DUPLICATE
+    # count, broadcast once (the sharded dedup-index actors are the
+    # escape hatch when it outgrows worker memory)
     chunks_dir = os.path.join(output_dir, "chunks")
     if not (resume and os.path.exists(_mark("chunks"))):
         t0 = time.time()
@@ -185,12 +232,14 @@ def run_corpus(input_dir: str, output_dir: str,
         import glob
 
         drop = set()
+        for f in glob.glob(os.path.join(losers_path, "*.parquet")):
+            drop.update(pq.read_table(f, columns=["url"])["url"].to_pylist())
         for f in glob.glob(os.path.join(pairs_path, "*.parquet")):
             drop.update(pq.read_table(f, columns=["doc_b"])["doc_b"]
                         .to_pylist())
         drop_ref = ray.put(drop)
 
-        ds = ray.data.read_parquet(dedup_dir)
+        ds = ray.data.read_parquet(data_dir)
         out = ds.map_batches(
             DropUrls, batch_format="pyarrow", concurrency=(1, 4),
             fn_constructor_kwargs={"drop_ref": drop_ref},

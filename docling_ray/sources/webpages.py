@@ -95,7 +95,11 @@ def _paragraph(rng: random.Random) -> tuple[str, int, list]:
         pass                      # '.' merges into the open plain run
     else:
         groups.append([("plain",), 1])   # '.' stands alone
-    events = [("text", tok) for _, tok in groups]
+    # inline code runs are code-labelled items: their chunks carry kind
+    # "code" (usually hidden by the same-path merge, but a code run that
+    # STARTS a merge group keeps it) and they count as enrichable items
+    events = [("code" if key == ("code",) else "text", tok)
+              for key, tok in groups]
     if len(groups) == 1:
         return html, 1, events    # no formatting: single text item
     return html, 1 + len(groups), events   # inline group + merged runs
@@ -277,6 +281,9 @@ def make_html(rng: random.Random, doc_idx: int,
         parts.append(f"<footer><p>footer {_sentence(rng, 4)}</p></footer>")
         n_items += 2                    # furniture: items but no chunks
     parts.append("</body></html>")
+    # enrichable items: code items (pre blocks + merged inline code runs)
+    # and pictures — one stub annotation each (stages/enrich.py defaults)
+    n_enrichable = sum(1 for _, k, _t in events if k in ("code", "picture"))
     # greedy same-path merge with the chunker's 256-token budget
     chunks: list[list] = []             # [path, kind, tokens]
     for p, k, t in events:
@@ -285,7 +292,8 @@ def make_html(rng: random.Random, doc_idx: int,
             chunks[-1][2] += t
         else:
             chunks.append([p, k, t])
-    return "".join(parts), n_items, [(k, t) for _, k, t in chunks]
+    return ("".join(parts), n_items, [(k, t) for _, k, t in chunks],
+            n_enrichable)
 
 
 def make_rows(start: int, count: int, seed: int = 42,
@@ -300,12 +308,13 @@ def make_rows(start: int, count: int, seed: int = 42,
     urls, tss, htmls, texts, langs = [], [], [], [], []
     expected: list[int] = []
     expected_chunks: list[list] = []
+    expected_enrich: list[int] = []
     for i in range(start, start + count):
         rng = random.Random((seed << 20) ^ i)
         n_sections = rng.randint(1, 4)
         if skew_every and i and i % skew_every == 0:
             n_sections *= rng.randint(10, 50)  # long-tail giant documents
-        html, n_items, chunks = make_html(rng, i, n_sections)
+        html, n_items, chunks, n_enrichable = make_html(rng, i, n_sections)
         lang = LANGS[i % len(LANGS)]
         urls.append(f"https://synthetic-{seed}.example.org/{lang}/doc-{i}")
         tss.append(t0 + timedelta(seconds=17 * i))
@@ -314,9 +323,12 @@ def make_rows(start: int, count: int, seed: int = 42,
         langs.append(lang)
         expected.append(n_items)
         expected_chunks.append(chunks)
+        expected_enrich.append(n_enrichable)
     data = {"url": urls, "warc_ts": tss, "html": htmls, "text": texts,
             "lang": langs}
-    return (data, expected, expected_chunks) if with_expected else data
+    if with_expected:
+        return data, expected, expected_chunks, expected_enrich
+    return data
 
 
 SCHEMA = pa.schema([
@@ -341,8 +353,9 @@ def make_expected_table(n: int, seed: int = 42, start: int = 0,
     from the input alone, never from running the extractor."""
     import hashlib
 
-    data, expected, _ = make_rows(start, n, seed=seed, skew_every=skew_every,
-                                  with_expected=True)
+    data, expected, _, _ = make_rows(start, n, seed=seed,
+                                     skew_every=skew_every,
+                                     with_expected=True)
     doc_ids = [hashlib.sha256(h).hexdigest() for h in data["html"]]
     return pa.table({
         "url": pa.array(data["url"], pa.string()),
@@ -361,9 +374,9 @@ def make_expected_corpus_chunks_table(n: int, seed: int = 42, start: int = 0,
     Planted duplicates (same bytes under a later-sorting url) are dropped
     upstream by exact dedup, so they are simply absent here — the caller
     plants them in the INPUT only."""
-    data, _, expected_chunks = make_rows(start, n, seed=seed,
-                                         skew_every=skew_every,
-                                         with_expected=True)
+    data, _, expected_chunks, _ = make_rows(start, n, seed=seed,
+                                            skew_every=skew_every,
+                                            with_expected=True)
     urls, ids, toks, kinds = [], [], [], []
     for url, chunks in zip(data["url"], expected_chunks):
         if sum(t for _, t in chunks) < min_doc_tokens:
@@ -401,9 +414,9 @@ def make_expected_chunks_table(n: int, seed: int = 42, start: int = 0,
     ``(url, chunk_id, n_tokens, kind)`` rows simulated from the generative
     structure under the chunker contract (see ``make_html``) — never by
     running the extractor or chunker."""
-    data, _, expected_chunks = make_rows(start, n, seed=seed,
-                                         skew_every=skew_every,
-                                         with_expected=True)
+    data, _, expected_chunks, _ = make_rows(start, n, seed=seed,
+                                            skew_every=skew_every,
+                                            with_expected=True)
     urls, ids, toks, kinds = [], [], [], []
     for url, chunks in zip(data["url"], expected_chunks):
         for ci, (kind, tok) in enumerate(chunks):
@@ -441,3 +454,20 @@ def write_corpus(path: str, n: int, seed: int = 42, rows_per_file: int = 5000,
                            row_group_size=128)
         files.append(fname)
     return files
+
+
+def make_expected_enrich_table(n: int, seed: int = 42, start: int = 0,
+                               skew_every: int = 50) -> pa.Table:
+    """Generator-side TRUE golden for the enrichment driver:
+    ``(url, n_enriched)`` where n_enriched counts the doc's enrichable
+    items — code items (pre blocks + merged inline code runs) and
+    pictures, one stub annotation each under the default model pair
+    (``stages/enrich.DEFAULT_ENRICHMENT_MODELS``) — derived from the
+    construct stream, never by running the pipeline."""
+    data, _, _, expected_enrich = make_rows(start, n, seed=seed,
+                                            skew_every=skew_every,
+                                            with_expected=True)
+    return pa.table({
+        "url": pa.array(data["url"], pa.string()),
+        "n_enriched": pa.array(expected_enrich, pa.int32()),
+    })

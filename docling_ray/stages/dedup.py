@@ -327,6 +327,51 @@ def exact_dedup_min_ids(ds, key_column: str = "fingerprint",
         Min(on=order_column, alias_name=order_column))
 
 
+def exact_dedup_losers(ds, key_column: str = "fingerprint",
+                       order_column: str = "doc_id",
+                       num_partitions: int = 64):
+    """The rows exact dedup DROPS, as a tiny ``(order_column)`` dataset:
+    project to (key, order) — ~tens of bytes/row — pre-bucket on
+    ``hash(key) % P``, and emit every non-first-of-run row per partition,
+    fully vectorized.
+
+    This is the payload-free half of keep-first dedup: the full-row form
+    below must push the entire corpus (text, doc_json) through the
+    shuffle, which is exactly what a 100 TB dedup cannot afford when the
+    duplicate fraction is moderate — instead, compute the losers from the
+    cheap projection and ANTI-FILTER the payload stream with them
+    (broadcast when the loser set fits memory; the sharded
+    ``state/dedup_index.py`` actors are the escape hatch when it does
+    not)."""
+    import pyarrow.compute as pc
+
+    small = ds.select_columns([key_column, order_column])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_part", pa.array(_part_of(batch[key_column], num_partitions),
+                              pa.int64()))
+
+    def losers_of(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        order_type = part.schema.field(order_column).type
+        if n == 0:
+            return pa.table({order_column: pa.array([], order_type)})
+        order = pc.sort_indices(part, sort_keys=[(key_column, "ascending"),
+                                                 (order_column, "ascending")])
+        g = part.take(order)
+        keys = g[key_column].combine_chunks()
+        neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+        mask = np.empty(n, dtype=bool)
+        mask[0] = False
+        mask[1:] = ~neq           # rows continuing a key run are losers
+        return g.take(np.flatnonzero(mask)).select([order_column])
+
+    return small.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(losers_of, batch_format="pyarrow")
+
+
 def exact_dedup_keep_first(ds, key_column: str = "fingerprint",
                            order_column: str = "doc_id",
                            num_partitions: int = 64):

@@ -1,13 +1,13 @@
 #!/usr/bin/env python
 """Generate committed golden tables for the non-SQL-expressible queries.
 
-- golden_pdf.parquet: TRUE golden — expected per-doc assembled text is
-  computed by the page GENERATOR independently of the pipeline
-  (sources/pdf_pages.py), hashed here.
-- golden_extract.parquet / golden_chunks.parquet: FROZEN outputs of the
-  (separately byte-exact-tested) extraction/chunking kernels over the
-  deterministic synthetic corpus — regression freezes, regenerated only
-  via this script.
+- golden_pdf / golden_extract / golden_chunks / golden_corpus /
+  golden_enrich: TRUE goldens — expected values are computed by the
+  GENERATORS independently of the pipelines (sources/pdf_pages.py,
+  sources/webpages.py construct-stream predictions).
+- golden_mets / golden_multimodal: frozen kernel-level recomputations
+  (their parity evidence is the byte-exact pytest suites against the
+  reference's own expectations).
 """
 import hashlib
 import os
@@ -43,7 +43,7 @@ def main() -> None:
     # -- extract: TRUE golden — (url, doc_id, status, n_items) computed by
     #    the CORPUS GENERATOR while emitting constructs (sha-256 of the raw
     #    bytes + per-construct item counts), never by running the extractor
-    from docling_ray.sources.webpages import make_expected_table, make_table
+    from docling_ray.sources.webpages import make_expected_table
 
     pq.write_table(make_expected_table(120, seed=42),
                    os.path.join(out_dir, "golden_extract.parquet"))
@@ -133,19 +133,12 @@ def main() -> None:
         "text_md5": pa.array(rows["text_md5"], pa.string()),
     }), os.path.join(out_dir, "golden_multimodal.parquet"))
 
-    # -- enrich: frozen per-doc annotation counts
-    from docling_ray.stages.enrich import (
-        EnrichmentStage)
+    # -- enrich: TRUE golden — per-doc enrichable-item counts (code items
+    #    + pictures, one stub annotation each) predicted by the generator
+    from docling_ray.sources.webpages import make_expected_enrich_table
 
-    web_e = make_table(60, seed=42)
-    # extract with doc_json for the enrichment path
-    from docling_ray.stages.extract import extract_batch, sniff_batch
-    ext = extract_batch(sniff_batch(web_e), emit_doc_json=True)
-    enriched = EnrichmentStage()(ext.select(["url", "doc_json"]))
-    pq.write_table(pa.table({
-        "url": enriched["url"],
-        "n_enriched": enriched["n_enriched"],
-    }), os.path.join(out_dir, "golden_enrich.parquet"))
+    pq.write_table(make_expected_enrich_table(60, seed=42),
+                   os.path.join(out_dir, "golden_enrich.parquet"))
     print("goldens written to", out_dir)
 
 

@@ -239,3 +239,23 @@ def test_jaccard_empty_result_keeps_schema(ray_session):
     # schema contract lives on the Dataset itself
     assert out.schema().names == ["doc_a", "doc_b", "jaccard", "j_milli"]
     assert out.count() == 0
+
+
+def test_exact_dedup_losers_payload_free(ray_session):
+    import ray.data
+
+    from docling_ray.stages.dedup import exact_dedup_losers
+    from docling_ray.stages.textstats import fingerprint_batch
+
+    table = pa.table({
+        "doc_id": ["w", "a", "m", "b", "z"],
+        "text": ["same", "same", "other", "same", "other"],
+        "payload": [1, 2, 3, 4, 5],
+    })
+    ds = ray.data.from_arrow(table).map_batches(
+        fingerprint_batch, batch_format="pyarrow")
+    losers = exact_dedup_losers(ds, key_column="fingerprint",
+                                order_column="doc_id")
+    # min of {w,a,b} is "a"; min of {m,z} is "m" -> losers are b, w, z
+    assert sorted(losers.to_pandas()["doc_id"].tolist()) == ["b", "w", "z"]
+    assert losers.schema().names == ["doc_id"]

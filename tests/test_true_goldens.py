@@ -64,3 +64,22 @@ def test_committed_goldens_are_generator_derived():
     assert ge.equals(make_expected_table(120, seed=42))
     gc = pq.read_table(os.path.join(data_dir, "golden_chunks.parquet"))
     assert gc.equals(make_expected_chunks_table(60, seed=42))
+
+
+def test_enrich_matches_generator_expectation_fresh_seed():
+    from docling_ray.sources.webpages import (
+        make_expected_enrich_table,
+        make_table,
+    )
+    from docling_ray.stages.enrich import EnrichmentStage
+    from docling_ray.stages.extract import extract_batch, sniff_batch
+
+    n, seed = 70, 23
+    ext = extract_batch(sniff_batch(make_table(n, seed=seed)),
+                        emit_doc_json=True)
+    enriched = EnrichmentStage()(ext.select(["url", "doc_json"]))
+    got = dict(zip(enriched["url"].to_pylist(),
+                   enriched["n_enriched"].to_pylist()))
+    exp = make_expected_enrich_table(n, seed=seed)
+    want = dict(zip(exp["url"].to_pylist(), exp["n_enriched"].to_pylist()))
+    assert got == want
