@@ -101,6 +101,52 @@ def q_fingerprint(sf_dir: str):
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
+def q_winnow(sf_dir: str):
+    """Winnowing document fingerprints (rolling k-gram hash + window
+    minima — Schleimer/Wilkerson/Aiken): per-doc fingerprint count and
+    XOR, both int64-exact against the generated SQL mirror."""
+    from docling_ray.stages.textstats import winnow_batch
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(winnow_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_fp", "fp_xor"])
+
+
+def q_events_windowed(sf_dir: str):
+    """Tumbling-window aggregate over the event stream: 1-hour windows
+    keyed by (window_id, event_type) with count and an order-independent
+    exact extremum (max), pre-aggregated inside the shuffle by Ray's
+    native kernels."""
+    import ray.data
+    from ray.data.aggregate import Count, Max
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        epoch_us = batch["ts"].cast(pa.int64())
+        window_id = pc.divide(epoch_us, 3_600_000_000)
+        return batch.append_column("window_id", window_id.cast(pa.int64()))
+
+    out = ds.map_batches(add_window, batch_format="pyarrow") \
+        .groupby(["window_id", "event_type"]).aggregate(
+            Count(alias_name="n_events"),
+            Max(on="value", alias_name="max_value"))
+
+    def to_centi(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        mv = batch["max_value"].to_numpy(zero_copy_only=False)
+        centi = np.floor(mv * 100.0).astype("int64")
+        batch = batch.append_column("max_value_centi",
+                                    pa.array(centi, pa.int64()))
+        return batch.drop_columns(["max_value"])
+
+    return out.map_batches(to_centi, batch_format="pyarrow")
+
+
 def q_events_by_type(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -713,6 +759,66 @@ _QUALITY_SCORE_ORACLE_SQL = r"""
 """
 
 
+def _winnow_oracle_sql(k: int = 8, window: int = 4, base: int = 257) -> str:
+    """DuckDB mirror of ``winnow_batch``: same polynomial rolling hash
+    (codepoints × base powers, mod 2^64 then mod 2^61-1 — the numpy
+    uint64 wraparound reproduced in UHUGEINT), same window minima with
+    DISTINCT selection, same short-document fallbacks (single global
+    minimum under ``window`` grams; empty set under ``k`` characters)."""
+    terms = " + ".join(
+        f"CAST(unicode(substr(text, i + {j + 1}, 1)) AS UHUGEINT)"
+        f" * {base ** (k - 1 - j)}"
+        for j in range(k))
+    return f"""
+    WITH pos AS (
+        SELECT doc_id, text, unnest(range(length(text) - {k - 1})) AS i
+        FROM documents WHERE length(text) >= {k}
+    ),
+    grams AS (
+        SELECT doc_id, i,
+               CAST((({terms})
+                     % CAST(18446744073709551616 AS UHUGEINT))
+                    % 2305843009213693951 AS BIGINT) AS h
+        FROM pos
+    ),
+    stats AS (SELECT doc_id, max(i) AS max_i FROM grams GROUP BY doc_id),
+    wins AS (
+        SELECT g.doc_id,
+               min(h) OVER (PARTITION BY g.doc_id ORDER BY g.i
+                            ROWS BETWEEN CURRENT ROW
+                            AND {window - 1} FOLLOWING) AS m,
+               g.i, s.max_i
+        FROM grams g JOIN stats s ON g.doc_id = s.doc_id
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, m FROM wins WHERE i <= max_i - {window - 1}
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_fp, bit_xor(m) AS fp_xor
+        FROM sel GROUP BY doc_id
+    ),
+    fallback AS (
+        SELECT doc_id, 1 AS n_fp, min(h) AS fp_xor
+        FROM grams GROUP BY doc_id HAVING count(*) < {window}
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_fp, f.n_fp, 0) AS BIGINT) AS n_fp,
+           CAST(coalesce(a.fp_xor, f.fp_xor, 0) AS BIGINT) AS fp_xor
+    FROM documents d
+    LEFT JOIN agg a ON a.doc_id = d.doc_id
+    LEFT JOIN fallback f ON f.doc_id = d.doc_id
+"""
+
+
+_EVENTS_WINDOWED_ORACLE_SQL = """
+    SELECT epoch_us(ts) // 3600000000 AS window_id,
+           event_type,
+           count(*) AS n_events,
+           CAST(floor(max(value) * 100) AS BIGINT) AS max_value_centi
+    FROM events GROUP BY window_id, event_type
+"""
+
+
 def _lsh_topk_oracle_sql(num_bands: int = 8, planes_per_band: int = 3,
                          k: int = 10) -> str:
     """Mirror of ``lsh_bucketed_topk``: same seeded planes, candidates =
@@ -768,6 +874,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quality": q_token_quality,
         "fingerprint": q_fingerprint,
         "events_by_type": q_events_by_type,
+        "events_windowed": q_events_windowed,
+        "winnow_fingerprint": q_winnow,
         "orders_by_status": q_orders_by_status,
         "customer_nation": q_customer_nation,
         "ann_topk": q_ann_topk,
@@ -862,6 +970,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _SIMHASH_NEAR_DUP_ORACLE_SQL,
         "jaccard_near_dup": _jaccard_oracle_sql(),
         "langid": _LANGID_ORACLE_SQL,
+        "winnow_fingerprint": _winnow_oracle_sql(),
+        "events_windowed": _EVENTS_WINDOWED_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         # committed-golden oracles for the non-SQL-expressible pipelines
         # (scripts/gen_goldens.py).  pdf, extract_corpus, chunks,

@@ -376,3 +376,36 @@ def test_layout_svg_visualizer():
         ROElement(0, 0, "text", 10, 130, 200, 300, "body text")])
     html = to_html_split_page(doc, page_images={1: uri})
     assert "data:image/svg+xml;base64," in html
+
+
+def test_winnow_fingerprints_properties():
+    from docling_ray.stages.textstats import winnow_fingerprints
+
+    # shorter than k: empty set
+    assert winnow_fingerprints("short", k=8) == []
+    # fewer grams than the window: single global minimum
+    fps = winnow_fingerprints("abcdefghi", k=8, window=4)
+    assert len(fps) == 1
+    # deterministic, and a local edit changes only part of the set
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    a = winnow_fingerprints(base)
+    assert a == winnow_fingerprints(base)
+    b = winnow_fingerprints(base.replace("lazy", "hazy"))
+    shared = set(a) & set(b)
+    assert shared, "winnowing must keep fingerprints outside the edit"
+    assert set(a) != set(b)
+    # containment: a document embedded in another shares its fingerprints
+    inner = winnow_fingerprints(base)
+    outer = winnow_fingerprints("PREFIX 12345 " + base + " SUFFIX 67890")
+    assert len(set(inner) & set(outer)) >= len(inner) * 0.8
+
+
+def test_winnow_batch_columns():
+    from docling_ray.stages.textstats import winnow_batch
+
+    t = pa.table({"doc_id": [1, 2], "text": ["", "a reasonable document "
+                                             "with enough characters"]})
+    out = winnow_batch(t)
+    assert out["n_fp"].to_pylist()[0] == 0
+    assert out["fp_xor"].to_pylist()[0] == 0
+    assert out["n_fp"].to_pylist()[1] > 0
