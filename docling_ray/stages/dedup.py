@@ -43,17 +43,38 @@ def _hash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingles_of(text: str, k: int = 3) -> set[int]:
-    """k-word shingles hashed to 64-bit ints (md5-based, process-stable)."""
+_SHINGLE_CACHE_CAP = 2_000_000
+
+
+def shingles_of(text: str, k: int = 3,
+                cache: dict | None = None) -> set[int]:
+    """k-word shingles hashed to 64-bit ints (md5-based, process-stable).
+
+    ``cache`` (a per-ACTOR dict, e.g. ``MinHashStage``'s) memoizes
+    gram→hash: natural-language 3-grams repeat heavily across documents,
+    so this removes most md5 calls from the signature stage without
+    changing a single hash value.  Bounded at ~2M entries (~200 MB)."""
     toks = text.split()
     if len(toks) < k:
         grams = [" ".join(toks)] if toks else []
     else:
         grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return {
-        int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big")
-        for g in grams
-    }
+    if cache is None:
+        return {
+            int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big")
+            for g in grams
+        }
+    out = set()
+    get = cache.get
+    for g in grams:
+        h = get(g)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8],
+                               "big")
+            if len(cache) < _SHINGLE_CACHE_CAP:
+                cache[g] = h
+        out.add(h)
+    return out
 
 
 def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -95,13 +116,16 @@ class MinHashStage:
         self.num_perm = num_perm
         self.shingle_k = shingle_k
         self.num_bands = num_bands
+        self._gram_cache: dict[str, int] = {}   # per-actor, see shingles_of
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rpb = max(1, self.num_perm // self.num_bands)
         keys, sketches = [], []
         for v in batch["text"]:
-            sig = minhash_signature(shingles_of(v.as_py() or "", self.shingle_k),
-                                    self.a, self.b)
+            sig = minhash_signature(
+                shingles_of(v.as_py() or "", self.shingle_k,
+                            cache=self._gram_cache),
+                self.a, self.b)
             raw = sig.astype(">u8").tobytes()
             keys.append(b"".join(
                 hashlib.md5(band.to_bytes(2, "big")
