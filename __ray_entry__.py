@@ -998,9 +998,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, chunk_id, n_tokens, kind
             FROM read_parquet('{_GOLDEN_DIR}/golden_corpus.parquet')
         """,
-        # likewise frozen (true parity is pytest-proven: the reference's
-        # own METS test expectations, page-tuple shape, annotation
-        # round-trips)
+        # multimodal_pages is a TRUE golden too (per-page content_text
+        # derived by the page generator); mets_gbs remains a frozen
+        # kernel recomputation whose true parity is pytest-proven against
+        # the reference's own METS test expectations
         "mets_gbs": f"""
             SELECT doc_id, n_pages, text_md5
             FROM read_parquet('{_GOLDEN_DIR}/golden_mets.parquet')

@@ -71,14 +71,21 @@ def _make_page_cells(rng: random.Random, two_column: bool,
         from docling_ray.kernels.pdf_assemble import sanitize_text
 
         expected_parts.append(sanitize_text(col_lines))
-    return cells, "\n".join(p for p in expected_parts if p)
+    return cells, [p for p in expected_parts if p]
 
 
-def make_pdf_pages_table(n_docs: int, seed: int = 42,
-                         max_pages: int = 3) -> tuple[pa.Table, dict[str, str]]:
-    """Build the pages table plus {doc_id: expected_document_text}."""
+def make_pdf_pages_table(n_docs: int, seed: int = 42, max_pages: int = 3,
+                         with_pages: bool = False):
+    """Build the pages table plus {doc_id: expected_document_text}.
+
+    With ``with_pages=True`` additionally returns
+    ``{(doc_id, page_no): expected_page_content_text}`` — the multimodal
+    export's per-page text (column cluster texts each followed by one
+    space, reading order left column first), derived from the SAME
+    generator knowledge as the document-level expectation."""
     rows = {name: [] for name in SCHEMA.names}
     expected: dict[str, str] = {}
+    expected_pages: dict[tuple[str, int], str] = {}
     for d in range(n_docs):
         rng = random.Random((seed << 16) ^ d)
         doc_id = f"pdf-{seed}-{d:05d}"
@@ -86,13 +93,17 @@ def make_pdf_pages_table(n_docs: int, seed: int = 42,
         page_texts = []
         for page_no in range(n_pages):
             two_col = rng.random() < 0.4
-            cells, text = _make_page_cells(rng, two_col)
+            cells, parts = _make_page_cells(rng, two_col)
             rows["doc_id"].append(doc_id)
             rows["url"].append(f"https://synthetic-pdf.example.org/{doc_id}")
             rows["page_no"].append(page_no)
             rows["width"].append(612.0)
             rows["height"].append(792.0)
             rows["cells"].append(cells)
-            page_texts.append(text)
+            page_texts.append("\n".join(parts))
+            expected_pages[(doc_id, page_no)] = "".join(p + " " for p in parts)
         expected[doc_id] = "\n".join(page_texts)
-    return pa.table(rows, schema=SCHEMA), expected
+    table = pa.table(rows, schema=SCHEMA)
+    if with_pages:
+        return table, expected, expected_pages
+    return table, expected

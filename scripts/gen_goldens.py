@@ -2,12 +2,12 @@
 """Generate committed golden tables for the non-SQL-expressible queries.
 
 - golden_pdf / golden_extract / golden_chunks / golden_corpus /
-  golden_enrich: TRUE goldens — expected values are computed by the
-  GENERATORS independently of the pipelines (sources/pdf_pages.py,
-  sources/webpages.py construct-stream predictions).
-- golden_mets / golden_multimodal: frozen kernel-level recomputations
-  (their parity evidence is the byte-exact pytest suites against the
-  reference's own expectations).
+  golden_enrich / golden_multimodal: TRUE goldens — expected values are
+  computed by the GENERATORS independently of the pipelines
+  (sources/pdf_pages.py, sources/webpages.py construct-stream
+  predictions).
+- golden_mets: frozen kernel-level recomputation (its parity evidence is
+  the byte-exact pytest suite against the reference's own expectations).
 """
 import hashlib
 import os
@@ -103,34 +103,19 @@ def main() -> None:
         "text_md5": pa.array([_hl.md5(text.encode()).hexdigest()], pa.string()),
     }), os.path.join(out_dir, "golden_mets.parquet"))
 
-    # -- multimodal pages: frozen page-tuple hashes
+    # -- multimodal pages: TRUE golden — per-page content_text derived by
+    #    the page GENERATOR (column cluster texts + trailing spaces, the
+    #    same knowledge behind golden_pdf), never by running the pipeline
     from docling_ray.sources.pdf_pages import make_pdf_pages_table as _mk
-    from docling_ray.kernels.multimodal_export import multimodal_page_tuples
-    from docling_ray.stages.pdf import (
-        LayoutHeuristicStage, assemble_page_batch, page_parse_batch)
 
-    mm_table, _ = _mk(20, seed=42)
-    b = assemble_page_batch(LayoutHeuristicStage()(page_parse_batch(mm_table)),
-                            keep_cells=True)
-    rows = {"doc_id": [], "page_no": [], "text_md5": []}
-    import collections
-    by_doc = collections.defaultdict(list)
-    for r in range(b.num_rows):
-        by_doc[b["doc_id"][r].as_py()].append({
-            "page_no": b["page_no"][r].as_py(),
-            "width": b["width"][r].as_py(), "height": b["height"][r].as_py(),
-            "cells": b["cells"][r].as_py() or [],
-            "elements": b["elements"][r].as_py() or []})
-    for doc_id in sorted(by_doc):
-        for rec in multimodal_page_tuples(by_doc[doc_id]):
-            rows["doc_id"].append(doc_id)
-            rows["page_no"].append(rec["page_no"])
-            rows["text_md5"].append(
-                _hl.md5(rec["content_text"].encode()).hexdigest())
+    _, _, exp_pages = _mk(20, seed=42, with_pages=True)
+    keys = sorted(exp_pages)
     pq.write_table(pa.table({
-        "doc_id": pa.array(rows["doc_id"], pa.string()),
-        "page_no": pa.array(rows["page_no"], pa.int32()),
-        "text_md5": pa.array(rows["text_md5"], pa.string()),
+        "doc_id": pa.array([d for d, _ in keys], pa.string()),
+        "page_no": pa.array([p for _, p in keys], pa.int32()),
+        "text_md5": pa.array(
+            [hashlib.md5(exp_pages[k].encode()).hexdigest() for k in keys],
+            pa.string()),
     }), os.path.join(out_dir, "golden_multimodal.parquet"))
 
     # -- enrich: TRUE golden — per-doc enrichable-item counts (code items

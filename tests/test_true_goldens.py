@@ -83,3 +83,20 @@ def test_enrich_matches_generator_expectation_fresh_seed():
     exp = make_expected_enrich_table(n, seed=seed)
     want = dict(zip(exp["url"].to_pylist(), exp["n_enriched"].to_pylist()))
     assert got == want
+
+
+def test_multimodal_pages_match_generator_expectation_fresh_seed(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from docling_ray.sources.pdf_pages import make_pdf_pages_table
+    from docling_ray.stages.pdf import multimodal_export_pipeline
+
+    table, _, exp_pages = make_pdf_pages_table(25, seed=19, with_pages=True)
+    out = multimodal_export_pipeline(ray.data.from_arrow(table)).to_pandas()
+    assert len(out) == len(exp_pages)
+    for _, row in out.iterrows():
+        want = exp_pages[(row["doc_id"], row["page_no"])]
+        assert hashlib.md5(row["content_text"].encode()).hexdigest() == \
+            hashlib.md5(want.encode()).hexdigest()
