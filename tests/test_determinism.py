@@ -56,3 +56,59 @@ def test_minhash_invariant_to_partition_count(ray_session):
     b = _sorted_df(minhash_near_dups(ds.repartition(5), num_partitions=64),
                    ["doc_a", "doc_b"])
     assert a.equals(b)
+
+
+def test_dedup_family_invariant_to_partition_count(ray_session):
+    """The round-3 dedup shapes key their shuffles on hash(x) % P: the
+    emitted PAIR/SURVIVOR SETS must not depend on P or on input block
+    layout."""
+    import ray.data
+
+    from docling_ray.stages.dedup import (
+        exact_dedup_keep_first,
+        exact_dedup_losers,
+        jaccard_near_dups,
+        minhash_near_dups,
+        simhash_near_dups,
+    )
+    from docling_ray.stages.textstats import fingerprint_batch
+
+    base = ("stream data batch query table scan merge sort join filter "
+            "shard spill vector page cell block arrow shuffle") * 4
+    rows = {"doc_id": [], "text": []}
+    for i in range(24):
+        rows["doc_id"].append(i)
+        rows["text"].append(f"unique {i} " +
+                            " ".join(f"w{i}_{j}" for j in range(30)))
+    rows["doc_id"] += [100, 101, 102]
+    rows["text"] += [base, base.replace("arrow", "parquet"), base]
+    table = pa.table(rows)
+
+    def pair_set(fn, **kw):
+        out = []
+        for parts, reparts in ((8, 2), (64, 11)):
+            ds = ray.data.from_arrow(table).repartition(reparts)
+            df = fn(ds, num_partitions=parts, **kw).to_pandas()
+            out.append(set(zip(df["doc_a"], df["doc_b"])))
+        return out
+
+    for fn, kw in ((minhash_near_dups, {"threshold": 0.5}),
+                   (simhash_near_dups, {"max_hamming": 3}),
+                   (jaccard_near_dups, {"threshold": 0.5})):
+        a, b = pair_set(fn, **kw)
+        assert a == b, f"{fn.__name__} pair set depends on partitioning"
+        assert a, f"{fn.__name__} found no pairs on the planted corpus"
+
+    fp = ray.data.from_arrow(table).map_batches(
+        fingerprint_batch, batch_format="pyarrow")
+    keep_a = set(exact_dedup_keep_first(
+        fp, num_partitions=8).to_pandas()["doc_id"])
+    keep_b = set(exact_dedup_keep_first(
+        fp.repartition(9), num_partitions=64).to_pandas()["doc_id"])
+    assert keep_a == keep_b
+    lose_a = set(exact_dedup_losers(
+        fp, num_partitions=8).to_pandas()["doc_id"])
+    lose_b = set(exact_dedup_losers(
+        fp.repartition(5), num_partitions=64).to_pandas()["doc_id"])
+    assert lose_a == lose_b == {102}          # 100 survives, 102 is the dup
+    assert keep_a | lose_a == set(table["doc_id"].to_pylist())
