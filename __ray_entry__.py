@@ -126,7 +126,9 @@ def q_events_windowed(sf_dir: str):
     def add_window(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        epoch_us = batch["ts"].cast(pa.int64())
+        # pin the unit before taking raw values: a ms/ns-encoded parquet
+        # column would otherwise silently produce wrong window ids
+        epoch_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
         window_id = pc.divide(epoch_us, 3_600_000_000)
         return batch.append_column("window_id", window_id.cast(pa.int64()))
 
@@ -512,6 +514,8 @@ def _minhash_oracle_sql(num_perm: int = 64, num_bands: int = 16,
         f" = b.sig[{band * rpb + 1}:{(band + 1) * rpb}]"
         for band in range(num_bands))
     min_agree = int(np.ceil(threshold * num_perm))
+    gram_terms = ", ".join(f"t[i+{j}]" if j else "t[i]"
+                           for j in range(shingle_k))
     return f"""
             WITH toks AS (
                 SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS t
@@ -523,7 +527,7 @@ def _minhash_oracle_sql(num_perm: int = 64, num_bands: int = 16,
                 SELECT doc_id, unnest(
                     CASE WHEN len(t) >= {shingle_k}
                          THEN list_transform(range(1, len(t) - {shingle_k - 2}),
-                              i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                              i -> concat_ws(' ', {gram_terms}))
                          ELSE [array_to_string(t, ' ')] END) AS g
                 FROM toks
             ),
@@ -641,6 +645,8 @@ def _jaccard_oracle_sql(num_perm: int = 64, num_bands: int = 16,
         f"sga.sig[{band * rpb + 1}:{(band + 1) * rpb}]"
         f" = sgb.sig[{band * rpb + 1}:{(band + 1) * rpb}]"
         for band in range(num_bands))
+    gram_terms = ", ".join(f"t[i+{j}]" if j else "t[i]"
+                           for j in range(shingle_k))
     return f"""
     WITH toks AS (
         SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS t
@@ -650,7 +656,7 @@ def _jaccard_oracle_sql(num_perm: int = 64, num_bands: int = 16,
         SELECT doc_id, unnest(
             CASE WHEN len(t) >= {shingle_k}
                  THEN list_transform(range(1, len(t) - {shingle_k - 2}),
-                      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                      i -> concat_ws(' ', {gram_terms}))
                  ELSE [array_to_string(t, ' ')] END) AS g
         FROM toks
     ),

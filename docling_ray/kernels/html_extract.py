@@ -364,22 +364,6 @@ class HtmlExtractor:
                          formatting=run.formatting, hyperlink=run.hyperlink)
 
     # -- inline extraction -------------------------------------------------
-    def _parent_format_tags(self, node) -> list[str]:
-        # ONE ancestor walk collecting format names, then ordered by the
-        # field table — equivalent to per-field walks, ~F× cheaper
-        names = None
-        ancestor = node.parent
-        while ancestor is not None:
-            if ancestor.name in FORMAT_TAG_FIELDS:
-                if names is None:
-                    names = {ancestor.name}
-                else:
-                    names.add(ancestor.name)
-            ancestor = ancestor.parent
-        if names is None:
-            return []
-        return [fmt for fmt in FORMAT_TAG_FIELDS if fmt in names]
-
     def _runs_of(self, node, ignore_list: bool = False,
                  parent_annotation: bool = False,
                  keep_newlines: bool = False) -> list[Run]:

@@ -55,21 +55,24 @@ def _pairs_input(batch: pa.Table) -> pa.Table:
 
 class DropUrls:
     """Broadcast anti-filter: the (bounded) drop set is ``ray.put`` once,
-    fetched once per ACTOR, applied per batch — the same shape as
-    ``stages/joins.BroadcastLookupJoin``."""
+    fetched once per ACTOR and prebuilt into an Arrow value set, applied
+    per batch as a C-level ``is_in`` anti-join — the same shape as
+    ``stages/joins.BroadcastLookupJoin`` (no Python row loop on the
+    payload path)."""
 
     def __init__(self, drop_ref, column: str = "url"):
         import ray
 
-        self.drop = (ray.get(drop_ref)
-                     if isinstance(drop_ref, ray.ObjectRef) else drop_ref)
+        drop = (ray.get(drop_ref)
+                if isinstance(drop_ref, ray.ObjectRef) else drop_ref)
+        self.value_set = pa.array(sorted(drop)) if drop else None
         self.column = column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.drop:
+        if self.value_set is None:
             return batch
-        mask = [u not in self.drop for u in batch[self.column].to_pylist()]
-        return batch.filter(pa.array(mask))
+        hit = pc.is_in(batch[self.column], value_set=self.value_set)
+        return batch.filter(pc.invert(hit))
 
 
 def _chunk_and_filter(batch: pa.Table, min_doc_tokens: int) -> pa.Table:
@@ -195,9 +198,15 @@ def run_corpus(input_dir: str, output_dir: str,
 
     # stage 2: exact-dup LOSER urls from the (doc_id, url) projection —
     # the corpus payload never enters a shuffle (exact_dedup_losers)
+    import shutil
+
     losers_path = os.path.join(output_dir, "exact_losers")
     if not (resume and os.path.exists(_mark("dedup"))):
         t0 = time.time()
+        # a stage dir without its done marker is a stale partial write:
+        # Ray's write_parquet APPENDS uniquely-named files, so recomputing
+        # into it would duplicate rows (the run_extract lesson, ADVICE r1)
+        shutil.rmtree(losers_path, ignore_errors=True)
         ds = ray.data.read_parquet(data_dir, columns=["doc_id", "url"])
         exact_dedup_losers(ds, key_column="doc_id", order_column="url") \
             .write_parquet(losers_path)
@@ -211,6 +220,7 @@ def run_corpus(input_dir: str, output_dir: str,
     pairs_path = os.path.join(output_dir, "pairs")
     if not (resume and os.path.exists(_mark("pairs"))):
         t0 = time.time()
+        shutil.rmtree(pairs_path, ignore_errors=True)
         ds = ray.data.read_parquet(data_dir,
                                    columns=["url", "extracted_text"])
         pairs = minhash_near_dups(
@@ -228,6 +238,7 @@ def run_corpus(input_dir: str, output_dir: str,
     chunks_dir = os.path.join(output_dir, "chunks")
     if not (resume and os.path.exists(_mark("chunks"))):
         t0 = time.time()
+        shutil.rmtree(chunks_dir, ignore_errors=True)
         import pyarrow.parquet as pq
         import glob
 

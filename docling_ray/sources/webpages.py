@@ -66,7 +66,7 @@ def _inline_run(rng: random.Random) -> tuple[str, tuple]:
 
 
 def _paragraph(rng: random.Random) -> tuple[str, int, list]:
-    """Returns (html, expected item count, chunk events).  A paragraph
+    """Returns (html, expected item count, chunk events list).  A paragraph
     without formatting elements is ONE text item; with any formatting it
     becomes an inline group + one item per merged run: the run sequence is
     [lead sentence(plain)] + runs + [trailing '.'(plain)], whitespace
@@ -190,8 +190,9 @@ def _noise(rng: random.Random) -> str:
 
 
 def make_html(rng: random.Random, doc_idx: int,
-              n_sections: int) -> tuple[str, int, list]:
-    """Returns (html, expected item count, expected chunk rows).
+              n_sections: int) -> tuple[str, int, list, int]:
+    """Returns (html, expected item count, expected chunk rows,
+    expected enrichable-item count).
 
     Both expectations are derived WHILE EMITTING each construct — never by
     running the extractor — so they are pipeline-independent TRUE goldens.
@@ -298,12 +299,13 @@ def make_html(rng: random.Random, doc_idx: int,
 
 def make_rows(start: int, count: int, seed: int = 42,
               skew_every: int = 50,
-              with_expected: bool = False) -> dict | tuple[dict, list, list]:
+              with_expected: bool = False
+              ) -> dict | tuple[dict, list, list, list]:
     """Build ``count`` rows [start, start+count) as python lists (columnar).
 
     With ``with_expected=True`` additionally returns the generator-side
-    expected item count and expected chunk rows per row (see
-    ``make_html``)."""
+    expected item counts, expected chunk rows, and expected
+    enrichable-item counts per row (see ``make_html``)."""
     t0 = datetime(2024, 1, 1)
     urls, tss, htmls, texts, langs = [], [], [], [], []
     expected: list[int] = []

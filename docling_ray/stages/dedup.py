@@ -319,12 +319,19 @@ def minhash_near_dups(ds, num_perm: int = 64, num_bands: int = 16,
 
 def _hash64_of(col) -> np.ndarray:
     """Vectorized uint64 hash of an arbitrary key column: integer keys are
-    Fibonacci-mixed in numpy; everything else goes through pandas'
-    C-implemented siphash (`pd.util.hash_array`, deterministic across
-    processes).  Never a Python loop per row."""
+    mixed in numpy (multiply + xor-shift — a plain odd-constant multiply
+    is a bijection mod 2^k, so ``% P`` with power-of-two P would see only
+    the UNMIXED low bits and collapse stride-aligned ids onto one
+    partition); everything else goes through pandas' C-implemented
+    siphash (`pd.util.hash_array`, deterministic across processes).
+    Never a Python loop per row."""
     vals = col.to_numpy(zero_copy_only=False)
     if np.issubdtype(vals.dtype, np.integer):
-        return vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h = vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(32)            # fold high-bit entropy down
+        h *= np.uint64(0xD6E8FEB86659FD93)
+        h ^= h >> np.uint64(32)
+        return h
     import pandas as pd
 
     return pd.util.hash_array(vals)
@@ -332,6 +339,22 @@ def _hash64_of(col) -> np.ndarray:
 
 def _part_of(col, num_partitions: int) -> np.ndarray:
     return (_hash64_of(col) % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _key_change_mask(keys, n: int) -> np.ndarray:
+    """Length n-1 boolean array: True where sorted ``keys[i] != keys[i-1]``.
+    Nulls (sorted to the end, hence consecutive) form their OWN run —
+    null==null, null!=value — matching groupby's null-as-a-group
+    semantics instead of raising on the null comparisons."""
+    import pyarrow.compute as pc
+
+    a = keys.slice(0, n - 1)
+    b = keys.slice(1)
+    neq = pc.not_equal(b, a)               # null where either side is null
+    if keys.null_count:
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        neq = pc.if_else(both_null, pa.scalar(False), pc.fill_null(neq, True))
+    return neq.to_numpy(zero_copy_only=False).astype(bool)
 
 
 # -- exact dedup ------------------------------------------------------------
@@ -385,8 +408,7 @@ def exact_dedup_losers(ds, key_column: str = "fingerprint",
                                                  (order_column, "ascending")])
         g = part.take(order)
         keys = g[key_column].combine_chunks()
-        neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)) \
-            .to_numpy(zero_copy_only=False)
+        neq = _key_change_mask(keys, n)
         mask = np.empty(n, dtype=bool)
         mask[0] = False
         mask[1:] = ~neq           # rows continuing a key run are losers
@@ -419,8 +441,7 @@ def exact_dedup_keep_first(ds, key_column: str = "fingerprint",
                                                  (order_column, "ascending")])
         g = part.take(order)
         keys = g[key_column].combine_chunks()
-        neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)) \
-            .to_numpy(zero_copy_only=False)
+        neq = _key_change_mask(keys, n)
         mask = np.empty(n, dtype=bool)
         mask[0] = True
         mask[1:] = neq
@@ -434,10 +455,17 @@ def exact_dedup_keep_first(ds, key_column: str = "fingerprint",
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized popcount of a uint64 array (numpy<2 has no
-    ``bitwise_count``): unpack the raw bytes once and sum."""
-    flat = np.ascontiguousarray(x).view(np.uint8)
-    return np.unpackbits(flat).reshape(x.size, 64).sum(axis=1) \
-        .reshape(x.shape).astype(np.int64)
+    ``bitwise_count``): unpack the raw bytes and sum — in bounded chunks,
+    since unpackbits inflates 64× (a full 4096² bucket matrix would
+    otherwise allocate >1 GB transiently)."""
+    flat = np.ascontiguousarray(x).reshape(-1)
+    out = np.empty(flat.size, dtype=np.int64)
+    step = 1 << 21                          # ≤ 128 MB unpacked per chunk
+    for s in range(0, flat.size, step):
+        chunk = flat[s:s + step]
+        out[s:s + chunk.size] = np.unpackbits(chunk.view(np.uint8)) \
+            .reshape(chunk.size, 64).sum(axis=1)
+    return out.reshape(x.shape)
 
 
 def simhash_bucket_rows(batch: pa.Table, bits: int = 64,
@@ -542,7 +570,7 @@ def simhash_partition_pairs(part_table: pa.Table, max_hamming: int,
 
 
 def simhash_near_dups(ds, max_hamming: int = 3, num_buckets: int = 4,
-                      num_partitions: int = 64, max_bucket: int = 4096):
+                      num_partitions: int = 64, max_bucket: int = 1024):
     """SimHash near-dup pairs over a (doc_id, text) dataset: signature
     stage → vectorized quarter-bucket explode (two docs at Hamming ≤
     num_buckets-1 share ≥1 exact quarter) → ONE pre-bucketed

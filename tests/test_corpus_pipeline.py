@@ -61,3 +61,26 @@ def test_plant_exact_dups_shape():
     assert dup["html"][1] == base["html"][10]
     assert all(u.startswith("https://zz-dup") for u in dup["url"])
     assert min(dup["url"]) > max(base["url"])
+
+
+def test_run_corpus_drops_stale_partial_stage_output(ray_session, tmp_path):
+    """A stage dir without its done marker is a crashed partial write;
+    recomputing must REPLACE it (Ray write_parquet appends uniquely-named
+    files, so without the rmtree the rerun would duplicate rows)."""
+    import pyarrow.parquet as pq
+
+    from docling_ray.pipelines.corpus import run_corpus
+    from docling_ray.sources.webpages import write_corpus
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    write_corpus(str(src), 20, seed=3, rows_per_file=10)
+    res1 = run_corpus(str(src), str(out))
+    # simulate a crash mid-chunks: marker gone, stale file left behind
+    os.remove(os.path.join(str(out), "_chunks_done"))
+    stale = os.path.join(str(out), "chunks", "stale_partial.parquet")
+    pq.write_table(pa.table({"url": ["ghost"], "chunk_id": [0],
+                             "n_tokens": [1], "kind": ["text"]}), stale)
+    res2 = run_corpus(str(src), str(out))
+    assert res2["n_chunks"] == res1["n_chunks"]
+    assert not os.path.exists(stale)

@@ -259,3 +259,37 @@ def test_exact_dedup_losers_payload_free(ray_session):
     # min of {w,a,b} is "a"; min of {m,z} is "m" -> losers are b, w, z
     assert sorted(losers.to_pandas()["doc_id"].tolist()) == ["b", "w", "z"]
     assert losers.schema().names == ["doc_id"]
+
+
+def test_part_of_mixes_stride_aligned_int_keys():
+    """An odd-constant multiply alone is a bijection mod 2^k: stride-64
+    ids would all land in partition 0 of 64.  The xor-shift mix must
+    spread them."""
+    from docling_ray.stages.dedup import _part_of
+
+    ints = pa.array(np.arange(2000, dtype=np.int64) * 64)
+    parts = _part_of(ints, 64)
+    counts = np.bincount(parts, minlength=64)
+    assert counts.max() < 3 * counts.mean()
+    # hour-rounded-ms timestamps, another real stride
+    ts = pa.array(np.arange(1000, dtype=np.int64) * 3_600_000)
+    counts_ts = np.bincount(_part_of(ts, 64), minlength=64)
+    assert counts_ts.max() < 4 * counts_ts.mean()
+
+
+def test_exact_dedup_handles_null_keys(ray_session):
+    """Null keys form their own group (groupby semantics) instead of
+    raising on null comparisons."""
+    import ray.data
+
+    from docling_ray.stages.dedup import exact_dedup_keep_first, exact_dedup_losers
+
+    table = pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "fingerprint": pa.array(["x", None, "x", None, "y"], pa.string()),
+    })
+    ds = ray.data.from_arrow(table)
+    kept = sorted(exact_dedup_keep_first(ds).to_pandas()["doc_id"])
+    assert kept == [1, 2, 5]          # null group keeps doc 2
+    lost = sorted(exact_dedup_losers(ds).to_pandas()["doc_id"])
+    assert lost == [3, 4]
