@@ -149,6 +149,19 @@ def q_events_windowed(sf_dir: str):
     return out.map_batches(to_centi, batch_format="pyarrow")
 
 
+def q_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity gap): the stateful
+    streaming-window operator, pre-bucketed on hash(user) % P with one
+    vectorized pass per partition — never a Python UDF per user."""
+    import ray.data
+
+    from docling_ray.stages.sessions import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return sessionize(ds)
+
+
 def q_events_by_type(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -816,6 +829,33 @@ def _winnow_oracle_sql(k: int = 8, window: int = 4, base: int = 257) -> str:
 """
 
 
+# mirrors sessionize at a 30-minute gap: lag-based boundary flags, per-user
+# cumulative session index, per-session aggregates (all integer-exact)
+_SESSIONS_ORACLE_SQL = """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us FROM events
+    ),
+    flags AS (
+        SELECT user_id, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sess AS (
+        SELECT user_id, us,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                   ROWS UNBOUNDED PRECEDING) - 1
+                   AS session_id
+        FROM flags
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(us) AS start_us, max(us) AS end_us
+    FROM sess GROUP BY user_id, session_id
+"""
+
+
 _EVENTS_WINDOWED_ORACLE_SQL = """
     SELECT epoch_us(ts) // 3600000000 AS window_id,
            event_type,
@@ -881,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "events_by_type": q_events_by_type,
         "events_windowed": q_events_windowed,
+        "sessions": q_sessions,
         "winnow_fingerprint": q_winnow,
         "orders_by_status": q_orders_by_status,
         "customer_nation": q_customer_nation,
@@ -978,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": _LANGID_ORACLE_SQL,
         "winnow_fingerprint": _winnow_oracle_sql(),
         "events_windowed": _EVENTS_WINDOWED_ORACLE_SQL,
+        "sessions": _SESSIONS_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
         # committed-golden oracles for the non-SQL-expressible pipelines
         # (scripts/gen_goldens.py).  pdf, extract_corpus, chunks,
