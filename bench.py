@@ -166,15 +166,57 @@ def run_scaling(sf_dir: str, cpus_low: int = 2, cpus_high: int = 8) -> dict:
     }
 
 
+def run_corpus_scaling(n_docs: int = 5000, cpus_low: int = 2,
+                       cpus_high: int = 8) -> dict:
+    """The COMPOSED corpus chain (extract → dedup decisions → chunk) at N
+    and 4N parallelism in fresh processes — scaling evidence beyond the
+    extraction headline."""
+    import shutil
+
+    out = {}
+    for cpus in (cpus_low, cpus_high):
+        shutil.rmtree(os.path.join(BENCH_TMP, f"corpus_out_{n_docs}"),
+                      ignore_errors=True)
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import sys, json\n"
+             f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+             "import ray\n"
+             f"ray.init(address='local', num_cpus={cpus},"
+             " include_dashboard=False, logging_level='ERROR')\n"
+             "import bench\n"
+             f"print(json.dumps(bench.bench_corpus({n_docs})))\n"
+             "ray.shutdown()\n"],
+            capture_output=True, text=True, check=True)
+        out[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    low = out[cpus_low]["docs_per_sec"]
+    high = out[cpus_high]["docs_per_sec"]
+    eff = (high / low) / (cpus_high / cpus_low)
+    return {
+        "metric": f"corpus-pipeline scaling ({cpus_high} vs {cpus_low} cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        f"docs_per_sec_{cpus_low}": low,
+        f"docs_per_sec_{cpus_high}": high,
+        "stages_low": out[cpus_low]["stages"],
+        "stages_high": out[cpus_high]["stages"],
+        "criterion": "eff >= 0.8",
+        "pass": eff >= 0.8,
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     parser.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     parser.add_argument("--scaling", action="store_true")
+    parser.add_argument("--corpus-scaling", action="store_true")
     parser.add_argument("--extract-only", action="store_true")
     args = parser.parse_args()
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir)))
+    elif args.corpus_scaling:
+        print(json.dumps(run_corpus_scaling()))
     else:
         print(json.dumps(run(args.sf_dir, args.cpus, args.extract_only)))
 
