@@ -830,10 +830,12 @@ def _winnow_oracle_sql(k: int = 8, window: int = 4, base: int = 257) -> str:
 
 
 # mirrors sessionize at a 30-minute gap: lag-based boundary flags, per-user
-# cumulative session index, per-session aggregates (all integer-exact)
+# cumulative session index, per-session aggregates (all integer-exact);
+# null user/ts rows are dropped on both sides (documented contract)
 _SESSIONS_ORACLE_SQL = """
     WITH e AS (
         SELECT user_id, epoch_us(ts) AS us FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     flags AS (
         SELECT user_id, us,

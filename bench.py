@@ -171,12 +171,9 @@ def run_corpus_scaling(n_docs: int = 5000, cpus_low: int = 2,
     """The COMPOSED corpus chain (extract → dedup decisions → chunk) at N
     and 4N parallelism in fresh processes — scaling evidence beyond the
     extraction headline."""
-    import shutil
-
     out = {}
     for cpus in (cpus_low, cpus_high):
-        shutil.rmtree(os.path.join(BENCH_TMP, f"corpus_out_{n_docs}"),
-                      ignore_errors=True)
+        # bench_corpus rmtrees its own output dir before each run
         proc = subprocess.run(
             [sys.executable, "-c",
              "import sys, json\n"
@@ -211,12 +208,15 @@ def main() -> None:
     parser.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     parser.add_argument("--scaling", action="store_true")
     parser.add_argument("--corpus-scaling", action="store_true")
+    parser.add_argument("--corpus-docs", type=int, default=5000,
+                        help="corpus size for --corpus-scaling (the "
+                             "BASELINE.md 20k row used --corpus-docs 20000)")
     parser.add_argument("--extract-only", action="store_true")
     args = parser.parse_args()
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir)))
     elif args.corpus_scaling:
-        print(json.dumps(run_corpus_scaling()))
+        print(json.dumps(run_corpus_scaling(n_docs=args.corpus_docs)))
     else:
         print(json.dumps(run(args.sf_dir, args.cpus, args.extract_only)))
 

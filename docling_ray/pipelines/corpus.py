@@ -183,62 +183,67 @@ def run_corpus(input_dir: str, output_dir: str,
     if resume and os.path.exists(timings_path):
         timings = json.load(open(timings_path))
 
-    def _mark(stage: str) -> str:
-        return os.path.join(output_dir, f"_{stage}_done")
+    import shutil
 
-    # stage 1: extract (per-shard manifest resume)
+    def _run_stage(stage: str, timing_key: str, out_path, fn) -> None:
+        """Marker-gated stage runner enforcing the stale-partial-write
+        invariant: a stage dir without its done marker is a crashed
+        partial write, and Ray's write_parquet APPENDS uniquely-named
+        files, so the dir must be removed before recomputing (the
+        run_extract lesson, ADVICE r1)."""
+        mark = os.path.join(output_dir, f"_{stage}_done")
+        if resume and os.path.exists(mark):
+            return
+        if out_path is not None:
+            shutil.rmtree(out_path, ignore_errors=True)
+        t0 = time.time()
+        fn()
+        open(mark, "w").write("ok")
+        timings[timing_key] = round(time.time() - t0, 3)
+
+    # stage 1: extract (run_extract owns its per-shard manifest resume
+    # and stale-partition cleanup, so no out_path here)
     extract_dir = os.path.join(output_dir, "extracted")
     data_dir = os.path.join(extract_dir, "data")
-    if not (resume and os.path.exists(_mark("extract"))):
-        t0 = time.time()
-        run_extract(input_dir, extract_dir, resume=resume,
-                    emit_doc_json=True)
-        open(_mark("extract"), "w").write("ok")
-        timings["extract_sec"] = round(time.time() - t0, 3)
+    _run_stage("extract", "extract_sec", None,
+               lambda: run_extract(input_dir, extract_dir, resume=resume,
+                                   emit_doc_json=True))
 
     # stage 2: exact-dup LOSER urls from the (doc_id, url) projection —
     # the corpus payload never enters a shuffle (exact_dedup_losers)
-    import shutil
-
     losers_path = os.path.join(output_dir, "exact_losers")
-    if not (resume and os.path.exists(_mark("dedup"))):
-        t0 = time.time()
-        # a stage dir without its done marker is a stale partial write:
-        # Ray's write_parquet APPENDS uniquely-named files, so recomputing
-        # into it would duplicate rows (the run_extract lesson, ADVICE r1)
-        shutil.rmtree(losers_path, ignore_errors=True)
+
+    def _stage_losers() -> None:
         ds = ray.data.read_parquet(data_dir, columns=["doc_id", "url"])
         exact_dedup_losers(ds, key_column="doc_id", order_column="url") \
             .write_parquet(losers_path)
-        open(_mark("dedup"), "w").write("ok")
-        timings["dedup_sec"] = round(time.time() - t0, 3)
+
+    _run_stage("dedup", "dedup_sec", losers_path, _stage_losers)
 
     # stage 3: minhash near-dup pairs over the checkpoint (pruned read).
     # Run on the pre-collapse stream: drop-the-larger-url is invariant to
     # exact-dup collapse (the winner shares the loser's text), so one
     # combined anti-filter below reproduces sequential dedup→near-dup.
     pairs_path = os.path.join(output_dir, "pairs")
-    if not (resume and os.path.exists(_mark("pairs"))):
-        t0 = time.time()
-        shutil.rmtree(pairs_path, ignore_errors=True)
+
+    def _stage_pairs() -> None:
         ds = ray.data.read_parquet(data_dir,
                                    columns=["url", "extracted_text"])
-        pairs = minhash_near_dups(
+        minhash_near_dups(
             ds.map_batches(_pairs_input, batch_format="pyarrow"),
             threshold=minhash_threshold,
-            concurrency=_signature_concurrency())
-        pairs.write_parquet(pairs_path)
-        open(_mark("pairs"), "w").write("ok")
-        timings["minhash_sec"] = round(time.time() - t0, 3)
+            concurrency=_signature_concurrency(),
+        ).write_parquet(pairs_path)
+
+    _run_stage("pairs", "minhash_sec", pairs_path, _stage_pairs)
 
     # stage 4: chunk survivors with the in-stage quality floor; the drop
     # set (exact losers + near-dup doc_b) is bounded by the DUPLICATE
     # count, broadcast once (the sharded dedup-index actors are the
     # escape hatch when it outgrows worker memory)
     chunks_dir = os.path.join(output_dir, "chunks")
-    if not (resume and os.path.exists(_mark("chunks"))):
-        t0 = time.time()
-        shutil.rmtree(chunks_dir, ignore_errors=True)
+
+    def _stage_chunks() -> None:
         import pyarrow.parquet as pq
         import glob
 
@@ -249,7 +254,6 @@ def run_corpus(input_dir: str, output_dir: str,
             drop.update(pq.read_table(f, columns=["doc_b"])["doc_b"]
                         .to_pylist())
         drop_ref = ray.put(drop)
-
         ds = ray.data.read_parquet(data_dir)
         out = ds.map_batches(
             DropUrls, batch_format="pyarrow", concurrency=(1, 4),
@@ -258,8 +262,8 @@ def run_corpus(input_dir: str, output_dir: str,
             lambda b: _chunk_and_filter(b, min_doc_tokens),
             batch_format="pyarrow")
         out.write_parquet(chunks_dir)
-        open(_mark("chunks"), "w").write("ok")
-        timings["chunks_sec"] = round(time.time() - t0, 3)
+
+    _run_stage("chunks", "chunks_sec", chunks_dir, _stage_chunks)
 
     json.dump(timings, open(timings_path, "w"))
     n_chunks = 0

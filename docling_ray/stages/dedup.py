@@ -570,7 +570,11 @@ def simhash_partition_pairs(part_table: pa.Table, max_hamming: int,
 
 
 def simhash_near_dups(ds, max_hamming: int = 3, num_buckets: int = 4,
-                      num_partitions: int = 64, max_bucket: int = 1024):
+                      num_partitions: int = 64, max_bucket: int = 4096):
+    # max_bucket 4096 keeps oracle parity far past the test scales (the
+    # largest 16-bit quarter bucket grows ~linearly with corpus size);
+    # the transient memory is bounded: a full-bucket XOR matrix is 134 MB
+    # and _popcount64 unpacks in <=128 MB chunks
     """SimHash near-dup pairs over a (doc_id, text) dataset: signature
     stage → vectorized quarter-bucket explode (two docs at Hamming ≤
     num_buckets-1 share ≥1 exact quarter) → ONE pre-bucketed

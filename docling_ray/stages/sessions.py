@@ -67,7 +67,14 @@ def session_partition(part: pa.Table, gap_us: int,
 def sessionize(ds, user_column: str = "user_id", ts_column: str = "ts",
                gap_us: int = DEFAULT_GAP_US, num_partitions: int = 64):
     """Event dataset → per-session rows.  ``ts_column`` may be an Arrow
-    timestamp (pinned to µs) or an integer epoch-µs column."""
+    timestamp (pinned to µs) or an integer epoch-µs column.
+
+    Null handling (documented contract, mirrored by the oracle): rows
+    with a null user or timestamp carry no session identity and are
+    DROPPED — an int64 null would otherwise round-trip through NaN and
+    corrupt boundaries."""
+    import pyarrow.compute as pc
+
     def prep(batch: pa.Table) -> pa.Table:
         col = batch[ts_column]
         if pa.types.is_timestamp(col.type):
@@ -76,12 +83,28 @@ def sessionize(ds, user_column: str = "user_id", ts_column: str = "ts",
             user_column: batch[user_column],
             ts_column: col,
         })
+        valid = pc.and_(pc.is_valid(out[user_column]),
+                        pc.is_valid(out[ts_column]))
+        out = out.filter(valid)
         return out.append_column(
             "_part", pa.array(_part_of(out[user_column], num_partitions),
                               pa.int64()))
 
-    return ds.map_batches(prep, batch_format="pyarrow") \
+    sch = ds.schema()
+    user_type = dict(zip(sch.names, sch.types))[user_column]
+    sessions = ds.map_batches(prep, batch_format="pyarrow") \
         .groupby("_part").map_groups(
             lambda p: session_partition(p.drop_columns(["_part"]), gap_us,
                                         user_column, ts_column),
             batch_format="pyarrow")
+    # seed a 0-row typed block so an empty result keeps its schema
+    import ray.data
+
+    empty = ray.data.from_arrow(pa.table({
+        user_column: pa.array([], user_type),
+        "session_id": pa.array([], pa.int64()),
+        "n_events": pa.array([], pa.int64()),
+        "start_us": pa.array([], pa.int64()),
+        "end_us": pa.array([], pa.int64()),
+    }))
+    return empty.union(sessions)

@@ -47,3 +47,24 @@ def test_sessionize_invariant_to_partitioning(ray_session):
         return sorted(map(tuple, df.values.tolist()))
 
     assert run(8, 3) == run(64, 11)
+
+
+def test_sessionize_drops_null_rows_and_keeps_empty_schema(ray_session):
+    """Null user/ts rows carry no session identity: dropped (mirrored in
+    the oracle), never NaN-corrupted; an empty result keeps its typed
+    schema (Ray quirk: map_groups over nothing loses it otherwise)."""
+    import ray.data
+
+    from docling_ray.stages.sessions import sessionize
+
+    t = pa.table({
+        "user_id": pa.array([1, None, 1, 2], pa.int64()),
+        "ts": pa.array([0, 5, 10_000_000, None], pa.int64()),
+    })
+    df = sessionize(ray.data.from_arrow(t)).to_pandas()
+    assert sorted(df["user_id"].tolist()) == [1]
+    assert df["n_events"].tolist() == [2]
+    out = sessionize(ray.data.from_arrow(t.slice(0, 0)))
+    assert out.schema().names == ["user_id", "session_id", "n_events",
+                                  "start_us", "end_us"]
+    assert out.count() == 0
