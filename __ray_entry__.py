@@ -280,6 +280,28 @@ def q_ann_lsh_topk(sf_dir: str):
     return table.select(["query_id", "vec_id", "rank"])
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-style ANN top-k: nearest-anchor inverted lists, nprobe probe
+    lists per query, exact in-list rerank — oracled exactly via the same
+    seeded anchors as SQL literals (a learned k-means codebook drops
+    into the same slot)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from docling_ray.stages.ann import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    query_ids = emb["vec_id"].to_pylist()[:5]
+    query_vecs = np.asarray(emb["embedding"].to_pylist()[:5], dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    table = ivf_topk(ds, query_ids, query_vecs, k=10, dim=64,
+                     n_anchors=16, nprobe=4)
+    return table.select(["query_id", "vec_id", "rank"])
+
+
 def q_chunks(sf_dir: str):
     """Hierarchical chunking over the synthetic web corpus."""
     import ray.data
@@ -324,6 +346,19 @@ def q_minhash_near_dup(sf_dir: str):
     pairs = minhash_near_dups(ds, threshold=0.5)
     # integer columns only (hash-stable driver comparison)
     return pairs.select_columns(["doc_a", "doc_b", "n_agree"])
+
+
+def q_minhash_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: connected components over the MinHash pair
+    graph, rep = component minimum — the cluster-level keep-one decision
+    (pair-local drop-the-larger over-drops on chains).  Union-find runs
+    driver-side over the BOUNDED pair set; the oracle computes the same
+    components with a recursive CTE over the identical pair SQL."""
+    from docling_ray.stages.dedup import connected_components, minhash_near_dups
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    pairs = minhash_near_dups(ds, threshold=0.5)
+    return connected_components(pairs)
 
 
 def q_simhash(sf_dir: str):
@@ -915,6 +950,60 @@ def _lsh_topk_oracle_sql(num_bands: int = 8, planes_per_band: int = 3,
     """
 
 
+def _ivf_topk_oracle_sql(n_anchors: int = 16, nprobe: int = 4,
+                         k: int = 10, dim: int = 64, seed: int = 29) -> str:
+    """Mirror of ``ivf_topk``: the SAME seeded unit anchors as literals,
+    assignment = argmax dot (ties to the lowest anchor id), probe lists =
+    each query's nprobe closest anchors, exact cosine rerank within the
+    probed lists only."""
+    from docling_ray.stages.ann import IvfAnchors
+
+    ivf = IvfAnchors(dim=dim, n_anchors=n_anchors, seed=seed)
+    rows = ",\n                ".join(
+        "({}, [{}])".format(
+            aid, ", ".join(repr(float(x)) for x in ivf.anchors[aid]))
+        for aid in range(n_anchors))
+    return f"""
+            WITH anchors(aid, avec) AS (VALUES
+                {rows}
+            ),
+            assign AS (
+                SELECT e.vec_id, e.embedding, a.aid
+                FROM embeddings e CROSS JOIN anchors a
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_dot_product(e.embedding, a.avec) DESC,
+                             a.aid) = 1
+            ),
+            q AS (
+                SELECT vec_id AS query_id, embedding AS qvec
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ),
+            qprobe AS (
+                SELECT q.query_id, q.qvec, a.aid
+                FROM q CROSS JOIN anchors a
+                QUALIFY row_number() OVER (
+                    PARTITION BY q.query_id
+                    ORDER BY list_dot_product(q.qvec, a.avec) DESC,
+                             a.aid) <= {nprobe}
+            ),
+            scored AS (
+                SELECT qp.query_id, s.vec_id,
+                       list_cosine_similarity(qp.qvec, s.embedding) AS cosine
+                FROM qprobe qp JOIN assign s ON s.aid = qp.aid
+            ),
+            ranked AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= {k}
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "lang_metrics": q_lang_metrics,
@@ -931,9 +1020,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "chunks": q_chunks,
         "pdf_pipeline": q_pdf_pipeline,
         "minhash_near_dup": q_minhash_near_dup,
+        "minhash_clusters": q_minhash_clusters,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "jaccard_near_dup": q_jaccard_near_dup,
@@ -1014,7 +1105,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_bucketed": _lsh_bucketed_oracle_sql(),
         "ann_lsh_topk": _lsh_topk_oracle_sql(),
+        "ann_ivf_topk": _ivf_topk_oracle_sql(),
         "minhash_near_dup": _minhash_oracle_sql(),
+        "minhash_clusters": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT doc_a, doc_b FROM ({_minhash_oracle_sql()}) q
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT a AS v FROM edges),
+            reach(v, r) AS (
+                SELECT v, v FROM nodes
+                UNION
+                SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+            )
+            SELECT v AS doc_id, min(r) AS cluster_rep
+            FROM reach GROUP BY v
+        """,
         "simhash": _SIMHASH_ORACLE_SQL,
         "simhash_near_dup": _SIMHASH_NEAR_DUP_ORACLE_SQL,
         "jaccard_near_dup": _jaccard_oracle_sql(),

@@ -433,3 +433,103 @@ def lsh_bucketed_pairs(ds, threshold: float, num_bands: int = 8,
         "vec_b": pa.array([], pa.int64()),
     }))
     return empty.union(pairs)
+
+
+# -- IVF (inverted-file) ANN ------------------------------------------------
+
+class IvfAnchors:
+    """Coarse quantizer for IVF-style ANN: ``n_anchors`` seeded random
+    unit vectors; a vector's list = the anchor maximizing the dot product
+    (ties broken toward the lowest anchor id, matching ``np.argmax``).
+
+    A LEARNED codebook (k-means over a training sample) drops into this
+    same slot — the sandbox uses data-independent seeded anchors so the
+    SQL oracle can carry them as literals, exactly like the hyperplane
+    LSH planes."""
+
+    def __init__(self, dim: int, n_anchors: int = 16, seed: int = 29):
+        rng = np.random.RandomState(seed)
+        a = rng.normal(size=(n_anchors, dim))
+        self.anchors = a / np.linalg.norm(a, axis=1, keepdims=True)
+
+    def assign(self, matrix: np.ndarray) -> np.ndarray:
+        """Per-row anchor id (argmax dot; |v| is constant across anchors,
+        so this equals argmax cosine)."""
+        return np.argmax(matrix @ self.anchors.T, axis=1)
+
+
+class IvfTopK:
+    """Actor-pool stage: per-batch anchor assignment + partial top-k
+    against only the queries probing that row's anchor list."""
+
+    def __init__(self, state_ref, k: int,
+                 id_column: str = "vec_id", vec_column: str = "embedding"):
+        state = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) \
+            else state_ref
+        self.ivf = state["ivf"]
+        self.query_ids = state["query_ids"]
+        self.query_mat = state["query_mat"]          # normalized
+        self.probes = state["probes"]                # list[set[int]]
+        self.k = k
+        self.id_column = id_column
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch[self.vec_column])
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        aid = self.ivf.assign(mat)
+        normed = _normalize(mat)
+        out_q, out_v, out_s = [], [], []
+        for qi, probe in enumerate(self.probes):
+            cand = np.flatnonzero(np.isin(aid, list(probe)))
+            if cand.size == 0:
+                continue
+            sims = normed[cand] @ self.query_mat[qi]
+            top = np.lexsort((ids[cand], -sims))[:self.k]
+            for j in top:
+                out_q.append(int(self.query_ids[qi]))
+                out_v.append(ids[cand[j]])
+                out_s.append(float(sims[j]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v),
+            "cosine": pa.array(out_s, pa.float64()),
+        })
+
+
+def ivf_topk(ds, query_ids: list[int], query_vectors: np.ndarray,
+             k: int = 10, dim: int = 64, n_anchors: int = 16,
+             nprobe: int = 4, seed: int = 29,
+             concurrency: int = 4) -> pa.Table:
+    """IVF-style ANN top-k: rows are bucketed by nearest anchor; each
+    query scores ONLY rows whose anchor is among its ``nprobe`` closest
+    anchors (the inverted-file probe-list contract).  Partial top-k per
+    batch + small bounded driver merge, same as the other ANN paths.
+    Recall is the probe-coverage bound; precision within the candidate
+    set is exact."""
+    ivf = IvfAnchors(dim=dim, n_anchors=n_anchors, seed=seed)
+    qmat = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    qdots = qmat @ ivf.anchors.T                       # (nq, n_anchors)
+    probes = []
+    for qi in range(len(query_ids)):
+        order = np.lexsort((np.arange(n_anchors), -qdots[qi]))[:nprobe]
+        probes.append(set(int(x) for x in order))
+    state_ref = ray.put({"ivf": ivf, "query_ids": query_ids,
+                         "query_mat": qmat, "probes": probes})
+    partials = ds.map_batches(
+        IvfTopK, batch_format="pyarrow",
+        fn_constructor_kwargs={"state_ref": state_ref, "k": k},
+        concurrency=(1, concurrency))
+    table = pa.concat_tables([ray.get(r) for r in partials.to_arrow_refs()])
+    out_chunks = []
+    for qid in sorted(set(query_ids)):
+        sub = table.filter(pa.compute.equal(table["query_id"], qid))
+        order = sorted(
+            range(sub.num_rows),
+            key=lambda i: (-sub["cosine"][i].as_py(),
+                           sub["vec_id"][i].as_py()))[:k]
+        ranked = sub.take(order)
+        ranked = ranked.append_column(
+            "rank", pa.array(list(range(1, len(order) + 1)), pa.int32()))
+        out_chunks.append(ranked)
+    return pa.concat_tables(out_chunks)

@@ -855,3 +855,56 @@ def jaccard_near_dups(ds, threshold: float = 0.5, shingle_k: int = 3,
         "j_milli": pa.array([], pa.int64()),
     }))
     return empty.union(pairs)
+
+
+# -- near-dup clusters (connected components over the pair graph) -----------
+
+def connected_components(pairs_ds, a_column: str = "doc_a",
+                         b_column: str = "doc_b") -> pa.Table:
+    """Connected components over a near-dup PAIR graph → one
+    ``(doc_id, cluster_rep)`` row per clustered doc, where the rep is the
+    component's minimum id — the cluster-level keep-one decision a real
+    dedup needs (pairs alone over-drop on chains: B dropped for (A,B) and
+    C dropped for (B,C) is correct, but pair-local drop-the-larger would
+    also drop C for (C,D) even when D is C's only link and D > C).
+
+    Driver-side union-find with path compression + union-by-rep: the
+    input is the PAIR set, bounded by the duplicate rate, not the corpus
+    (the same boundedness argument as the anti-filter drop set).  At an
+    extreme dup rate where pairs outgrow driver memory, the escape hatch
+    is iterative min-label propagation as Ray joins — documented, not
+    needed at any realistic crawl dup rate."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:      # path compression
+            nxt = parent[x]
+            parent[x] = root
+            x = nxt
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+        parent[hi] = lo                   # union by MIN id -> rep = min
+
+    id_type = None
+    for batch in pairs_ds.iter_batches(batch_format="pyarrow"):
+        if id_type is None and batch.num_rows:
+            id_type = batch.schema.field(a_column).type
+        for a, b in zip(batch[a_column].to_pylist(),
+                        batch[b_column].to_pylist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            union(a, b)
+    members = sorted(parent)
+    reps = [find(m) for m in members]
+    return pa.table({
+        "doc_id": pa.array(members, id_type),
+        "cluster_rep": pa.array(reps, id_type),
+    })

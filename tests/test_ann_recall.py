@@ -62,3 +62,35 @@ def test_lsh_bucketed_pairs_recall_meets_analytic_bound(ray_session):
     # 3σ sampling slack below the worst-case analytic bound
     sigma = np.sqrt(p_worst * (1 - p_worst) / len(truth))
     assert recall >= p_worst - 3 * sigma, (recall, p_worst)
+
+
+def test_ivf_topk_matches_probed_bruteforce(ray_session):
+    """IVF top-k must equal the in-memory reference: score only vectors
+    whose anchor assignment is in the query's nprobe probe list, rank by
+    (cosine desc, vec_id)."""
+    import ray.data
+
+    from docling_ray.stages.ann import IvfAnchors, _normalize, ivf_topk
+
+    rng = np.random.RandomState(8)
+    vecs = rng.normal(size=(200, 64))
+    table = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(table)
+    out = ivf_topk(ds, [0, 1], vecs[:2], k=5, dim=64,
+                   n_anchors=8, nprobe=3).to_pandas()
+
+    ivf = IvfAnchors(dim=64, n_anchors=8, seed=29)
+    aid = ivf.assign(vecs)
+    normed = _normalize(vecs)
+    for qi in (0, 1):
+        q = _normalize(vecs[qi:qi + 1])[0]
+        probe = set(np.argsort(-(q @ ivf.anchors.T), kind="stable")[:3])
+        cand = [i for i in range(200) if aid[i] in probe]
+        ranked = sorted(cand, key=lambda i: (-(normed[i] @ q), i))[:5]
+        got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == ranked
+        # every result row really is in a probed list
+        assert all(aid[v] in probe for v in got)

@@ -293,3 +293,21 @@ def test_exact_dedup_handles_null_keys(ray_session):
     assert kept == [1, 2, 5]          # null group keeps doc 2
     lost = sorted(exact_dedup_losers(ds).to_pandas()["doc_id"])
     assert lost == [3, 4]
+
+
+def test_connected_components_chain_clusters(ray_session):
+    """Chains must form ONE component with rep = min: pair-local
+    drop-the-larger would over-drop D in a (C,D)-only link after C was
+    already dropped via (B,C)."""
+    import ray.data
+
+    from docling_ray.stages.dedup import connected_components
+
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": [1, 2, 10, 7],
+        "doc_b": [2, 3, 11, 1],
+    }))
+    out = connected_components(pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = dict(zip(out["doc_id"], out["cluster_rep"]))
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
