@@ -893,10 +893,10 @@ def connected_components(pairs_ds, a_column: str = "doc_a",
         lo, hi = (ra, rb) if ra < rb else (rb, ra)
         parent[hi] = lo                   # union by MIN id -> rep = min
 
-    id_type = None
+    sch = pairs_ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[a_column] \
+        if sch is not None and a_column in sch.names else pa.int64()
     for batch in pairs_ds.iter_batches(batch_format="pyarrow"):
-        if id_type is None and batch.num_rows:
-            id_type = batch.schema.field(a_column).type
         for a, b in zip(batch[a_column].to_pylist(),
                         batch[b_column].to_pylist()):
             parent.setdefault(a, a)
