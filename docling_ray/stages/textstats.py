@@ -41,26 +41,44 @@ def tokens_of(text: str) -> list[str]:
 
 
 def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
-    counts = [len(tokens_of(v.as_py() or "")) for v in batch[column]]
-    return batch.append_column("n_tokens", pa.array(counts, pa.int64()))
+    """Whitespace-token count via Arrow's C regex counter (one
+    non-overlapping ``[^\\s]+`` match per token — identical to the
+    ``findall`` length it replaces)."""
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(batch[column].combine_chunks(), "")
+    counts = pc.count_substring_regex(col, r"[^\s]+").cast(pa.int64())
+    return batch.append_column("n_tokens", counts)
 
 
 def quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
-    """Integer char-class counters; quality *scores* derive from these."""
-    n_alpha, n_digit, n_space, n_tokens, n_chars = [], [], [], [], []
-    for v in batch[column]:
-        text = v.as_py() or ""
-        n_chars.append(len(text))
-        n_alpha.append(len(_ALPHA_RE.findall(text)))
-        n_digit.append(len(_DIGIT_RE.findall(text)))
-        n_space.append(len(_SPACE_RE.findall(text)))
-        n_tokens.append(len(tokens_of(text)))
+    """Integer char-class counters; quality *scores* derive from these.
+    Fully vectorized: every counter is an Arrow C kernel
+    (``count_substring_regex`` counts non-overlapping matches).
+
+    Whitespace semantics are RE2's ASCII ``\\s`` — the SAME engine DuckDB
+    regexp_* uses, so the oracle equivalence holds by construction on any
+    input (Python's unicode ``\\s`` additionally treats NBSP etc. as
+    separators; ``tokens_of`` keeps the Python semantics for the
+    chunker/simhash family)."""
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(batch[column].combine_chunks(), "")
     out = batch
-    for name, vals in (("n_chars_text", n_chars), ("n_alpha", n_alpha),
-                       ("n_digit", n_digit), ("n_space", n_space),
-                       ("n_tokens", n_tokens)):
-        out = out.append_column(name, pa.array(vals, pa.int64()))
-    return out
+    for name, pattern in (("n_alpha", r"[A-Za-z]"),
+                          ("n_digit", r"[0-9]"),
+                          ("n_space", r"\s"),
+                          ("n_tokens", r"[^\s]+")):
+        out = out.append_column(
+            name, pc.count_substring_regex(col, pattern).cast(pa.int64()))
+    out = out.append_column("n_chars_text",
+                            pc.utf8_length(col).cast(pa.int64()))
+    # column order parity with the previous implementation
+    names = [c for c in out.column_names
+             if c not in ("n_chars_text", "n_alpha", "n_digit", "n_space",
+                          "n_tokens")]
+    return out.select(names + ["n_chars_text", "n_alpha", "n_digit",
+                               "n_space", "n_tokens"])
 
 
 def quality_score_batch(batch: pa.Table) -> pa.Table:
