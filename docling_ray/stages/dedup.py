@@ -908,3 +908,180 @@ def connected_components(pairs_ds, a_column: str = "doc_a",
         "doc_id": pa.array(members, id_type),
         "cluster_rep": pa.array(reps, id_type),
     })
+
+
+# -- jaccard inline variant (single shuffle, blob-carrying band rows) -------
+
+class ShingleMinHashBlobStage:
+    """Per-doc band keys + shingle blob in ONE pass (the inline-verify
+    jaccard input: no sketch needed because verification is exact)."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7,
+                 num_bands: int = 16):
+        self.a, self.b = _hash_params(num_perm, seed)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+        self.num_bands = num_bands
+        self._gram_cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rpb = max(1, self.num_perm // self.num_bands)
+        keys, blobs, counts = [], [], []
+        for v in batch["text"]:
+            sh = shingles_of(v.as_py() or "", self.shingle_k,
+                             cache=self._gram_cache)
+            sig = minhash_signature(sh, self.a, self.b)
+            raw = sig.astype(">u8").tobytes()
+            keys.append(b"".join(
+                hashlib.md5(band.to_bytes(2, "big")
+                            + raw[band * rpb * 8:(band + 1) * rpb * 8])
+                .digest()[:8]
+                for band in range(self.num_bands)))
+            arr = np.sort(np.fromiter(sh, dtype=np.uint64, count=len(sh)))
+            blobs.append(arr.astype("<u8").tobytes())
+            counts.append(len(sh))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "band_keys": pa.array(keys, pa.binary()),
+            "blob": pa.array(blobs, pa.binary()),
+            "n_sh": pa.array(counts, pa.int64()),
+        })
+
+
+def _jaccard_band_explode(batch: pa.Table, num_bands: int,
+                          num_partitions: int) -> pa.Table:
+    """band_explode with the shingle blob carried on every band row —
+    the inline variant's documented ~num_bands× payload replication."""
+    n = batch.num_rows
+    id_type = batch.schema.field("doc_id").type
+    if n == 0:
+        return pa.table({"part": pa.array([], pa.int64()),
+                         "bucket": pa.array([], pa.int64()),
+                         "band": pa.array([], pa.int8()),
+                         "doc_id": pa.array([], id_type),
+                         "band_keys": pa.array([], pa.binary()),
+                         "blob": pa.array([], pa.binary()),
+                         "n_sh": pa.array([], pa.int64())})
+    keys = np.frombuffer(b"".join(v.as_py() for v in batch["band_keys"]),
+                         dtype=">i8").reshape(n, num_bands).astype(np.int64)
+    bucket = keys.flatten(order="F")
+    band = np.repeat(np.arange(num_bands, dtype=np.int8), n)
+    part = (bucket.view(np.uint64) % np.uint64(num_partitions)) \
+        .astype(np.int64)
+    tile_arr = lambda name: pa.chunked_array(
+        [batch[name].combine_chunks()] * num_bands)
+    return pa.table({
+        "part": pa.array(part, pa.int64()),
+        "bucket": pa.array(bucket, pa.int64()),
+        "band": pa.array(band, pa.int8()),
+        "doc_id": tile_arr("doc_id"),
+        "band_keys": tile_arr("band_keys"),
+        "blob": tile_arr("blob"),
+        "n_sh": tile_arr("n_sh"),
+    })
+
+
+def _jaccard_inline_partition(group: pa.Table, num_bands: int,
+                              threshold: float, max_bucket: int) -> pa.Table:
+    """One shuffle partition of blob-carrying band rows: vectorized bucket
+    run detection, then per non-trivial bucket exact in-bucket Jaccard
+    with the first-matching-band dedup rule."""
+    import math
+
+    id_type = group.schema.field("doc_id").type
+    out_a, out_b, sims, millis = [], [], [], []
+    n = group.num_rows
+    if n:
+        order = pa.compute.sort_indices(
+            group, sort_keys=[("bucket", "ascending"), ("band", "ascending"),
+                              ("doc_id", "ascending")])
+        g = group.take(order)
+        buckets = g["bucket"].to_numpy(zero_copy_only=False)
+        bands = g["band"].to_numpy(zero_copy_only=False)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (buckets[1:] != buckets[:-1]) | (bands[1:] != bands[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        multi = ends - starts >= 2
+        if multi.any():
+            ids = g["doc_id"].to_pylist()
+            keys = np.frombuffer(b"".join(v.as_py() for v in g["band_keys"]),
+                                 dtype=">i8").reshape(n, num_bands)
+            blobs = g["blob"].to_pylist()
+            counts = g["n_sh"].to_pylist()
+            for s, e in zip(starts[multi], ends[multi]):
+                m = e - s
+                if m > max_bucket:
+                    logger.warning("jaccard bucket over cap: %d rows, "
+                                   "dropping %d", m, m - max_bucket)
+                    e = s + max_bucket
+                    m = max_bucket
+                band = int(bands[s])
+                for i in range(s, e):
+                    for j in range(i + 1, e):
+                        if ids[i] == ids[j]:
+                            continue
+                        first = int(np.argmax(keys[i] == keys[j]))
+                        if first != band:
+                            continue
+                        x = np.frombuffer(blobs[i], dtype="<u8")
+                        y = np.frombuffer(blobs[j], dtype="<u8")
+                        inter = np.intersect1d(x, y,
+                                               assume_unique=True).size
+                        union = counts[i] + counts[j] - inter
+                        sim = inter / union if union else 0.0
+                        if sim < threshold:
+                            continue
+                        a, b = ids[i], ids[j]
+                        out_a.append(min(a, b))
+                        out_b.append(max(a, b))
+                        sims.append(sim)
+                        millis.append(math.floor(sim * 1000.0))
+    return pa.table({
+        "doc_a": pa.array(out_a, id_type),
+        "doc_b": pa.array(out_b, id_type),
+        "jaccard": pa.array(sims, pa.float64()),
+        "j_milli": pa.array(millis, pa.int64()),
+    })
+
+
+def jaccard_near_dups_inline(ds, threshold: float = 0.5, shingle_k: int = 3,
+                             num_perm: int = 64, num_bands: int = 16,
+                             num_partitions: int = 64, max_bucket: int = 256,
+                             concurrency: int = 4):
+    """The SINGLE-SHUFFLE jaccard variant: band rows carry the shingle
+    blob, so candidates AND exact verification happen inside one
+    ``groupby(part)`` — identical output to the candidate/verify join
+    (``jaccard_near_dups``), different cost profile.
+
+    Tradeoff (documented in NOTES.md): shuffle payload is ~``num_bands``×
+    the shingle corpus (vs ~1-2× for the 3-shuffle join), but only ONE
+    Ray all-to-all runs — the right choice when per-op fixed latency
+    dominates (small corpora, interactive use); the join form is the
+    100 TB default."""
+    import ray.data
+
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))["doc_id"]
+    sigs = ds.map_batches(
+        ShingleMinHashBlobStage, batch_format="pyarrow",
+        fn_constructor_kwargs={"num_perm": num_perm, "num_bands": num_bands,
+                               "shingle_k": shingle_k},
+        concurrency=(1, concurrency))
+    rows = sigs.map_batches(
+        lambda b: _jaccard_band_explode(b, num_bands=num_bands,
+                                        num_partitions=num_partitions),
+        batch_format="pyarrow")
+    pairs = rows.groupby("part").map_groups(
+        lambda g: _jaccard_inline_partition(g, num_bands=num_bands,
+                                            threshold=threshold,
+                                            max_bucket=max_bucket),
+        batch_format="pyarrow")
+    empty = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], id_type),
+        "doc_b": pa.array([], id_type),
+        "jaccard": pa.array([], pa.float64()),
+        "j_milli": pa.array([], pa.int64()),
+    }))
+    return empty.union(pairs)

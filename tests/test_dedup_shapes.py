@@ -311,3 +311,40 @@ def test_connected_components_chain_clusters(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     got = dict(zip(out["doc_id"], out["cluster_rep"]))
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_jaccard_inline_variant_matches_join_variant(ray_session):
+    """The single-shuffle inline form must emit EXACTLY the pairs (and
+    j_milli values) of the 3-shuffle candidate/verify join — same
+    candidates (same seeded bands), same exact verification."""
+    import ray.data
+
+    from docling_ray.stages.dedup import (
+        jaccard_near_dups,
+        jaccard_near_dups_inline,
+    )
+
+    base1 = ("stream data batch query table scan merge sort join filter "
+             "shard spill vector page cell block arrow shuffle") * 4
+    base2 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon") * 4
+    rows = {"doc_id": [], "text": []}
+    for i in range(25):
+        rows["doc_id"].append(i)
+        rows["text"].append(f"unique {i} " +
+                            " ".join(f"tok{i}_{j}" for j in range(40)))
+    rows["doc_id"] += [100, 101, 102, 200, 201]
+    rows["text"] += [base1, base1.replace("arrow", "parquet"), base1,
+                     base2, base2.replace("sigma", "omega")]
+    table = pa.table(rows)
+
+    def canon(ds):
+        df = ds.to_pandas().sort_values(["doc_a", "doc_b"]) \
+            .reset_index(drop=True)
+        return list(zip(df["doc_a"], df["doc_b"], df["j_milli"]))
+
+    a = canon(jaccard_near_dups(ray.data.from_arrow(table), threshold=0.5))
+    b = canon(jaccard_near_dups_inline(ray.data.from_arrow(table),
+                                       threshold=0.5))
+    assert a == b
+    assert len(a) >= 4     # planted clusters found (incl. the exact dup)
