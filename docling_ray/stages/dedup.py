@@ -43,7 +43,7 @@ def _hash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-_SHINGLE_CACHE_CAP = 2_000_000
+_SHINGLE_CACHE_CAP = 1_000_000
 
 
 def shingles_of(text: str, k: int = 3,
@@ -53,7 +53,11 @@ def shingles_of(text: str, k: int = 3,
     ``cache`` (a per-ACTOR dict, e.g. ``MinHashStage``'s) memoizes
     gram→hash: natural-language 3-grams repeat heavily across documents,
     so this removes most md5 calls from the signature stage without
-    changing a single hash value.  Bounded at ~2M entries (~200 MB)."""
+    changing a single hash value.  Cap accounting (ADVICE r3): a CPython
+    dict entry for a ~20-char gram costs ~300-500 B (str object + dict
+    slot + int), so 1M entries is ~0.3-0.5 GB — PER ACTOR; a pool of
+    cpus/2 signature actors multiplies that, which is why the cap is 1M
+    and must be sized against per-worker heap, not the node total."""
     toks = text.split()
     if len(toks) < k:
         grams = [" ".join(toks)] if toks else []
@@ -324,17 +328,35 @@ def _hash64_of(col) -> np.ndarray:
     the UNMIXED low bits and collapse stride-aligned ids onto one
     partition); everything else goes through pandas' C-implemented
     siphash (`pd.util.hash_array`, deterministic across processes).
-    Never a Python loop per row."""
-    vals = col.to_numpy(zero_copy_only=False)
-    if np.issubdtype(vals.dtype, np.integer):
+    Never a Python loop per row.
+
+    The integer branch dispatches on the ARROW type, never the
+    materialized numpy dtype: a nullable int64 batch materializes as
+    float64, and dtype-dispatch would then hash the same key value with
+    two different functions depending on which batch it landed in —
+    splitting one key across partitions (ADVICE r3).  Nulls route to the
+    fixed hash 0 so null keys always co-locate, batch-independently."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        import pyarrow.compute as pc
+
+        if col.null_count:
+            null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+            vals = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        else:
+            null_mask = None
+            vals = col.to_numpy(zero_copy_only=False)
         h = vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(32)            # fold high-bit entropy down
         h *= np.uint64(0xD6E8FEB86659FD93)
         h ^= h >> np.uint64(32)
+        if null_mask is not None:
+            h[null_mask] = np.uint64(0)
         return h
     import pandas as pd
 
-    return pd.util.hash_array(vals)
+    return pd.util.hash_array(col.to_numpy(zero_copy_only=False))
 
 
 def _part_of(col, num_partitions: int) -> np.ndarray:
@@ -389,7 +411,15 @@ def exact_dedup_losers(ds, key_column: str = "fingerprint",
     cheap projection and ANTI-FILTER the payload stream with them
     (broadcast when the loser set fits memory; the sharded
     ``state/dedup_index.py`` actors are the escape hatch when it does
-    not)."""
+    not).
+
+    Output rows are the DISTINCT losing order VALUES per key — strictly
+    greater than the key's minimum.  Ties matter: if two rows carry the
+    same (key, order) — a re-crawl dup with the same url and bytes — the
+    winner's own value must NOT be emitted, or the anti-filter would
+    delete every copy of the document including the kept one (ADVICE
+    r3); the filter operates on values, so value-dedup also costs
+    nothing downstream."""
     import pyarrow.compute as pc
 
     small = ds.select_columns([key_column, order_column])
@@ -409,9 +439,13 @@ def exact_dedup_losers(ds, key_column: str = "fingerprint",
         g = part.take(order)
         keys = g[key_column].combine_chunks()
         neq = _key_change_mask(keys, n)
+        ord_neq = _key_change_mask(g[order_column].combine_chunks(), n)
         mask = np.empty(n, dtype=bool)
         mask[0] = False
-        mask[1:] = ~neq           # rows continuing a key run are losers
+        # a loser VALUE starts where the key run continues but the order
+        # value changes: the run minimum (incl. its tie copies) is never
+        # emitted, and repeated losing values are emitted once
+        mask[1:] = ~neq & ord_neq
         return g.take(np.flatnonzero(mask)).select([order_column])
 
     return small.map_batches(add_part, batch_format="pyarrow") \

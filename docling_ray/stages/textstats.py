@@ -42,8 +42,13 @@ def tokens_of(text: str) -> list[str]:
 
 def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """Whitespace-token count via Arrow's C regex counter (one
-    non-overlapping ``[^\\s]+`` match per token — identical to the
-    ``findall`` length it replaces)."""
+    non-overlapping ``[^\\s]+`` match per token).  Whitespace semantics
+    are RE2's ASCII ``\\s`` — the same engine DuckDB's regexp_* uses, so
+    the oracle equivalence holds by construction; note this DIFFERS from
+    Python's unicode ``\\s`` on NBSP etc. ("naïve\\xa0café" counts 1
+    token here, 2 via ``tokens_of``), so ``n_tokens`` can disagree with
+    the chunker/simhash token family on such text (same contract as
+    ``quality_batch`` below)."""
     import pyarrow.compute as pc
 
     col = pc.fill_null(batch[column].combine_chunks(), "")

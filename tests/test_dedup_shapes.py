@@ -277,6 +277,49 @@ def test_part_of_mixes_stride_aligned_int_keys():
     assert counts_ts.max() < 4 * counts_ts.mean()
 
 
+def test_hash64_batch_null_content_invariant():
+    """A nullable int64 column materializes as float64 via to_numpy;
+    dtype-dispatch would then hash the same key with two different
+    functions depending on which batch it lands in, splitting one key
+    across partitions (ADVICE r3).  The hash must depend only on the
+    value, never on other rows of the batch; nulls route to a fixed
+    partition."""
+    from docling_ray.stages.dedup import _hash64_of
+
+    clean = pa.array([10, 20, 30], pa.int64())
+    dirty = pa.array([10, None, 30], pa.int64())
+    h_clean = _hash64_of(clean)
+    h_dirty = _hash64_of(dirty)
+    assert h_clean[0] == h_dirty[0] and h_clean[2] == h_dirty[2]
+    # nulls co-locate deterministically
+    assert _hash64_of(pa.array([None, None], pa.int64()))[0] == h_dirty[1]
+    # chunked nullable column takes the same path
+    ch = pa.chunked_array([pa.array([10], pa.int64()),
+                           pa.array([None, 30], pa.int64())])
+    h_ch = _hash64_of(ch)
+    assert h_ch[0] == h_clean[0] and h_ch[2] == h_clean[2]
+
+
+def test_exact_dedup_losers_tie_on_order_keeps_winner(ray_session):
+    """Two rows tying on (key, order) — a re-crawl dup with the same url
+    and same bytes — must NOT emit the winner's own order value as a
+    loser: the anti-filter drops by VALUE, so emitting it would delete
+    every copy of the document including the kept one (ADVICE r3).
+    Losing values are emitted once each (distinct)."""
+    import ray.data
+
+    from docling_ray.stages.dedup import exact_dedup_losers
+
+    table = pa.table({
+        "fingerprint": ["k"] * 4 + ["solo"],
+        "url": ["u1", "u1", "u2", "u2", "u9"],   # u1 tie-wins, u2 loses
+    })
+    ds = ray.data.from_arrow(table)
+    lost = exact_dedup_losers(ds, key_column="fingerprint",
+                              order_column="url").to_pandas()["url"].tolist()
+    assert lost == ["u2"]
+
+
 def test_exact_dedup_handles_null_keys(ray_session):
     """Null keys form their own group (groupby semantics) instead of
     raising on null comparisons."""
