@@ -351,14 +351,17 @@ def q_minhash_near_dup(sf_dir: str):
 def q_minhash_clusters(sf_dir: str):
     """Near-dup CLUSTERS: connected components over the MinHash pair
     graph, rep = component minimum — the cluster-level keep-one decision
-    (pair-local drop-the-larger over-drops on chains).  Union-find runs
-    driver-side over the BOUNDED pair set; the oracle computes the same
-    components with a recursive CTE over the identical pair SQL."""
-    from docling_ray.stages.dedup import connected_components, minhash_near_dups
+    (pair-local drop-the-larger over-drops on chains).  Runs the
+    DISTRIBUTED plan (iterative min-label propagation as hash-partitioned
+    Ray shuffles; the pair set never touches the driver); the oracle
+    computes the same components with a recursive CTE over the identical
+    pair SQL."""
+    from docling_ray.stages.dedup import (connected_components_distributed,
+                                          minhash_near_dups)
 
     ds = _documents(sf_dir, columns=["doc_id", "text"])
     pairs = minhash_near_dups(ds, threshold=0.5)
-    return connected_components(pairs)
+    return connected_components_distributed(pairs)
 
 
 def q_simhash(sf_dir: str):

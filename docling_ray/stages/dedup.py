@@ -902,12 +902,14 @@ def connected_components(pairs_ds, a_column: str = "doc_a",
     C dropped for (B,C) is correct, but pair-local drop-the-larger would
     also drop C for (C,D) even when D is C's only link and D > C).
 
-    Driver-side union-find with path compression + union-by-rep: the
-    input is the PAIR set, bounded by the duplicate rate, not the corpus
-    (the same boundedness argument as the anti-filter drop set).  At an
-    extreme dup rate where pairs outgrow driver memory, the escape hatch
-    is iterative min-label propagation as Ray joins — documented, not
-    needed at any realistic crawl dup rate."""
+    Driver-side union-find with path compression + union-by-rep — the
+    SMALL-GRAPH FAST PATH: one pass, no shuffles, right when the pair set
+    fits driver memory (ad-hoc analysis, tests, modest corpora).  At
+    crawl scale the pair set is a large fraction of the corpus (10^11+
+    edges at a 30-50% near-dup rate over 10^12 docs) and does not fit a
+    driver: use ``connected_components_distributed`` below — the same
+    output contract as hash-partitioned Ray shuffles, which is what the
+    corpus queries wire in."""
     parent: dict = {}
 
     def find(x):
@@ -942,6 +944,224 @@ def connected_components(pairs_ds, a_column: str = "doc_a",
         "doc_id": pa.array(members, id_type),
         "cluster_rep": pa.array(reps, id_type),
     })
+
+
+def _cc_round_tables(labels_tbl: pa.Table, num_partitions: int) -> pa.Table:
+    """labels (node, label) → the two per-round message-input row kinds:
+    kind 0 (label passthrough, keyed by node) and kind 2 (pointer-doubling
+    request: "what is label(label)?", keyed by the LABEL so the lookup is
+    in-partition).  Vectorized column shuffles only."""
+    node = labels_tbl["node"].combine_chunks()
+    label = labels_tbl["label"].combine_chunks()
+    n = labels_tbl.num_rows
+    id_type = node.type
+    part0 = _part_of(node, num_partitions)
+    part2 = _part_of(label, num_partitions)
+    return pa.table({
+        "part": pa.array(np.concatenate([part0, part2]), pa.int64()),
+        "kind": pa.array(np.concatenate([np.zeros(n, np.int8),
+                                         np.full(n, 2, np.int8)])),
+        "node": pa.chunked_array([node, label]).combine_chunks()
+                .cast(id_type),
+        "aux": pa.chunked_array([pa.nulls(n, id_type), node])
+               .combine_chunks(),
+        "label": pa.chunked_array([label, pa.nulls(n, id_type)])
+                 .combine_chunks(),
+    })
+
+
+def _cc_propagate(part_tbl: pa.Table, num_partitions: int) -> pa.Table:
+    """One node-keyed partition of the propagate stage.  Rows: kind 0 =
+    label (node, label); kind 1 = symmetric edge (node=src, aux=dst);
+    kind 2 = shortcut request (node=label-being-looked-up, aux=requester).
+    Every lookup is a C-level ``index_in`` against the partition's label
+    table — labels, edges and requests co-locate by construction because
+    all three kinds are keyed by ``hash(node) % P``.  Emits candidate
+    rows (out_part, node, cand, is_old) keyed by the TARGET node."""
+    import pyarrow.compute as pc
+
+    id_type = part_tbl.schema.field("node").type
+    kinds = part_tbl["kind"].to_numpy(zero_copy_only=False)
+    lab = part_tbl.filter(pa.array(kinds == 0))
+    lut_nodes = lab["node"].combine_chunks()
+    lut_labels = lab["label"].combine_chunks()
+    out_nodes, out_cands, out_old = [], [], []
+    # passthrough: the node's own current label (the change-detection row)
+    out_nodes.append(lut_nodes)
+    out_cands.append(lut_labels)
+    out_old.append(np.ones(len(lut_nodes), np.int8))
+
+    def lookup(keys) -> pa.Array:
+        idx = pc.index_in(keys, value_set=lut_nodes)
+        return pc.take(lut_labels, idx)
+
+    edges = part_tbl.filter(pa.array(kinds == 1))
+    if edges.num_rows:
+        # edge (src, dst): send label(src) to dst
+        out_nodes.append(edges["aux"].combine_chunks())
+        out_cands.append(lookup(edges["node"].combine_chunks()))
+        out_old.append(np.zeros(edges.num_rows, np.int8))
+    reqs = part_tbl.filter(pa.array(kinds == 2))
+    if reqs.num_rows:
+        # shortcut (l, v): send label(l) to v — pointer doubling, so a
+        # label chain of depth d resolves in O(log d) rounds, not d
+        out_nodes.append(reqs["aux"].combine_chunks())
+        out_cands.append(lookup(reqs["node"].combine_chunks()))
+        out_old.append(np.zeros(reqs.num_rows, np.int8))
+    nodes = pa.chunked_array(out_nodes).combine_chunks().cast(id_type)
+    cands = pa.chunked_array(out_cands).combine_chunks().cast(id_type)
+    return pa.table({
+        "out_part": pa.array(_part_of(nodes, num_partitions), pa.int64()),
+        "node": nodes,
+        "cand": cands,
+        "is_old": pa.array(np.concatenate(out_old)),
+    })
+
+
+def _cc_combine(part_tbl: pa.Table) -> pa.Table:
+    """One target-node-keyed partition of the min-combine stage: sorted
+    run detection gives the per-node minimum candidate; the is_old row
+    (exactly one per node) gives the previous label for the convergence
+    counter.  Vectorized — Python never runs per node."""
+    import pyarrow.compute as pc
+
+    id_type = part_tbl.schema.field("node").type
+    n = part_tbl.num_rows
+    if n == 0:
+        return pa.table({"node": pa.array([], id_type),
+                         "label": pa.array([], id_type),
+                         "changed": pa.array([], pa.int8())})
+    order = pc.sort_indices(part_tbl, sort_keys=[("node", "ascending"),
+                                                 ("cand", "ascending")])
+    g = part_tbl.take(order)
+    nodes = g["node"].combine_chunks()
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = _key_change_mask(nodes, n)
+    starts = np.flatnonzero(first)
+    uniq = nodes.take(pa.array(starts))
+    new_label = g["cand"].combine_chunks().take(pa.array(starts))
+    old_rows = g.filter(pc.equal(g["is_old"], 1))   # node-sorted, 1/node
+    changed = pc.cast(pc.not_equal(old_rows["cand"].combine_chunks(),
+                                   new_label), pa.int8())
+    return pa.table({"node": uniq, "label": new_label, "changed": changed})
+
+
+def _cc_initial_labels(part_tbl: pa.Table) -> pa.Table:
+    """Initial label per node from one src-keyed symmetric-edge partition:
+    label(v) = min(v, min of v's neighbors) — one sorted pass."""
+    import pyarrow.compute as pc
+
+    id_type = part_tbl.schema.field("src").type
+    n = part_tbl.num_rows
+    if n == 0:
+        return pa.table({"node": pa.array([], id_type),
+                         "label": pa.array([], id_type)})
+    order = pc.sort_indices(part_tbl, sort_keys=[("src", "ascending"),
+                                                 ("dst", "ascending")])
+    g = part_tbl.take(order)
+    src = g["src"].combine_chunks()
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = _key_change_mask(src, n)
+    starts = np.flatnonzero(first)
+    uniq = src.take(pa.array(starts))
+    min_dst = g["dst"].combine_chunks().take(pa.array(starts))
+    label = pc.min_element_wise(uniq, min_dst)
+    return pa.table({"node": uniq, "label": label})
+
+
+def connected_components_distributed(pairs_ds, a_column: str = "doc_a",
+                                     b_column: str = "doc_b",
+                                     num_partitions: int = 64,
+                                     max_rounds: int = 30):
+    """Connected components over the near-dup PAIR graph as iterative
+    min-label propagation in hash-partitioned Ray shuffles — the 100 TB
+    form of ``connected_components``: the pair set is NEVER collected on
+    the driver (at a 30-50% near-dup rate over 10^12 docs the edge set is
+    10^11+ rows — object-store data, not a Python dict).
+
+    Per round (2 shuffles over node/label-sized rows):
+
+    1. **propagate** (keyed ``hash(node) % P``): labels, symmetric edges
+       and pointer-doubling requests co-locate; every edge forwards
+       label(src) to dst and every label row asks for label(label) —
+       the shortcut that makes label chains collapse in O(log depth)
+       rounds instead of depth.
+    2. **min-combine** (keyed by target node): per-node minimum of all
+       candidates, plus a changed-bit vs the old label.
+
+    Labels are materialized per round (small: 2 ids/node, distributed in
+    the object store) and the loop stops at the first round with zero
+    changes; at a fixpoint labels are constant per component and equal
+    to the component minimum (standard monotone-convergence argument —
+    every candidate is a component member, so the min can only descend
+    to the true minimum, and with both edge directions present no
+    non-constant labeling is stable).  Near-dup graphs are star/clique
+    shaped (LSH buckets), so 2-3 rounds is typical; ``max_rounds`` is a
+    pathological-chain backstop (RuntimeError rather than silently wrong
+    output).
+
+    Returns a Dataset ``(doc_id, cluster_rep)``, one row per clustered
+    doc, rep = component min — same contract as the driver-side
+    ``connected_components`` fast path."""
+    import ray.data
+
+    sch = pairs_ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[a_column] \
+        if sch is not None and a_column in sch.names else pa.int64()
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch[a_column].combine_chunks()
+        b = batch[b_column].combine_chunks()
+        src = pa.chunked_array([a, b]).combine_chunks()
+        dst = pa.chunked_array([b, a]).combine_chunks()
+        return pa.table({
+            "part": pa.array(_part_of(src, num_partitions), pa.int64()),
+            "src": src, "dst": dst})
+
+    edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow") \
+        .materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], id_type),
+            "cluster_rep": pa.array([], id_type)}))
+
+    labels = edges.groupby("part").map_groups(
+        _cc_initial_labels, batch_format="pyarrow").materialize()
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        et = batch.schema.field("src").type
+        return pa.table({
+            "part": batch["part"],
+            "kind": pa.array(np.ones(n, np.int8)),
+            "node": batch["src"].combine_chunks().cast(et),
+            "aux": batch["dst"],
+            "label": pa.nulls(n, et),
+        })
+
+    for _ in range(max_rounds):
+        msg_in = labels.map_batches(
+            lambda b: _cc_round_tables(b, num_partitions),
+            batch_format="pyarrow") \
+            .union(edges.map_batches(edge_rows, batch_format="pyarrow"))
+        cands = msg_in.groupby("part").map_groups(
+            lambda g: _cc_propagate(g, num_partitions),
+            batch_format="pyarrow")
+        new_labels = cands.groupby("out_part").map_groups(
+            _cc_combine, batch_format="pyarrow").materialize()
+        n_changed = new_labels.sum("changed") or 0
+        labels = new_labels.select_columns(["node", "label"])
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_distributed: no fixpoint in "
+            f"{max_rounds} rounds (pathological graph?)")
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "cluster_rep": b["label"]}),
+        batch_format="pyarrow")
 
 
 # -- jaccard inline variant (single shuffle, blob-carrying band rows) -------

@@ -356,6 +356,109 @@ def test_connected_components_chain_clusters(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_distributed_matches_driver(ray_session):
+    """The shuffle-based min-label propagation must produce exactly the
+    driver union-find's (doc_id, cluster_rep) mapping — mixed shapes:
+    chain, star, singleton pair, and an out-of-order component."""
+    import ray.data
+
+    from docling_ray.stages.dedup import (connected_components,
+                                          connected_components_distributed)
+
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": [1, 2, 10, 7, 50, 50, 50, 99],
+        "doc_b": [2, 3, 11, 1, 51, 52, 53, 40],
+    }))
+    want = connected_components(pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = connected_components_distributed(pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_connected_components_distributed_string_ids(ray_session):
+    """String (url) ids take the same path — the corpus pipeline's node
+    type."""
+    import ray.data
+
+    from docling_ray.stages.dedup import connected_components_distributed
+
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": ["u3", "u1", "u9"],
+        "doc_b": ["u2", "u2", "u8"],
+    }))
+    out = connected_components_distributed(pairs).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_rep"]))
+    assert got == {"u1": "u1", "u2": "u1", "u3": "u1",
+                   "u8": "u8", "u9": "u8"}
+
+
+def test_connected_components_distributed_long_chain_few_rounds(ray_session):
+    """Pointer doubling: a 128-node chain must converge within
+    O(log depth) rounds, not depth — max_rounds=10 would fail a plain
+    propagation (which needs ~127 rounds) but passes with shortcuts."""
+    import ray.data
+
+    from docling_ray.stages.dedup import connected_components_distributed
+
+    n = 128
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": list(range(n - 1)),
+        "doc_b": list(range(1, n)),
+    }))
+    out = connected_components_distributed(pairs, max_rounds=10).to_pandas()
+    assert len(out) == n
+    assert (out["cluster_rep"] == 0).all()
+
+
+class _NoDriverCollectProxy:
+    """Dataset wrapper that fails the test if the operator under test
+    ever pulls the pair set onto the driver."""
+
+    _FORBIDDEN = ("iter_batches", "iter_rows", "to_pandas", "take_all",
+                  "take", "to_arrow_refs")
+
+    def __init__(self, ds):
+        self._ds = ds
+
+    def __getattr__(self, name):
+        if name in self._FORBIDDEN:
+            raise AssertionError(
+                f"pair set collected on the driver via .{name}()")
+        return getattr(self._ds, name)
+
+
+def test_connected_components_distributed_never_collects_pairs(ray_session):
+    """The 100 TB contract: the pair graph is streamed through shuffles,
+    never materialized on the driver (VERDICT r3 #1)."""
+    import ray.data
+
+    from docling_ray.stages.dedup import connected_components_distributed
+
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": [1, 2, 5],
+        "doc_b": [2, 3, 6],
+    }))
+    out = connected_components_distributed(_NoDriverCollectProxy(pairs)) \
+        .to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_rep"]))
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_distributed_empty(ray_session):
+    import ray.data
+
+    from docling_ray.stages.dedup import connected_components_distributed
+
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+    }))
+    out = connected_components_distributed(pairs)
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "cluster_rep"]
+
+
 def test_jaccard_inline_variant_matches_join_variant(ray_session):
     """The single-shuffle inline form must emit EXACTLY the pairs (and
     j_milli values) of the 3-shuffle candidate/verify join — same
