@@ -36,6 +36,33 @@ MIN_DOC_TOKENS = 30
 
 
 
+def _ensure_threadsafe_fsspec_http() -> None:
+    """Make concurrent driver-thread Dataset planning safe: Ray's path
+    resolver probes ``from fsspec.implementations.http import
+    HTTPFileSystem`` on EVERY read/write plan, and when aiohttp is absent
+    that import fails each time (Python does not cache failed imports).
+    Two driver threads planning concurrently can then observe each
+    other's partially-initialized module and die with an uncaught
+    ``ImportError`` instead of the ``ModuleNotFoundError`` Ray handles.
+    If the real module is unimportable, install a sentinel module whose
+    ``HTTPFileSystem`` can never have instances (aiohttp-less runtimes
+    cannot construct one), so the probe succeeds deterministically and
+    Ray's ``isinstance`` check stays False — identical behavior, no race."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel: never instantiated
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
 def _signature_concurrency() -> int:
     """Size the MinHash signature pool to the cluster: shingling+md5 is
     the compute-heavy stage of the near-dup pass, so give it half the
@@ -229,6 +256,15 @@ def run_corpus(input_dir: str, output_dir: str,
                lambda: run_extract(input_dir, extract_dir, resume=resume,
                                    emit_doc_json=True))
 
+    # stages 2+3 run CONCURRENTLY (two driver threads, each owning one
+    # streaming execution): the exact-loser and minhash-pair decision
+    # passes are independent and both read the same checkpoint, so
+    # serializing them pays the per-pipeline fixed floor (actor-pool
+    # spin-up, shuffle barriers) twice back-to-back while most of the
+    # cluster idles — overlapping them lets one pass's map stages fill
+    # the other's barrier gaps (VERDICT r3 #3).  Resume granularity is
+    # unchanged: each keeps its own done marker.
+    #
     # stage 2: exact-dup LOSER urls from the (doc_id, url) projection —
     # the corpus payload never enters a shuffle (exact_dedup_losers)
     losers_path = os.path.join(output_dir, "exact_losers")
@@ -237,8 +273,6 @@ def run_corpus(input_dir: str, output_dir: str,
         ds = ray.data.read_parquet(data_dir, columns=["doc_id", "url"])
         exact_dedup_losers(ds, key_column="doc_id", order_column="url") \
             .write_parquet(losers_path)
-
-    _run_stage("dedup", "dedup_sec", losers_path, _stage_losers)
 
     # stage 3: minhash near-dup pairs over the checkpoint (pruned read).
     # Run on the pre-collapse stream: drop-the-larger-url is invariant to
@@ -255,7 +289,24 @@ def run_corpus(input_dir: str, output_dir: str,
             concurrency=_signature_concurrency(),
         ).write_parquet(pairs_path)
 
-    _run_stage("pairs", "minhash_sec", pairs_path, _stage_pairs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    _ensure_threadsafe_fsspec_http()
+    decisions_pending = any(
+        not (resume and os.path.exists(os.path.join(output_dir,
+                                                    f"_{s}_done")))
+        for s in ("dedup", "pairs"))
+    t_dec = time.time()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_run_stage, "dedup", "dedup_sec", losers_path,
+                            _stage_losers),
+                pool.submit(_run_stage, "pairs", "minhash_sec", pairs_path,
+                            _stage_pairs)]
+        for f in futs:
+            f.result()
+    if decisions_pending:
+        # per-stage secs overlap; this is the decisions' true wall time
+        timings["decisions_wall_sec"] = round(time.time() - t_dec, 3)
 
     # stage 4: chunk survivors with the in-stage quality floor; the drop
     # set (exact losers + near-dup doc_b) is bounded by the DUPLICATE
