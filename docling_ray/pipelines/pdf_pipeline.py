@@ -4,11 +4,18 @@ Same lineage contract as the extraction runner
 (``pipelines/extract_pipeline.run_extract``): one input parquet shard of
 parsed pages → one output partition, recorded in ``_manifest.jsonl``
 after a complete write; a resumed run deletes stale partial partitions
-and re-processes only shards missing from the manifest.  Shards are
-processed one pipeline-run at a time because the per-doc reduce must see
-every page of a doc — the corpus layout contract is therefore "a doc's
-pages never span input shards" (the explode stages guarantee it; for
-external page tables, partition by doc_id when sharding)."""
+and re-processes only shards missing from the manifest.
+
+ALL remaining shards stream through ONE Dataset pipeline (the
+``run_extract`` shape): the per-shard alternative pays the ~seconds
+pipeline fixed cost per shard and idles the cluster between shards.  The
+per-doc reading-order reduce stays correct across the merged stream
+because the corpus layout contract is "a doc's pages never span input
+shards" (the explode stages guarantee it; for external page tables,
+partition by doc_id when sharding) — so the global ``groupby(doc_id)``
+sees exactly the same groups, and the shard id rides along as a
+carry column into the partitioned write.
+"""
 
 from __future__ import annotations
 
@@ -24,6 +31,18 @@ from docling_ray.state import manifest
 from docling_ray.stages.pdf import pdf_pages_pipeline
 
 
+def _shard_id(shard_file: str) -> str:
+    return os.path.splitext(shard_file)[0]
+
+
+def _shard_from_path(batch):
+    import pyarrow as pa
+
+    shards = [_shard_id(os.path.basename(p.as_py())) for p in batch["path"]]
+    batch = batch.drop_columns(["path"])
+    return batch.append_column("shard", pa.array(shards, pa.string()))
+
+
 def run_pdf_extract(input_dir: str, output_dir: str, resume: bool = True,
                     limits=None) -> dict:
     input_files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
@@ -33,20 +52,29 @@ def run_pdf_extract(input_dir: str, output_dir: str, resume: bool = True,
         else input_files
     data_dir = os.path.join(output_dir, "data")
     t0 = time.time()
-    for f in todo:
-        shard = os.path.basename(f)
-        shard_id = os.path.splitext(shard)[0]
-        part_dir = os.path.join(data_dir, f"shard={shard_id}")
-        if os.path.isdir(part_dir):  # stale partial write from a crash
-            shutil.rmtree(part_dir)
-        ds = ray.data.read_parquet(f)
-        out = pdf_pages_pipeline(ds, limits=limits)
-        os.makedirs(part_dir, exist_ok=True)
-        out.write_parquet(part_dir)
-        rows = sum(pq.ParquetFile(p).metadata.num_rows
-                   for p in glob.glob(os.path.join(part_dir, "*.parquet")))
-        manifest.mark_done(output_dir, shard, rows,
-                           input_path=f, stage="pdf-extract-v1")
+    if todo:
+        # exactly-once despite mid-run crashes: a shard is authoritative
+        # only once it is in the manifest, so any partition dir for a
+        # shard about to be (re)processed is a stale partial write —
+        # drop it first or write_parquet would APPEND uniquely-named
+        # files next to it and duplicate rows (the run_extract lesson).
+        for f in todo:
+            stale = os.path.join(
+                data_dir, f"shard={_shard_id(os.path.basename(f))}")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+        ds = ray.data.read_parquet(todo, include_paths=True)
+        ds = ds.map_batches(_shard_from_path, batch_format="pyarrow")
+        out = pdf_pages_pipeline(ds, limits=limits, carry_columns=("shard",))
+        out.write_parquet(data_dir, partition_cols=["shard"])
+        for f in todo:
+            shard = os.path.basename(f)
+            part_dir = os.path.join(data_dir, f"shard={_shard_id(shard)}")
+            rows = sum(
+                pq.ParquetFile(p).metadata.num_rows
+                for p in glob.glob(os.path.join(part_dir, "*.parquet")))
+            manifest.mark_done(output_dir, shard, rows,
+                               input_path=f, stage="pdf-extract-v1")
     done = manifest.load_done(output_dir)
     return {
         "shards_total": len(input_files),

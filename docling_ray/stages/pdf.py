@@ -340,14 +340,29 @@ def multimodal_export_pipeline(ds, layout_concurrency: int = 2):
                                            batch_format="pyarrow")
 
 
-def pdf_pages_pipeline(ds, layout_concurrency: int = 2, limits=None):
+def pdf_pages_pipeline(ds, layout_concurrency: int = 2, limits=None,
+                       carry_columns: tuple = ()):
     """Full paginated pipeline over a parsed-pages dataset.  ``limits``
     (``stages/limits.DocumentLimits``) enforces max-page / page-range
-    inside the per-doc reduce — limit-invalid docs are dropped."""
+    inside the per-doc reduce — limit-invalid docs are dropped.
+
+    ``carry_columns`` names input columns that are CONSTANT within a
+    document (e.g. the input-shard id) and must survive the per-doc
+    reduce; each is re-appended to the reduce output from the group's
+    first row, letting callers stream MANY shards through one pipeline
+    and still write shard-partitioned output."""
+
+    def _reduce(g: pa.Table) -> pa.Table:
+        out = assemble_document(g, limits=limits)
+        for name in carry_columns:
+            value = g[name][0].as_py() if g.num_rows else None
+            out = out.append_column(
+                name, pa.array([value] * out.num_rows,
+                               g.schema.field(name).type))
+        return out
+
     ds = ds.map_batches(page_parse_batch, batch_format="pyarrow")
     ds = ds.map_batches(LayoutHeuristicStage, batch_format="pyarrow",
                         concurrency=(1, layout_concurrency))
     ds = ds.map_batches(assemble_page_batch, batch_format="pyarrow")
-    return ds.groupby("doc_id").map_groups(
-        lambda g: assemble_document(g, limits=limits),
-        batch_format="pyarrow")
+    return ds.groupby("doc_id").map_groups(_reduce, batch_format="pyarrow")

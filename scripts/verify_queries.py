@@ -23,7 +23,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.astype({c: "float64" for c in df.columns if df[c].dtype.kind in "fiu"} , errors="ignore")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
-def main(sf_dir):
+def main(sf_dir, only=None):
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -33,6 +33,8 @@ def main(sf_dir):
     for t in TABLES:
         con.execute(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         t0 = time.time()
@@ -66,4 +68,5 @@ def main(sf_dir):
     return failures
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001") else 0)
+    sys.exit(1 if main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+                       only=set(sys.argv[2:]) or None) else 0)

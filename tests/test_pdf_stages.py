@@ -188,8 +188,28 @@ def test_run_pdf_extract_resume(ray_session, tmp_path):
             value_set=__import__("pyarrow").array(doc_ids[i::2])))
         pq_.write_table(part, src / f"shard{i}.parquet")
     stats1 = run_pdf_extract(str(src), str(dst))
+    # BOTH shards stream through ONE pipeline run (the run_extract
+    # shape — no per-shard pipeline loop), into one partition per shard
     assert stats1["shards_processed"] == 2
     assert stats1["rows_done"] == 8
+    import glob as _glob
+    import os
+
+    parts = sorted(os.path.basename(p) for p in
+                   _glob.glob(str(dst / "data" / "shard=*")))
+    assert parts == ["shard=shard0", "shard=shard1"]
+    # the merged-stream reduce reproduces the generator's expected text
+    # for every doc, and each doc landed in its own shard's partition
+    got = {}
+    for part in parts:
+        for f in _glob.glob(str(dst / "data" / part / "*.parquet")):
+            t = pq_.read_table(f, columns=["doc_id", "text"])
+            for did, text in zip(t["doc_id"].to_pylist(),
+                                 t["text"].to_pylist()):
+                got[did] = (part, text)
+    assert {d: t for d, (_, t) in got.items()} == expected
+    for i, did in enumerate(doc_ids):
+        assert got[did][0] == f"shard=shard{i % 2}"
     # resume: nothing left
     stats2 = run_pdf_extract(str(src), str(dst))
     assert stats2["shards_processed"] == 0 and stats2["rows_done"] == 8
