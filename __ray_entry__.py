@@ -432,15 +432,17 @@ def _md5_text_col(batch: pa.Table, column: str = "text") -> pa.Table:
 
 
 def q_mets_gbs(sf_dir: str):
-    """METS-GBS archive → paginated pipeline (repo-committed copy of the
-    reference's own fixture as the deterministic input; parity asserted
-    byte-exact in pytest)."""
+    """METS-GBS archive → paginated pipeline.  Input is the synthetic
+    generator archive (``sources/mets_fixture.py``) whose expected
+    document text is known at GENERATION time — golden_mets.parquet is a
+    TRUE golden; parity with the reference's real fixture is separately
+    asserted byte-exact in ``tests/test_mets_gbs.py``."""
     import ray.data
 
+    from docling_ray.sources.mets_fixture import make_mets_archive
     from docling_ray.stages.pdf import mets_gbs_pipeline
 
-    raw = open(os.path.join(_GOLDEN_DIR,
-                            "32044009881525_select.tar.gz"), "rb").read()
+    raw, _expected = make_mets_archive(6, seed=7)
     table = pa.table({
         "doc_id": ["gbs-1"],
         "url": ["https://example.org/gbs-1"],
@@ -1166,10 +1168,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, chunk_id, n_tokens, kind
             FROM read_parquet('{_GOLDEN_DIR}/golden_corpus.parquet')
         """,
-        # multimodal_pages is a TRUE golden too (per-page content_text
-        # derived by the page generator); mets_gbs remains a frozen
-        # kernel recomputation whose true parity is pytest-proven against
-        # the reference's own METS test expectations
+        # multimodal_pages and mets_gbs are TRUE goldens too: per-page
+        # content_text derived by the page generator, and the METS
+        # expectation derived by the synthetic-archive generator
+        # (sources/mets_fixture.py) — real-fixture parity stays
+        # pytest-proven against the reference's own METS expectations
         "mets_gbs": f"""
             SELECT doc_id, n_pages, text_md5
             FROM read_parquet('{_GOLDEN_DIR}/golden_mets.parquet')

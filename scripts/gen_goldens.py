@@ -1,13 +1,10 @@
 #!/usr/bin/env python
 """Generate committed golden tables for the non-SQL-expressible queries.
 
-- golden_pdf / golden_extract / golden_chunks / golden_corpus /
-  golden_enrich / golden_multimodal: TRUE goldens — expected values are
-  computed by the GENERATORS independently of the pipelines
-  (sources/pdf_pages.py, sources/webpages.py construct-stream
-  predictions).
-- golden_mets: frozen kernel-level recomputation (its parity evidence is
-  the byte-exact pytest suite against the reference's own expectations).
+All seven are TRUE goldens — expected values are computed by the
+GENERATORS independently of the pipelines (sources/pdf_pages.py,
+sources/webpages.py, sources/mets_fixture.py construct-stream
+predictions); no kernel or pipeline code runs in this script.
 """
 import hashlib
 import os
@@ -64,43 +61,21 @@ def main() -> None:
     pq.write_table(make_expected_corpus_chunks_table(80, seed=42),
                    os.path.join(out_dir, "golden_corpus.parquet"))
 
-    # -- mets_gbs: frozen doc-level output (parity with the reference's
-    #    own test expectations is separately pytest-proven)
+    # -- mets_gbs: TRUE golden — the synthetic METS archive generator
+    #    emits its own expected document text (lossless integer-bbox
+    #    hOCR round-trip of the pdf_pages construct stream); no kernel
+    #    runs here.  Real-fixture parity with the reference's own METS
+    #    expectations is separately pytest-proven (tests/test_mets_gbs.py).
     import hashlib as _hl
 
-    from docling_ray.kernels.mets_gbs import parse_mets_gbs
-    from docling_ray.kernels.pdf_assemble import (
-        BBox, Cell, assemble_page_text, heuristic_clusters)
-    from docling_ray.kernels.layout_postprocess import postprocess_layout
-    from docling_ray.kernels.reading_order import (
-        ROElement, reading_order_document)
+    from docling_ray.sources.mets_fixture import make_mets_archive
 
-    raw = open(os.path.join(out_dir, "32044009881525_select.tar.gz"),
-               "rb").read()
-    pages = parse_mets_gbs(raw)
-    els = []
-    for page in pages:
-        cells = [Cell(index=c.index, text=c.text,
-                      bbox=BBox(c.l, c.t, c.r, c.b), from_ocr=True,
-                      confidence=c.confidence) for c in page.line_cells]
-        clusters = heuristic_clusters(cells, page.width or 612.0)
-        clusters = postprocess_layout(cells, clusters, page.width or 612.0,
-                                      page.height or 792.0)
-        by_id = {cl.id: cl for cl in clusters}
-        for e in assemble_page_text(clusters):
-            cl = by_id[e["cluster_id"]]
-            els.append(ROElement(cid=len(els), page_no=page.page_no,
-                                 label=e["label"], l=cl.bbox.l, t=cl.bbox.t,
-                                 r=cl.bbox.r, b=cl.bbox.b, text=e["text"],
-                                 page_width=page.width or 612.0,
-                                 page_height=page.height or 792.0))
-    doc = reading_order_document("gbs-1", els)
-    text = "\n".join(i.text for i, _ in doc.iterate()
-                     if getattr(i, "text", "") and i.content_layer == "body")
+    _raw, mets_expected = make_mets_archive(6, seed=7)
     pq.write_table(pa.table({
         "doc_id": pa.array(["gbs-1"], pa.string()),
-        "n_pages": pa.array([len(pages)], pa.int32()),
-        "text_md5": pa.array([_hl.md5(text.encode()).hexdigest()], pa.string()),
+        "n_pages": pa.array([6], pa.int32()),
+        "text_md5": pa.array([_hl.md5(mets_expected.encode()).hexdigest()],
+                             pa.string()),
     }), os.path.join(out_dir, "golden_mets.parquet"))
 
     # -- multimodal pages: TRUE golden — per-page content_text derived by

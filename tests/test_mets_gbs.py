@@ -93,3 +93,44 @@ def test_mets_gbs_ray_pipeline(ray_session, raw):
     assert len(out) == 1
     assert out.loc[0, "n_pages"] == 3
     assert "recently become prevalent that he who speaks" in out.loc[0, "text"]
+
+
+def test_synthetic_mets_archive_matches_generator_expectation(ray_session):
+    """TRUE golden: the synthetic METS archive generator emits its own
+    expected document text (lossless integer-bbox hOCR round-trip of the
+    pdf_pages construct stream); the full Ray pipeline must reproduce it
+    on a FRESH seed — proving golden_mets.parquet is generator-derived,
+    not a recording of the kernel."""
+    import pyarrow as pa
+    import ray.data
+
+    from docling_ray.sources.mets_fixture import make_mets_archive
+    from docling_ray.stages.pdf import mets_gbs_pipeline
+
+    raw, expected = make_mets_archive(4, seed=1234)
+    table = pa.table({
+        "doc_id": ["gbs-syn"],
+        "url": ["https://example.org/gbs-syn"],
+        "archive": pa.array([raw], pa.large_binary()),
+    })
+    out = mets_gbs_pipeline(ray.data.from_arrow(table)).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "n_pages"] == 4
+    assert out.loc[0, "text"] == expected
+
+
+def test_committed_mets_golden_is_generator_derived():
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from docling_ray.sources.mets_fixture import make_mets_archive
+
+    _, expected = make_mets_archive(6, seed=7)
+    g = pq.read_table(os.path.join(os.path.dirname(__file__), "data",
+                                   "golden_mets.parquet"))
+    assert g["doc_id"].to_pylist() == ["gbs-1"]
+    assert g["n_pages"].to_pylist() == [6]
+    assert g["text_md5"].to_pylist() == [
+        hashlib.md5(expected.encode()).hexdigest()]
