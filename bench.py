@@ -166,6 +166,46 @@ def run_scaling(sf_dir: str, cpus_low: int = 2, cpus_high: int = 8) -> dict:
     }
 
 
+def run_skew(n_docs: int = 10_000, num_cpus: int = DEFAULT_CPUS) -> dict:
+    """Skewed-corpus stress bench (VERDICT r3 #8): the composed
+    checkpointed chain over a uniform corpus vs a power-law-duplicated
+    one (one template at 10% of rows, ``sources/webpages.DUP_FAMILIES``)
+    of identical size.  Criterion: skewed wall time within 2× of uniform
+    — evidence that hot duplicate families neither blow up pair output
+    (``emit="star"``) nor a partition (hash pre-bucketing, max_bucket)."""
+    import shutil
+
+    import ray
+
+    from docling_ray.pipelines.corpus import run_corpus
+    from docling_ray.sources.webpages import write_skewed_corpus
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    uniform = bench_corpus(n_docs)
+    skew_path = os.path.join(BENCH_TMP, f"web_skew_{n_docs}")
+    write_skewed_corpus(skew_path, n_docs, seed=42, rows_per_file=5000)
+    out = os.path.join(BENCH_TMP, f"corpus_out_skew_{n_docs}")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    res = run_corpus(skew_path, out)
+    wall = time.time() - t0
+    ray.shutdown()
+    ratio = wall / uniform["sec"]
+    return {
+        "metric": f"skewed/uniform corpus-chain wall ratio ({n_docs} docs)",
+        "value": round(ratio, 3),
+        "unit": "ratio",
+        "num_cpus": num_cpus,
+        "uniform": uniform,
+        "skewed": {"sec": round(wall, 3), "docs": n_docs,
+                   "n_chunks": res["n_chunks"], "stages": res["timings"]},
+        "criterion": "ratio <= 2.0",
+        "pass": ratio <= 2.0,
+    }
+
+
 def run_corpus_scaling(n_docs: int = 5000, cpus_low: int = 2,
                        cpus_high: int = 8) -> dict:
     """The COMPOSED corpus chain (extract → dedup decisions → chunk) at N
@@ -212,9 +252,13 @@ def main() -> None:
                         help="corpus size for --corpus-scaling (the "
                              "BASELINE.md 20k row used --corpus-docs 20000)")
     parser.add_argument("--extract-only", action="store_true")
+    parser.add_argument("--skew", action="store_true",
+                        help="skewed vs uniform corpus-chain stress bench")
     args = parser.parse_args()
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir)))
+    elif args.skew:
+        print(json.dumps(run_skew(num_cpus=args.cpus)))
     elif args.corpus_scaling:
         print(json.dumps(run_corpus_scaling(n_docs=args.corpus_docs)))
     else:

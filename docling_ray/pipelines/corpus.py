@@ -160,10 +160,14 @@ def corpus_chunks(ds, minhash_threshold: float = 0.7,
     # its text, hence generates the same pairs with a smaller url), so one
     # combined anti-filter gives the sequential dedup→near-dup semantics
     t0 = time.time()
+    # emit="star": the decision pass only consumes the doc_b DROP SET,
+    # which star edges preserve exactly (pytest-proven equivalence,
+    # tests/test_dedup_skew.py) at O(members) instead of O(members²)
+    # output when one template dominates the corpus
     pairs = minhash_near_dups(
         extracted.map_batches(_pairs_input, batch_format="pyarrow"),
         threshold=minhash_threshold,
-        concurrency=_signature_concurrency())
+        concurrency=_signature_concurrency(), emit="star")
     for b in pairs.select_columns(["doc_b"]).iter_batches(
             batch_format="pyarrow"):
         drop.update(b["doc_b"].to_pylist())
@@ -281,12 +285,14 @@ def run_corpus(input_dir: str, output_dir: str,
     pairs_path = os.path.join(output_dir, "pairs")
 
     def _stage_pairs() -> None:
+        # emit="star": identical doc_b drop set at O(members) output
+        # under duplicate skew (see corpus_chunks / test_dedup_skew.py)
         ds = ray.data.read_parquet(data_dir,
                                    columns=["url", "extracted_text"])
         minhash_near_dups(
             ds.map_batches(_pairs_input, batch_format="pyarrow"),
             threshold=minhash_threshold,
-            concurrency=_signature_concurrency(),
+            concurrency=_signature_concurrency(), emit="star",
         ).write_parquet(pairs_path)
 
     from concurrent.futures import ThreadPoolExecutor

@@ -410,6 +410,62 @@ def plant_exact_dups(table: pa.Table, every: int = 10) -> pa.Table:
     return pa.concat_tables([table, dups])
 
 
+DUP_FAMILIES = ((10, 7), (40, 1), (160, 3), (640, 11))
+"""Power-law duplicate families for the skewed stress corpus as
+``(modulus, residue)`` index classes — pairwise disjoint by CRT (all
+residues differ modulo each pairwise gcd).  Family 0 is one template at
+10% of the corpus; each later family is ~4× rarer."""
+
+
+def skewed_family_of(i: int) -> int:
+    """Family id of corpus index ``i`` (-1 = unique doc)."""
+    for f, (mod, res) in enumerate(DUP_FAMILIES):
+        if i % mod == res:
+            return f
+    return -1
+
+
+def make_skewed_table(n: int, seed: int = 42, start: int = 0) -> pa.Table:
+    """The skewed stress corpus: the uniform table with every
+    ``DUP_FAMILIES`` member's html REPLACED by its family template's
+    bytes (the doc at index = the family residue), so one content hash /
+    MinHash signature covers 10% of all rows.  Urls stay distinct.
+    Deterministic per (n, seed, start) and shard-decomposable: family
+    membership is a pure function of the global index."""
+    table = make_table(n, seed=seed, start=start)
+    html = table["html"].to_pylist()
+    templates: dict[int, bytes] = {}
+    for f, (mod, res) in enumerate(DUP_FAMILIES):
+        if res < start + n:
+            templates[f] = make_table(1, seed=seed, start=res)["html"][0].as_py()
+    for pos in range(n):
+        f = skewed_family_of(start + pos)
+        if f >= 0 and f in templates:
+            html[pos] = templates[f]
+    return table.set_column(table.schema.get_field_index("html"), "html",
+                            pa.array(html, pa.large_binary()))
+
+
+def write_skewed_corpus(path: str, n: int, seed: int = 42,
+                        rows_per_file: int = 5000) -> list[str]:
+    """Shard-wise ``make_skewed_table`` writer (same resumable layout as
+    ``write_corpus``)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    files = []
+    for shard, start in enumerate(range(0, n, rows_per_file)):
+        count = min(rows_per_file, n - start)
+        fname = os.path.join(path, f"part-{shard:05d}.parquet")
+        if not os.path.exists(fname):
+            pq.write_table(make_skewed_table(count, seed=seed, start=start),
+                           fname, row_group_size=128)
+        files.append(fname)
+    return files
+
+
 def make_expected_chunks_table(n: int, seed: int = 42, start: int = 0,
                                skew_every: int = 50) -> pa.Table:
     """Generator-side TRUE golden for the chunking pipeline:

@@ -180,7 +180,8 @@ def band_explode(batch: pa.Table, num_bands: int = 16,
 
 def _bucket_emit(doc_ids: list, band_keys: np.ndarray, sketches: np.ndarray,
                  band: int, min_agree: int, max_bucket: int,
-                 out_a: list, out_b: list, out_n: list) -> None:
+                 out_a: list, out_b: list, out_n: list,
+                 emit: str = "pairs") -> None:
     """Process one LSH bucket (all rows share one band key of one band).
 
     Members are first collapsed by their full band-key vector (⟺ identical
@@ -189,7 +190,24 @@ def _bucket_emit(doc_ids: list, band_keys: np.ndarray, sketches: np.ndarray,
     every group co-locates wholly in every band, so band 0 sees it exactly
     once.  Cross-group pairs are emitted only when *this* band is the first
     band whose keys match, which both occurrences can decide locally from
-    the carried key vectors — cross-band dedup without a second shuffle."""
+    the carried key vectors — cross-band dedup without a second shuffle.
+
+    ``emit`` selects the OUTPUT density (the comparison work is identical):
+
+    - ``"pairs"``: every qualifying pair, member-expanded — C(m, 2) rows
+      for an m-member identical group.  The oracle-parity contract.
+    - ``"star"``: linear edges only — per identical group, (winner,
+      member) for each non-winner (winner = min doc_id); per qualifying
+      group pair, one (rep_i, rep_j) edge between the group winners.  A
+      corpus where one template is 10% of all docs emits O(m) rows, not
+      O(m²).  Equivalences (pytest-proven, tests/test_dedup_skew.py):
+      the doc_b DROP SET is identical to ``"pairs"`` (any non-winner is
+      doc_b of its intra-group star edge; the larger of two group winners
+      is doc_b of the cross edge; the cluster-minimum doc is never a
+      doc_b in either mode), and connected components are identical
+      (star edges keep each group connected through its winner, cross
+      edges connect winners) — so the corpus anti-filter and the cluster
+      pass both take the linear form at scale."""
     groups: dict[bytes, list[int]] = {}
     for i, _ in enumerate(doc_ids):
         groups.setdefault(band_keys[i].tobytes(), []).append(i)
@@ -206,11 +224,16 @@ def _bucket_emit(doc_ids: list, band_keys: np.ndarray, sketches: np.ndarray,
     if band == 0:
         for members in glist:
             ids = [doc_ids[i] for i in members]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a, b = ids[i], ids[j]
-                    out_a.append(min(a, b)); out_b.append(max(a, b))
+            if emit == "star":
+                for j in range(1, len(ids)):   # members sorted: ids[0]=min
+                    out_a.append(ids[0]); out_b.append(ids[j])
                     out_n.append(num_perm)
+            else:
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        a, b = ids[i], ids[j]
+                        out_a.append(min(a, b)); out_b.append(max(a, b))
+                        out_n.append(num_perm)
     if len(glist) < 2:
         return
     rep_rows = np.array([m[0] for m in glist])
@@ -225,15 +248,21 @@ def _bucket_emit(doc_ids: list, band_keys: np.ndarray, sketches: np.ndarray,
             first = int(np.argmax(K[i] == K[j]))
             if first != band:        # another (earlier) band owns this pair
                 continue
-            for mi in glist[i]:
-                for mj in glist[j]:
-                    a, b = doc_ids[mi], doc_ids[mj]
-                    out_a.append(min(a, b)); out_b.append(max(a, b))
-                    out_n.append(int(agree[i, j]))
+            if emit == "star":
+                a, b = doc_ids[glist[i][0]], doc_ids[glist[j][0]]
+                out_a.append(min(a, b)); out_b.append(max(a, b))
+                out_n.append(int(agree[i, j]))
+            else:
+                for mi in glist[i]:
+                    for mj in glist[j]:
+                        a, b = doc_ids[mi], doc_ids[mj]
+                        out_a.append(min(a, b)); out_b.append(max(a, b))
+                        out_n.append(int(agree[i, j]))
 
 
 def lsh_partition_pairs(group: pa.Table, num_bands: int, min_agree: int,
-                        max_bucket: int, num_perm: int) -> pa.Table:
+                        max_bucket: int, num_perm: int,
+                        emit: str = "pairs") -> pa.Table:
     """Process one shuffle partition: vectorized bucket run detection (the
     overwhelming majority of buckets are singletons and never touch Python),
     then per non-trivial bucket the capped group logic of ``_bucket_emit``."""
@@ -265,7 +294,7 @@ def lsh_partition_pairs(group: pa.Table, num_bands: int, min_agree: int,
             for s, e in zip(starts[multi], ends[multi]):
                 _bucket_emit(doc_ids[s:e], keys[s:e], sk[s:e],
                              int(bands[s]), min_agree, max_bucket,
-                             out_a, out_b, out_n)
+                             out_a, out_b, out_n, emit=emit)
     return pa.table({
         "doc_a": pa.array(out_a, id_type),
         "doc_b": pa.array(out_b, id_type),
@@ -275,7 +304,8 @@ def lsh_partition_pairs(group: pa.Table, num_bands: int, min_agree: int,
 
 def minhash_near_dups(ds, num_perm: int = 64, num_bands: int = 16,
                       threshold: float = 0.7, concurrency: int = 4,
-                      max_bucket: int = 256, num_partitions: int = 64):
+                      max_bucket: int = 256, num_partitions: int = 64,
+                      emit: str = "pairs"):
     """MinHash-LSH near-dup pairs over a (doc_id, text) dataset with ONE
     all-to-all.
 
@@ -308,7 +338,7 @@ def minhash_near_dups(ds, num_perm: int = 64, num_bands: int = 16,
         lambda g: lsh_partition_pairs(g, num_bands=num_bands,
                                       min_agree=min_agree,
                                       max_bucket=max_bucket,
-                                      num_perm=num_perm),
+                                      num_perm=num_perm, emit=emit),
         batch_format="pyarrow")
 
     def add_est(batch: pa.Table) -> pa.Table:
