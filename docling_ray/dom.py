@@ -253,12 +253,20 @@ class Tag:
 
 
 class Document(Tag):
-    """Root node of a parsed document."""
+    """Root node of a parsed document.
 
-    __slots__ = ()
+    ``observed`` is filled by the tree builder with the document-order
+    node lists the HTML extractor's preamble needs (removal candidates,
+    ``<br>`` tags, heading presence probes), so the extractor can run
+    ancestry checks on a handful of nodes instead of re-scanning the
+    whole tree.  ``None`` for hand-built trees — consumers must fall
+    back to a full scan then."""
+
+    __slots__ = ("observed",)
 
     def __init__(self):
         super().__init__("[document]")
+        self.observed: Optional[dict] = None
 
     @property
     def body(self) -> Optional[Tag]:
@@ -289,11 +297,22 @@ def _replace_node(old: Node, new: Node) -> None:
     old.parent = None
 
 
+# Tag names the extractor's preamble cares about, observed during parse
+# (see Document.observed): removal roots, <br> rewrites, heading probes.
+_OBSERVED_NAMES = frozenset(
+    {"script", "style", "br", "img", "h1", "h2", "h3", "h4", "h5", "h6"})
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = Document()
         self.stack: list[Tag] = [self.root]
+        # count of open pre/textarea elements — O(1) whitespace-collapse
+        # decisions in _append_text instead of an O(depth) stack scan
+        self._pre_depth = 0
+        self.root.observed = self._observed = {
+            "removed": [], "brs": [], "headings": [], "imgs": []}
 
     # -- helpers ---------------------------------------------------------
     def _top(self) -> Tag:
@@ -303,12 +322,9 @@ class _TreeBuilder(HTMLParser):
         if not text:
             return
         # strip-to-empty ⟺ every char in _ASCII_SPACES, but in C
-        if cls is NavStr and not text.strip(" \n\t\f\r"):
-            for tag in self.stack:
-                if tag.name in _PRESERVE_WHITESPACE_TAGS:
-                    break
-            else:
-                text = "\n" if "\n" in text else " "
+        if cls is NavStr and not self._pre_depth \
+                and not text.strip(" \n\t\f\r"):
+            text = "\n" if "\n" in text else " "
         self.stack[-1].append(cls(text))
 
     # -- parser events ---------------------------------------------------
@@ -322,13 +338,26 @@ class _TreeBuilder(HTMLParser):
         top = self.stack[-1]
         tag.parent = top
         top.contents.append(tag)
+        if name in _OBSERVED_NAMES or "hidden" in attr_dict:
+            if name in ("script", "style") or "hidden" in attr_dict:
+                self._observed["removed"].append(tag)
+            elif name == "br":
+                self._observed["brs"].append(tag)
+            elif name == "img":
+                self._observed["imgs"].append(tag)
+            else:
+                self._observed["headings"].append(tag)
         if name not in VOID_ELEMENTS:
             self.stack.append(tag)
+            if name in _PRESERVE_WHITESPACE_TAGS:
+                self._pre_depth += 1
 
     def handle_startendtag(self, name, attrs):
         self.handle_starttag(name, attrs)
         if name not in VOID_ELEMENTS and self._top().name == name:
             self.stack.pop()
+            if name in _PRESERVE_WHITESPACE_TAGS:
+                self._pre_depth -= 1
 
     def handle_endtag(self, name):
         if name in VOID_ELEMENTS:
@@ -336,6 +365,10 @@ class _TreeBuilder(HTMLParser):
         # Close up to the most recent matching open tag; ignore otherwise.
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].name == name:
+                if self._pre_depth:
+                    for t in self.stack[i:]:
+                        if t.name in _PRESERVE_WHITESPACE_TAGS:
+                            self._pre_depth -= 1
                 del self.stack[i:]
                 return
 

@@ -179,6 +179,9 @@ class HtmlExtractor:
         self.hyperlink: Optional[Hyperlink] = None
         self.format_tags: list[str] = []
         self.list_start_by_group: dict[int, int] = {}
+        # parse-time observed <img> nodes (doc order); None → no observed
+        # data, img lookups fall back to subtree scans
+        self._observed_imgs: Optional[list] = None
 
     # -- entry point -----------------------------------------------------
     def extract(self, raw: bytes, name: str = "doc") -> DocTree:
@@ -193,40 +196,73 @@ class HtmlExtractor:
             doc.add_title(text=clean_unicode(title_text), orig=title_text,
                           content_layer=FURNITURE)
 
-        # one fused pass over the tree replaces four full scans
-        # (script/style removal, hidden removal, <br> rewrite, first-heading
-        # probe) — same semantics: only the TOP-MOST removed subtree needs
-        # decomposing, and <br>/heading inside a removed subtree never count
+        # Preamble semantics (script/style/hidden removal, <br> rewrite,
+        # first-heading probe): only the TOP-MOST removed subtree needs
+        # decomposing, and <br>/heading inside a removed subtree never
+        # count; <br>/heading only count inside <body> (or anywhere when
+        # no body exists).  The parse already observed the handful of
+        # interesting nodes (dom.Document.observed), so ancestry checks
+        # on those replace a full O(N) tree scan; hand-built trees
+        # (observed=None) take the scan path below.
+        body = soup.body
+        observed = getattr(soup, "observed", None)
         removed: list[Tag] = []
         brs: list[Tag] = []
         has_heading = False
-        body = soup.body
-        stack: list[tuple] = [(n, True, body is None or n is body)
-                              for n in soup.contents[::-1]]
-        while stack:
-            node, live, in_content = stack.pop()
-            if not isinstance(node, Tag):
-                continue
-            name = node.name
-            if name in ("script", "style") or node.has_attr("hidden"):
-                if live:
-                    removed.append(node)
-                live = False
-            elif live and in_content:
-                if name == "br":
-                    brs.append(node)
-                elif name in _HEADING_TAGS:
-                    has_heading = True
-            if node.contents:
-                child_in = in_content or node is body
-                stack.extend((c, live, child_in)
-                             for c in node.contents[::-1])
+        if observed is not None:
+            self._observed_imgs = observed["imgs"]
+            cand_ids = {id(n) for n in observed["removed"]}
+
+            def _live(node: Tag) -> bool:
+                anc = node.parent
+                while anc is not None:
+                    if id(anc) in cand_ids:
+                        return False
+                    anc = anc.parent
+                return True
+
+            def _in_content(node: Tag) -> bool:
+                if body is None:
+                    return True
+                anc = node
+                while anc is not None:
+                    if anc is body:
+                        return True
+                    anc = anc.parent
+                return False
+
+            removed = [n for n in observed["removed"] if _live(n)]
+            brs = [n for n in observed["brs"]
+                   if _live(n) and _in_content(n)]
+            has_heading = any(_live(n) and _in_content(n)
+                              for n in observed["headings"])
+        else:
+            stack: list[tuple] = [(n, True, body is None or n is body)
+                                  for n in soup.contents[::-1]]
+            while stack:
+                node, live, in_content = stack.pop()
+                if not isinstance(node, Tag):
+                    continue
+                name = node.name
+                if name in ("script", "style") or node.has_attr("hidden"):
+                    if live:
+                        removed.append(node)
+                    live = False
+                elif live and in_content:
+                    if name == "br":
+                        brs.append(node)
+                    elif name in _HEADING_TAGS:
+                        has_heading = True
+                if node.contents:
+                    child_in = in_content or node is body
+                    stack.extend((c, live, child_in)
+                                 for c in node.contents[::-1])
         for tag in removed:
             tag.decompose()
         for br in brs:
             br.replace_with(NavStr("\n"))
 
-        content = soup.body or soup
+        content = body or soup
         # Text before the first heading is furniture (html_backend.py:272-275).
         self.content_layer = BODY if not has_heading else FURNITURE
         self._walk(content, doc)
@@ -235,6 +271,8 @@ class HtmlExtractor:
     # -- inline-state context managers ------------------------------------
     @property
     def _formatting(self) -> Optional[Formatting]:
+        if not self.format_tags:       # the overwhelmingly common case
+            return None
         fields: dict = {}
         for tag in self.format_tags:
             fields.update(FORMAT_TAG_FIELDS[tag])
@@ -399,7 +437,8 @@ class HtmlExtractor:
             return []
         if isinstance(node, NavStr):
             stripped = node.strip()
-            code = any(tag in self.format_tags for tag in CODE_TAGS)
+            ft = self.format_tags
+            code = bool(ft) and not CODE_TAGS.isdisjoint(ft)
             if stripped:
                 return [Run(stripped, self.hyperlink, self._formatting, code)]
             if keep_newlines and node.strip("\n\r") == "":
@@ -411,7 +450,8 @@ class HtmlExtractor:
             # hoisted per-call inline state: format_tags cannot change
             # across PLAIN children (only the fmt/a branches push context),
             # so the code flag and Formatting snapshot are loop-invariant
-            code = any(tag in self.format_tags for tag in CODE_TAGS)
+            ft = self.format_tags
+            code = bool(ft) and not CODE_TAGS.isdisjoint(ft)
             hyperlink = self.hyperlink
             formatting = self._formatting
             for child in node.contents:
@@ -443,14 +483,34 @@ class HtmlExtractor:
                                             keep_newlines=keep_newlines))
         return result
 
+    def _imgs_under(self, tag: Tag) -> list[Tag]:
+        """Document-order ``<img>`` descendants of ``tag`` — equivalent to
+        ``tag.find_all("img")``, but driven by the parse-time observed img
+        list: ancestry walks on the (typically zero or few) imgs replace a
+        full subtree DFS per block."""
+        imgs = self._observed_imgs
+        if imgs is None:
+            return tag.find_all("img")
+        if not imgs:
+            return []
+        out: list[Tag] = []
+        for img in imgs:
+            anc = img.parent
+            while anc is not None:
+                if anc is tag:
+                    out.append(img)
+                    break
+                anc = anc.parent
+        return out
+
     # -- block handlers ----------------------------------------------------
     def _handle_block(self, tag: Tag, doc: DocTree) -> None:
         name = tag.name.lower()
 
         if name == "figure":
-            img = tag.find("img")
-            if img is not None:
-                self._emit_image(img, doc)
+            figure_imgs = self._imgs_under(tag)
+            if figure_imgs:
+                self._emit_image(figure_imgs[0], doc)
 
         elif name in ("h1", "h2", "h3", "h4", "h5", "h6"):
             self._handle_heading(tag, doc)
@@ -465,12 +525,12 @@ class HtmlExtractor:
                     for run in group:
                         if run.text.strip():
                             self._emit_run(run, doc)
-            for img in tag.find_all("img"):
+            for img in self._imgs_under(tag):
                 self._emit_image(img, doc)
 
         elif name == "table":
             data = parse_table_data(tag)
-            for _img in tag.find_all("img"):
+            for _img in self._imgs_under(tag):
                 # The reference passes the table tag itself here
                 # (html_backend.py:817-819) — behavior preserved.
                 self._emit_image(tag, doc)
@@ -528,7 +588,7 @@ class HtmlExtractor:
                 level=self.level, content_layer=self.content_layer,
                 formatting=run.formatting, hyperlink=run.hyperlink)
         self.level += 1
-        for img in tag.find_all("img"):
+        for img in self._imgs_under(tag):
             self._emit_image(img, doc)
 
     def _handle_list(self, tag: Tag, doc: DocTree) -> None:
@@ -547,7 +607,10 @@ class HtmlExtractor:
         self.parents[self.level + 1] = group
         self.level += 1
 
-        for li in tag.find_all(("li", "ul", "ol"), recursive=False):
+        # direct child scans (find_all(..., recursive=False) inlined —
+        # these run once per list item and the call overhead shows)
+        for li in [n for n in tag.contents
+                   if n.__class__ is Tag and n.name in ("li", "ul", "ol")]:
             if li.name in ("ul", "ol"):
                 # invalid-HTML list directly under list (html_backend.py:669-672)
                 self._handle_block(li, doc)
@@ -569,7 +632,7 @@ class HtmlExtractor:
                     with self._use_inline_group(parts, doc):
                         for run in parts:
                             self._emit_run(run, doc, collapse_ws=True)
-                    for sublist in li.find_all(("ul", "ol"), recursive=False):
+                    for sublist in [n for n in li.contents if n.__class__ is Tag and n.name in ("ul", "ol")]:
                         self._handle_block(sublist, doc)
                     self.parents[self.level] = None
                     self.level -= 1
@@ -581,16 +644,16 @@ class HtmlExtractor:
                         marker=marker, orig=item_text, parent=group,
                         content_layer=self.content_layer,
                         formatting=run.formatting, hyperlink=run.hyperlink)
-                    for sublist in li.find_all(("ul", "ol"), recursive=False):
+                    for sublist in [n for n in li.contents if n.__class__ is Tag and n.name in ("ul", "ol")]:
                         self.level += 1
                         self._handle_block(sublist, doc)
                         self.parents[self.level + 1] = None
                         self.level -= 1
             else:
-                for sublist in li.find_all(("ul", "ol"), recursive=False):
+                for sublist in [n for n in li.contents if n.__class__ is Tag and n.name in ("ul", "ol")]:
                     self._handle_block(sublist, doc)
 
-            for img in li.find_all("img"):
+            for img in self._imgs_under(li):
                 self._emit_image(img, doc)
 
         self.parents[self.level + 1] = None
