@@ -423,6 +423,50 @@ def q_quality_score(sf_dir: str):
         .select_columns(["doc_id", "score_micro"])
 
 
+def q_domain_cap(sf_dir: str):
+    """Per-domain document cap: top-10 docs per ``source`` ranked by
+    ``n_chars`` DESC (doc_id ASC tiebreak) — the per-site quota step of
+    published web-corpus pipelines.  Combiner-bounded shuffle: only each
+    batch's per-domain top-10 candidates move (stages/corpus_filters.py)."""
+    from docling_ray.stages.corpus_filters import domain_cap
+
+    ds = _documents(sf_dir, columns=["doc_id", "source", "n_chars"])
+    return domain_cap(ds, domain_col="source", order_col="n_chars",
+                      id_col="doc_id", n=10) \
+        .select_columns(["doc_id", "source", "n_chars"])
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs ``doc_id < 5`` act as the held-out
+    benchmark; every other doc sharing a word 4-gram with them is dropped
+    (n=4 so the synthetic corpus exercises both outcomes; real suites use
+    n≈8-13).  The gram set is built from a pruned filtered read and
+    broadcast once; the corpus side never shuffles."""
+    import ray
+
+    from docling_ray.stages.corpus_filters import (build_benchmark_grams,
+                                                   decontaminate)
+
+    bench_tbl = _documents(sf_dir, columns=["doc_id", "text"]) \
+        .filter(expr="doc_id < 5").take_all()
+    bench = build_benchmark_grams((r["text"] for r in bench_tbl), n=4)
+    ref = ray.put(bench)
+    ds = _documents(sf_dir, columns=["doc_id", "text"]) \
+        .filter(expr="doc_id >= 5")
+    return decontaminate(ds, ref, n=4).select_columns(["doc_id"])
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic 25% Bernoulli sample by md5(doc_id) 32-bit prefix —
+    stable across runs, partitioning and cluster size; the SQL mirror
+    computes the identical hash."""
+    from docling_ray.stages.corpus_filters import hash_sample
+
+    ds = _documents(sf_dir, columns=["doc_id", "lang"])
+    return hash_sample(ds, rate=0.25, id_col="doc_id") \
+        .select_columns(["doc_id", "lang", "h32"])
+
+
 def _md5_text_col(batch: pa.Table, column: str = "text") -> pa.Table:
     import hashlib
 
@@ -1040,6 +1084,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_near_dup": q_jaccard_near_dup,
         "langid": q_langid,
         "quality_score": q_quality_score,
+        "domain_cap": q_domain_cap,
+        "decontaminate": q_decontaminate,
+        "hash_sample": q_hash_sample,
         "extract_corpus": q_extract_corpus,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
@@ -1143,6 +1190,44 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _EVENTS_WINDOWED_ORACLE_SQL,
         "sessions": _SESSIONS_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
+        "domain_cap": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) AS rk
+                FROM documents) WHERE rk <= 10
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, array_to_string(t[i:i+3], ' ') AS g
+                FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)
+                WHERE len(t) >= 4
+            ),
+            hits AS (
+                SELECT DISTINCT doc_id FROM grams
+                WHERE doc_id >= 5
+                  AND g IN (SELECT DISTINCT g FROM grams WHERE doc_id < 5)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id >= 5
+              AND doc_id NOT IN (SELECT doc_id FROM hits)
+        """,
+        "hash_sample": """
+            SELECT doc_id, lang,
+                   CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8)) AS UBIGINT)
+                        AS BIGINT) AS h32
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) < CAST(0.25 * 4294967296 AS UBIGINT)
+        """,
         # committed-golden oracles for the non-SQL-expressible pipelines
         # (scripts/gen_goldens.py).  pdf, extract_corpus, chunks,
         # corpus_pipeline and enrich are TRUE goldens: expected values

@@ -1,0 +1,186 @@
+"""Corpus-curation operators for training-data pipelines: per-domain
+caps, benchmark decontamination, and deterministic hash sampling.
+
+These extend the reference's corpus handling (which converts documents
+one-by-one and has no corpus-level curation — SURVEY.md §2.6/§2.7) with
+the standard web-corpus steps published pipelines apply between crawl
+and training (per-domain quotas, eval-set decontamination by n-gram
+overlap, reproducible subsampling).  All three follow the repo's
+scale shapes:
+
+- ``domain_cap``: top-N rows per domain.  A per-batch COMBINER bounds
+  what enters the shuffle to ≤ N rows per (batch, domain); the final
+  exact rank runs vectorized inside hash partitions (``part =
+  hash(domain) % P``) — never one Python call per domain, and a hot
+  domain's shuffle volume is capped at N × num_batches rows, not its
+  corpus share.
+- ``decontaminate``: the benchmark n-gram set is built ONCE from a
+  small pruned read, ``ray.put`` once, fetched once per actor
+  (``__init__``), and every batch is filtered against it — the corpus
+  side never shuffles.  Real benchmark suites are a few MB of grams;
+  the broadcast shape is the 100 TB shape.
+- ``hash_sample``: stateless Bernoulli keep by a threshold on
+  ``md5(id)`` — deterministic across runs/partitioning, mirrored
+  exactly in SQL, and the standard way to cut a reproducible x% slice
+  of a crawl without a shuffle.
+
+Tokenization for decontamination uses Arrow's RE2 ``\\s+`` split —
+the same regex engine DuckDB uses, so the SQL oracle's
+``regexp_split_to_array`` agrees by construction (the
+``token_count_batch`` precedent, stages/textstats.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from docling_ray.stages.dedup import _part_of
+
+# -- per-domain cap ---------------------------------------------------------
+
+
+def _top_n_per_domain(table: pa.Table, domain_col: str, order_col: str,
+                      id_col: str, n: int) -> pa.Table:
+    """Vectorized top-N per domain of one in-memory table: stable
+    multi-key sort (domain ASC, order DESC, id ASC) + C-level group
+    head — no Python per domain."""
+    df = table.select([domain_col, order_col, id_col]).to_pandas()
+    df = df.sort_values([domain_col, order_col, id_col],
+                        ascending=[True, False, True], kind="mergesort")
+    top = df.groupby(domain_col, sort=False).head(n)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def domain_cap(ds, domain_col: str = "source", order_col: str = "n_chars",
+               id_col: str = "doc_id", n: int = 10,
+               num_partitions: int = 64):
+    """Keep the top-``n`` rows of each domain, ranked by ``order_col``
+    DESC with ``id_col`` ASC tiebreak (web pipelines cap documents per
+    registered domain so no single site dominates the corpus).
+
+    Two stages: a map_batches combiner emits each batch's per-domain
+    top-N candidates (the only rows that can survive globally), then one
+    pre-bucketed ``groupby(part)`` finishes the exact rank per domain
+    inside its hash partition.  The shuffle therefore moves at most
+    ``N × num_batches`` rows per domain regardless of domain skew."""
+    def _candidates(batch: pa.Table) -> pa.Table:
+        top = _top_n_per_domain(batch, domain_col, order_col, id_col, n)
+        return top.append_column(
+            "part", pa.array(_part_of(top[domain_col], num_partitions)))
+
+    def _finish(group: pa.Table) -> pa.Table:
+        return _top_n_per_domain(group, domain_col, order_col, id_col, n)
+
+    cand = ds.map_batches(_candidates, batch_format="pyarrow")
+    return cand.groupby("part").map_groups(_finish, batch_format="pyarrow")
+
+
+# -- benchmark decontamination ----------------------------------------------
+
+
+def text_ngrams(text: str, n: int) -> set[str]:
+    """Space-joined word ``n``-grams of ``text`` under RE2 ``\\s+``
+    tokenization (empty tokens dropped).  Python's ``re`` is NOT used:
+    its unicode ``\\s`` disagrees with RE2 on NBSP etc., and the SQL
+    mirror runs on RE2."""
+    toks = [t for t in
+            pc.split_pattern_regex(pa.array([text]), r"\s+")[0].as_py()
+            if t]
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def build_benchmark_grams(texts, n: int = 4) -> set[str]:
+    """The driver-side benchmark gram set: distinct word ``n``-grams over
+    the held-out texts.  Benchmark suites are small (MBs of grams) —
+    build once, ``ray.put`` once, broadcast."""
+    grams: set[str] = set()
+    for t in texts:
+        grams |= text_ngrams(t or "", n)
+    return grams
+
+
+class DecontaminateStage:
+    """``map_batches(DecontaminateStage, concurrency=N,
+    fn_constructor_kwargs=dict(bench_ref=ref, n=4))`` — drops every row
+    whose text shares at least one word n-gram with the broadcast
+    benchmark set (the published decontamination recipe for held-out
+    eval sets; real suites use n≈8-13, the queries use n=4 so the
+    synthetic corpus exercises both outcomes).
+
+    The gram set is fetched once per ACTOR from the object store
+    (zero-copy of the serialized set; the BroadcastLookupJoin shape,
+    stages/joins.py)."""
+
+    def __init__(self, bench_ref, n: int = 4, text_col: str = "text",
+                 invert: bool = False):
+        import ray
+
+        self.bench = (bench_ref if isinstance(bench_ref, (set, frozenset))
+                      else ray.get(bench_ref))
+        self.n = n
+        self.text_col = text_col
+        self.invert = invert
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.n
+        bench = self.bench
+        token_lists = pc.split_pattern_regex(
+            pc.fill_null(batch[self.text_col].combine_chunks(), ""),
+            r"\s+").to_pylist()
+        keep = np.empty(len(token_lists), dtype=bool)
+        for i, raw in enumerate(token_lists):
+            toks = [t for t in raw if t]
+            hit = any(" ".join(toks[j:j + n]) in bench
+                      for j in range(len(toks) - n + 1))
+            keep[i] = hit if self.invert else not hit
+        return batch.filter(pa.array(keep))
+
+
+def decontaminate(ds, bench_ref, n: int = 4, text_col: str = "text",
+                  concurrency: int = 4, invert: bool = False):
+    """Survivor stream: rows of ``ds`` with no word-``n``-gram overlap
+    against the broadcast benchmark set (``invert=True`` yields the
+    contaminated rows instead — the audit view)."""
+    return ds.map_batches(
+        DecontaminateStage, batch_format="pyarrow",
+        fn_constructor_kwargs={"bench_ref": bench_ref, "n": n,
+                               "text_col": text_col, "invert": invert},
+        concurrency=(1, concurrency))
+
+
+# -- deterministic hash sampling --------------------------------------------
+
+
+def hash_sample_batch(batch: pa.Table, rate: float,
+                      id_col: str = "doc_id",
+                      bucket_col: Optional[str] = "h32") -> pa.Table:
+    """Keep rows whose ``md5(str(id))`` 32-bit prefix falls under
+    ``rate * 2^32`` — a deterministic Bernoulli(rate) sample that is
+    stable across runs, partitioning and cluster size (md5 of the
+    DECIMAL string so DuckDB's ``md5(CAST(id AS VARCHAR))`` mirrors it
+    exactly).  ~1 μs/row: id-level hashing, never the payload."""
+    thresh = int(rate * (1 << 32))
+    ids = pc.cast(batch[id_col], pa.string()).to_pylist()
+    h32 = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode("ascii")).digest()[:4], "big")
+         for s in ids),
+        dtype=np.uint64, count=len(ids))
+    out = batch.filter(pa.array(h32 < thresh))
+    if bucket_col is not None:
+        kept = h32[h32 < thresh]
+        out = out.append_column(bucket_col,
+                                pa.array(kept.astype(np.int64)))
+    return out
+
+
+def hash_sample(ds, rate: float = 0.25, id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: hash_sample_batch(b, rate, id_col=id_col),
+        batch_format="pyarrow")

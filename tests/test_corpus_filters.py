@@ -1,0 +1,155 @@
+"""Corpus-curation operators: per-domain cap, benchmark decontamination,
+deterministic hash sampling (docling_ray/stages/corpus_filters.py)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from docling_ray.stages.corpus_filters import (DecontaminateStage,
+                                               _top_n_per_domain,
+                                               build_benchmark_grams,
+                                               domain_cap, hash_sample,
+                                               hash_sample_batch,
+                                               text_ngrams)
+
+
+def _doc_table(rows):
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows]),
+        "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+# -- domain cap -------------------------------------------------------------
+
+def test_top_n_per_domain_rank_and_ties():
+    t = _doc_table([
+        (1, "a", 10), (2, "a", 30), (3, "a", 30), (4, "a", 5),
+        (5, "b", 7),
+    ])
+    out = _top_n_per_domain(t, "source", "n_chars", "doc_id", 2)
+    got = sorted(zip(out["source"].to_pylist(), out["doc_id"].to_pylist()))
+    # ties on n_chars=30 break by doc_id ASC: 2 before 3; 4 (n=5) is cut
+    assert got == [("a", 2), ("a", 3), ("b", 5)]
+
+
+def test_domain_cap_matches_global_rank(ray_session):
+    import ray
+
+    rng = np.random.default_rng(11)
+    n = 400
+    rows = [(i, f"d{int(rng.integers(0, 7))}", int(rng.integers(0, 50)))
+            for i in range(n)]
+    ds = ray.data.from_arrow(_doc_table(rows)).repartition(13)
+    out = domain_cap(ds, n=3).take_all()
+
+    # oracle: plain-python global rank per domain
+    import collections
+    by_dom = collections.defaultdict(list)
+    for i, d, c in rows:
+        by_dom[d].append((-c, i))
+    expect = {(d, i) for d, lst in by_dom.items()
+              for _, i in sorted(lst)[:3]}
+    assert {(r["source"], r["doc_id"]) for r in out} == expect
+
+
+def test_domain_cap_skewed_domain_bounded(ray_session):
+    """One domain holds 90% of rows; the cap still returns exactly n for
+    it, and the combiner guarantees the shuffle carried at most
+    n×num_batches rows for that domain (structural property of
+    _candidates — asserted via the final output being exact)."""
+    import ray
+
+    rows = [(i, "hot" if i % 10 else "cold", i % 97) for i in range(500)]
+    ds = ray.data.from_arrow(_doc_table(rows)).repartition(11)
+    out = domain_cap(ds, n=4).take_all()
+    hot = sorted(r["doc_id"] for r in out if r["source"] == "hot")
+    expect_hot = [i for _, i in sorted(
+        (-(i % 97), i) for i in range(500) if i % 10)[:4]]
+    assert hot == sorted(expect_hot)
+    assert len([r for r in out if r["source"] == "cold"]) == 4
+
+
+# -- decontamination --------------------------------------------------------
+
+def test_text_ngrams_re2_whitespace():
+    # NBSP is NOT RE2 \s: "naïve\xa0café" stays one token
+    assert text_ngrams("naïve\xa0café bon jour", 2) == {
+        "naïve\xa0café bon", "bon jour"}
+    assert text_ngrams("a b", 3) == set()
+    assert text_ngrams("", 2) == set()
+
+
+def test_decontaminate_stage_drops_overlap():
+    bench = build_benchmark_grams(["the quick brown fox jumps"], n=3)
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a quick brown fox here",      # shares "quick brown fox"
+                 "totally unrelated words here",
+                 None],                          # null text → no grams
+    })
+    st = DecontaminateStage(bench, n=3)
+    out = st(batch)
+    assert out["doc_id"].to_pylist() == [2, 3]
+    audit = DecontaminateStage(bench, n=3, invert=True)(batch)
+    assert audit["doc_id"].to_pylist() == [1]
+
+
+def test_decontaminate_dataset_broadcast(ray_session):
+    import ray
+
+    bench = build_benchmark_grams(["one two three four five"], n=4)
+    ref = ray.put(bench)
+    docs = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": ["one two three four six",        # hit: "one two three four"
+                 "zero one two three four",       # hit: "one two three four"
+                 "nothing in common", "", "x y z w",
+                 "two three four five and more"],  # hit
+    })
+    from docling_ray.stages.corpus_filters import decontaminate
+
+    out = decontaminate(ray.data.from_arrow(docs), ref, n=4).take_all()
+    assert sorted(r["doc_id"] for r in out) == [2, 3, 4]
+
+
+# -- hash sampling ----------------------------------------------------------
+
+def test_hash_sample_batch_threshold_exact():
+    batch = pa.table({"doc_id": pa.array(list(range(1000)), pa.int64())})
+    out = hash_sample_batch(batch, rate=0.25)
+    for i, h in zip(out["doc_id"].to_pylist(), out["h32"].to_pylist()):
+        assert h == int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[:4], "big")
+        assert h < 0.25 * 2**32
+    # every excluded id is genuinely above threshold
+    kept = set(out["doc_id"].to_pylist())
+    for i in range(1000):
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big")
+        assert (h < 0.25 * 2**32) == (i in kept)
+    # rate is approximately honored on 1000 ids
+    assert 180 <= len(kept) <= 320
+
+
+def test_hash_sample_partition_invariant(ray_session):
+    """The sample is a function of the id alone — identical survivor set
+    at any partitioning (the property that makes it safe to resume or
+    re-run on a different cluster size)."""
+    import ray
+
+    t = pa.table({"doc_id": pa.array(list(range(500)), pa.int64())})
+    a = {r["doc_id"] for r in
+         hash_sample(ray.data.from_arrow(t).repartition(3), 0.1).take_all()}
+    b = {r["doc_id"] for r in
+         hash_sample(ray.data.from_arrow(t).repartition(17), 0.1).take_all()}
+    assert a == b and len(a) > 0
+
+
+@pytest.mark.parametrize("rate,lo,hi", [(0.0, 0, 0), (1.0, 100, 100)])
+def test_hash_sample_rate_edges(rate, lo, hi):
+    batch = pa.table({"doc_id": pa.array(list(range(100)), pa.int64())})
+    out = hash_sample_batch(batch, rate=rate)
+    assert lo <= out.num_rows <= hi
