@@ -423,6 +423,66 @@ def q_quality_score(sf_dir: str):
         .select_columns(["doc_id", "score_micro"])
 
 
+def q_asof_join(sf_dir: str):
+    """Temporal as-of join (the custom operator Ray Data lacks): every
+    ``click`` event picks the same user's latest ``view`` at-or-before
+    its timestamp (ties on ts → greatest view event_id).  One shuffle:
+    both sides tagged onto a canonical schema, hash(user) % P
+    pre-bucket, vectorized sort + forward-fill per partition
+    (stages/joins.py).  The oracle is the equivalent last_value IGNORE
+    NULLS window — cross-checked against DuckDB's native ASOF JOIN."""
+    import ray
+    import pyarrow.compute as pc
+
+    from docling_ray.stages.joins import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+    left = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "user_id", "ts"])
+    right = ev.filter(expr="event_type == 'view'") \
+        .select_columns(["user_id", "ts", "event_id", "value"])
+    joined = asof_join(left, right, on="user_id", ts_col="ts",
+                       right_cols=["event_id", "value"])
+
+    def to_centi(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = batch["matched_value"].to_numpy(zero_copy_only=False)
+        centi = np.floor(v * 100.0)         # NaN (null match) stays NaN
+        mask = pa.array(~np.isnan(centi))
+        col = pc.if_else(mask, pa.array(
+            np.nan_to_num(centi).astype("int64")), pa.scalar(None, pa.int64()))
+        return batch.append_column("matched_value_centi", col)
+
+    return joined.map_batches(to_centi, batch_format="pyarrow") \
+        .select_columns(["event_id", "user_id", "matched_event_id",
+                         "matched_value_centi"])
+
+
+def q_range_join(sf_dir: str):
+    """Interval-join aggregate: per ``error`` event, how many of the same
+    user's ``click`` events fall in the 5 minutes up to (and including)
+    the error.  Count form keeps output linear in the left side (the
+    quadratic guard a pair-emitting range join needs); same
+    single-shuffle key-partitioned shape as the as-of join."""
+    import ray
+
+    from docling_ray.stages.joins import range_join_count
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    left = ev.filter(expr="event_type == 'error'") \
+        .select_columns(["event_id", "user_id", "ts"])
+    right = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["event_id", "user_id", "ts"])
+    joined = range_join_count(left, right, on="user_id", ts_col="ts",
+                              lo_us=-5 * 60 * 1_000_000, hi_us=0)
+    return joined.select_columns(["event_id", "user_id", "n_in_window"])
+
+
 def q_domain_cap(sf_dir: str):
     """Per-domain document cap: top-10 docs per ``source`` ranked by
     ``n_chars`` DESC (doc_id ASC tiebreak) — the per-site quota step of
@@ -1084,6 +1144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_near_dup": q_jaccard_near_dup,
         "langid": q_langid,
         "quality_score": q_quality_score,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "domain_cap": q_domain_cap,
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
@@ -1190,6 +1252,42 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _EVENTS_WINDOWED_ORACLE_SQL,
         "sessions": _SESSIONS_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
+        "asof_join": """
+            WITH tagged AS (
+                SELECT event_id, user_id, ts, value, 0 AS side
+                FROM events WHERE event_type = 'view'
+                UNION ALL
+                SELECT event_id, user_id, ts, value, 1 AS side
+                FROM events WHERE event_type = 'click'
+            ),
+            filled AS (
+                SELECT *,
+                    last_value(CASE WHEN side = 0 THEN event_id END
+                               IGNORE NULLS)
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, side, event_id
+                              ROWS UNBOUNDED PRECEDING) AS matched_event_id,
+                    last_value(CASE WHEN side = 0 THEN value END
+                               IGNORE NULLS)
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, side, event_id
+                              ROWS UNBOUNDED PRECEDING) AS matched_value
+                FROM tagged
+            )
+            SELECT event_id, user_id, matched_event_id,
+                   CAST(floor(matched_value * 100.0) AS BIGINT)
+                       AS matched_value_centi
+            FROM filled WHERE side = 1
+        """,
+        "range_join": """
+            SELECT l.event_id, l.user_id,
+                   count(r.event_id) AS n_in_window
+            FROM (SELECT * FROM events WHERE event_type = 'error') l
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON r.user_id = l.user_id
+             AND r.ts BETWEEN l.ts - INTERVAL 5 MINUTE AND l.ts
+            GROUP BY l.event_id, l.user_id
+        """,
         "domain_cap": """
             SELECT doc_id, source, n_chars FROM (
                 SELECT doc_id, source, n_chars,
