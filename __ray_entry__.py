@@ -423,6 +423,17 @@ def q_quality_score(sf_dir: str):
         .select_columns(["doc_id", "score_micro"])
 
 
+def q_top_k_tokens(sf_dir: str):
+    """Corpus vocabulary statistics: global top-50 tokens by frequency
+    (ties → token ASC).  Combiner-first shape: per-batch partial counts
+    shuffle vocabulary-sized rows, then a bounded partial-top-k merge —
+    the corpus never reaches a sort (stages/textstats.py)."""
+    from docling_ray.stages.textstats import top_k_tokens
+
+    ds = _documents(sf_dir, columns=["text"])
+    return top_k_tokens(ds, k=50)
+
+
 def q_asof_join(sf_dir: str):
     """Temporal as-of join (the custom operator Ray Data lacks): every
     ``click`` event picks the same user's latest ``view`` at-or-before
@@ -1146,6 +1157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality_score,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "top_k_tokens": q_top_k_tokens,
         "domain_cap": q_domain_cap,
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
@@ -1252,6 +1264,16 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _EVENTS_WINDOWED_ORACLE_SQL,
         "sessions": _SESSIONS_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
+        "top_k_tokens": r"""
+            WITH toks AS (
+                SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            tok AS (SELECT unnest(t) AS token FROM toks),
+            counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+            SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 50
+        """,
         "asof_join": """
             WITH tagged AS (
                 SELECT event_id, user_id, ts, value, 0 AS side

@@ -223,3 +223,52 @@ def langid_of(text: str) -> str:
 def langid_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     langs = [langid_of(v.as_py() or "") for v in batch[column]]
     return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+
+
+# -- corpus vocabulary statistics -------------------------------------------
+
+
+def token_count_partial(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Per-batch PARTIAL token counts ``(token, n)`` — the combiner half
+    of the top-k-tokens pipeline: the shuffle that follows moves
+    vocabulary-sized rows, never corpus-sized ones.  All C: Arrow RE2
+    ``\\s+`` split (the engine's SQL-mirrorable tokenizer) → flatten →
+    ``value_counts``; empty tokens (leading/trailing whitespace artifacts)
+    are dropped on both the Ray and SQL sides."""
+    import pyarrow.compute as pc
+
+    toks = pc.list_flatten(pc.split_pattern_regex(
+        pc.fill_null(batch[column].combine_chunks(), ""), r"\s+"))
+    toks = toks.filter(pc.not_equal(toks, ""))
+    vc = pc.value_counts(toks)
+    return pa.table({"token": vc.field("values"),
+                     "n": vc.field("counts").cast(pa.int64())})
+
+
+def _topk_tokens_block(batch: pa.Table, k: int) -> pa.Table:
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(batch, sort_keys=[("n", "descending"),
+                                              ("token", "ascending")])
+    return batch.take(order.slice(0, k))
+
+
+def top_k_tokens(ds, k: int = 50, column: str = "text") -> pa.Table:
+    """Global top-``k`` most frequent tokens ``(token, n)``, ties broken
+    by token ASC.  Three stages: per-batch partial counts (combiner) →
+    native ``groupby(token).sum`` over vocabulary-sized rows → per-block
+    partial top-k, merged on the driver from ≤ k × num_blocks rows (the
+    ANN partial-top-k shape, stages/ann.py) — the corpus itself never
+    reaches a sort."""
+    counts = ds.map_batches(
+        lambda b: token_count_partial(b, column), batch_format="pyarrow") \
+        .groupby("token").sum("n") \
+        .map_batches(lambda b: b.rename_columns(["token", "n"]),
+                     batch_format="pyarrow")
+    partial = counts.map_batches(lambda b: _topk_tokens_block(b, k),
+                                 batch_format="pyarrow").take_all()
+    merged = sorted(partial, key=lambda r: (-r["n"], r["token"]))[:k]
+    return pa.table({
+        "token": pa.array([r["token"] for r in merged], pa.string()),
+        "n": pa.array([r["n"] for r in merged], pa.int64()),
+    })

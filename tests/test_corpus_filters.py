@@ -153,3 +153,30 @@ def test_hash_sample_rate_edges(rate, lo, hi):
     batch = pa.table({"doc_id": pa.array(list(range(100)), pa.int64())})
     out = hash_sample_batch(batch, rate=rate)
     assert lo <= out.num_rows <= hi
+
+
+# -- top-k tokens -----------------------------------------------------------
+
+from docling_ray.stages.textstats import (token_count_partial,  # noqa: E402
+                                          top_k_tokens)
+
+
+def test_token_count_partial_re2_and_empties():
+    batch = pa.table({"text": ["a b  a", " a\t", None, ""]})
+    out = token_count_partial(batch)
+    got = dict(zip(out["token"].to_pylist(), out["n"].to_pylist()))
+    assert got == {"a": 3, "b": 1}
+
+
+def test_top_k_tokens_ties_and_truncation(ray_session):
+    import ray
+
+    # vocabulary > k, counts engineered: z×5, m×3, a×3, rest ×1
+    docs = (["z z z z z"] + ["m a"] * 3
+            + [f"w{i}" for i in range(10)])
+    ds = ray.data.from_arrow(pa.table({"text": docs})).repartition(5)
+    out = top_k_tokens(ds, k=4)
+    rows = list(zip(out["token"].to_pylist(), out["n"].to_pylist()))
+    # ties at n=3 break token-ASC: 'a' before 'm'; then the first w/1 token
+    assert rows[:3] == [("z", 5), ("a", 3), ("m", 3)]
+    assert len(rows) == 4 and rows[3][1] == 1 and rows[3][0] == "w0"
