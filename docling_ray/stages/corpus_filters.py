@@ -48,12 +48,14 @@ def _top_n_per_domain(table: pa.Table, domain_col: str, order_col: str,
                       id_col: str, n: int) -> pa.Table:
     """Vectorized top-N per domain of one in-memory table: stable
     multi-key sort (domain ASC, order DESC, id ASC) + C-level group
-    head — no Python per domain."""
-    df = table.select([domain_col, order_col, id_col]).to_pandas()
+    head — no Python per domain.  ALL input columns survive (the cap is
+    a row filter, not a projection)."""
+    df = table.to_pandas()
     df = df.sort_values([domain_col, order_col, id_col],
                         ascending=[True, False, True], kind="mergesort")
     top = df.groupby(domain_col, sort=False).head(n)
-    return pa.Table.from_pandas(top, preserve_index=False)
+    return pa.Table.from_pandas(top, preserve_index=False,
+                                schema=table.schema)
 
 
 def domain_cap(ds, domain_col: str = "source", order_col: str = "n_chars",
@@ -169,7 +171,7 @@ def hash_sample_batch(batch: pa.Table, rate: float,
     thresh = int(rate * (1 << 32))
     ids = pc.cast(batch[id_col], pa.string()).to_pylist()
     h32 = np.fromiter(
-        (int.from_bytes(hashlib.md5(s.encode("ascii")).digest()[:4], "big")
+        (int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
          for s in ids),
         dtype=np.uint64, count=len(ids))
     out = batch.filter(pa.array(h32 < thresh))

@@ -149,3 +149,18 @@ def test_range_join_random_vs_brute_force(ray_session):
                                on="user_id", ts_col="ts",
                                lo_us=-25, hi_us=25).take_all()
         assert {r["event_id"]: r["n_in_window"] for r in out} == expect
+
+
+def test_asof_hot_key_single_partition(ray_session):
+    """Every row shares one key — the operator's documented partitioning
+    assumption (a key lives wholly in one partition) in its worst case:
+    still exact, the partition pass is vectorized so the hot partition
+    costs O(n log n) sort, not O(n²)."""
+    import ray
+
+    left = [(7, t, 1000 + t) for t in range(0, 400, 2)]
+    right = [(7, t, 2000 + t, float(t)) for t in range(1, 400, 4)]
+    expect = {lid: (m if m else (None, None))
+              for lid, m in _brute_force(left, right).items()}
+    got, = _run(left, right, ray, parts=(9,))
+    assert got == expect

@@ -180,3 +180,13 @@ def test_top_k_tokens_ties_and_truncation(ray_session):
     # ties at n=3 break token-ASC: 'a' before 'm'; then the first w/1 token
     assert rows[:3] == [("z", 5), ("a", 3), ("m", 3)]
     assert len(rows) == 4 and rows[3][1] == 1 and rows[3][0] == "w0"
+
+
+def test_domain_cap_preserves_payload_columns(ray_session):
+    import ray
+
+    t = _doc_table([(1, "a", 10), (2, "a", 20), (3, "b", 5)])
+    t = t.append_column("payload", pa.array(["x", "y", "z"]))
+    out = domain_cap(ray.data.from_arrow(t), n=1).take_all()
+    got = {(r["source"], r["doc_id"], r["payload"]) for r in out}
+    assert got == {("a", 2, "y"), ("b", 3, "z")}
