@@ -56,8 +56,16 @@ def _ensure_threadsafe_fsspec_http() -> None:
     except ImportError:
         mod = types.ModuleType("fsspec.implementations.http")
 
-        class HTTPFileSystem:  # sentinel: never instantiated
-            pass
+        class HTTPFileSystem:
+            """Sentinel: Ray's planner only isinstance-checks this class.
+            Anything actually trying to USE HTTP storage gets the clear
+            error the real module would have raised, not a bare object
+            with no filesystem methods."""
+
+            def __init__(self, *a, **k):
+                raise ImportError(
+                    "aiohttp is required for fsspec HTTP filesystems "
+                    "(sentinel installed by docling_ray.pipelines.corpus)")
 
         mod.HTTPFileSystem = HTTPFileSystem
         sys.modules["fsspec.implementations.http"] = mod

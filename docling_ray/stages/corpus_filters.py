@@ -49,13 +49,18 @@ def _top_n_per_domain(table: pa.Table, domain_col: str, order_col: str,
     """Vectorized top-N per domain of one in-memory table: stable
     multi-key sort (domain ASC, order DESC, id ASC) + C-level group
     head — no Python per domain.  ALL input columns survive (the cap is
-    a row filter, not a projection)."""
-    df = table.to_pandas()
+    a row filter, not a projection), the payload never round-trips
+    through pandas (indices are computed on the 3 key columns, then one
+    zero-copy ``take``), and a NULL domain forms its own capped group —
+    matching the SQL mirror's ``PARTITION BY`` null partition, never a
+    silent row drop."""
+    df = table.select([domain_col, order_col, id_col]).to_pandas()
+    pos = "__row_pos"                      # position in `table`
+    df[pos] = np.arange(len(df), dtype=np.int64)
     df = df.sort_values([domain_col, order_col, id_col],
                         ascending=[True, False, True], kind="mergesort")
-    top = df.groupby(domain_col, sort=False).head(n)
-    return pa.Table.from_pandas(top, preserve_index=False,
-                                schema=table.schema)
+    top = df.groupby(domain_col, sort=False, dropna=False).head(n)
+    return table.take(pa.array(top[pos].to_numpy(), pa.int64()))
 
 
 def domain_cap(ds, domain_col: str = "source", order_col: str = "n_chars",
@@ -170,8 +175,11 @@ def hash_sample_batch(batch: pa.Table, rate: float,
     exactly).  ~1 μs/row: id-level hashing, never the payload."""
     thresh = int(rate * (1 << 32))
     ids = pc.cast(batch[id_col], pa.string()).to_pylist()
+    # null id → above-threshold sentinel: excluded, like the SQL mirror
+    # (md5(NULL) is NULL, the WHERE drops the row), never a crash
     h32 = np.fromiter(
-        (int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
+        ((1 << 32) if s is None else
+         int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
          for s in ids),
         dtype=np.uint64, count=len(ids))
     out = batch.filter(pa.array(h32 < thresh))

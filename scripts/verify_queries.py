@@ -34,6 +34,10 @@ def main(sf_dir, only=None):
         con.execute(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     if only:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            print(f"FAIL unknown query name(s): {', '.join(unknown)}")
+            return len(unknown)        # nonzero → exit 1, like failures
         qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():

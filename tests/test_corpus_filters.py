@@ -190,3 +190,26 @@ def test_domain_cap_preserves_payload_columns(ray_session):
     out = domain_cap(ray.data.from_arrow(t), n=1).take_all()
     got = {(r["source"], r["doc_id"], r["payload"]) for r in out}
     assert got == {("a", 2, "y"), ("b", 3, "z")}
+
+
+def test_domain_cap_null_domain_forms_capped_group(ray_session):
+    """NULL domains are a GROUP (like the SQL mirror's PARTITION BY null
+    partition), never silently dropped (review r4)."""
+    import ray
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "source": pa.array(["a", None, None, None, "a"]),
+        "n_chars": pa.array([10, 30, 20, 40, 5], pa.int64()),
+    })
+    out = domain_cap(ray.data.from_arrow(t), n=2).take_all()
+    got = {(r["source"], r["doc_id"]) for r in out}
+    assert got == {("a", 1), ("a", 5), (None, 4), (None, 2)}
+
+
+def test_hash_sample_null_id_excluded():
+    """A null id is excluded like its SQL mirror (md5(NULL) is NULL →
+    the WHERE drops the row) — never a crash (review r4)."""
+    batch = pa.table({"doc_id": pa.array(["x", None, "y"], pa.string())})
+    out = hash_sample_batch(batch, rate=1.0)
+    assert out["doc_id"].to_pylist() == ["x", "y"]

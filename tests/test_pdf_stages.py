@@ -221,3 +221,56 @@ def test_run_pdf_extract_resume(ray_session, tmp_path):
     mf.write_text("\n".join(_json.dumps(e) for e in entries[1:]) + "\n")
     stats3 = run_pdf_extract(str(src), str(dst))
     assert stats3["shards_processed"] == 1 and stats3["rows_done"] == 8
+
+
+def test_run_pdf_extract_group_checkpointing(ray_session, tmp_path,
+                                             monkeypatch):
+    """A crash mid-run costs at most one GROUP: with group_size=1, a
+    failure while processing the second shard leaves the first shard's
+    manifest mark intact, and the resumed run re-processes only the
+    unfinished shards."""
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+
+    import docling_ray.pipelines.pdf_pipeline as pp
+    from docling_ray.sources.pdf_pages import make_pdf_pages_table
+
+    src, dst = tmp_path / "pages", tmp_path / "out"
+    src.mkdir()
+    table, expected = make_pdf_pages_table(9, seed=33)
+    doc_ids = sorted(set(table["doc_id"].to_pylist()))
+    for i in range(3):
+        part = table.filter(pc_.is_in(
+            table["doc_id"], value_set=pa_.array(doc_ids[i::3])))
+        pq_.write_table(part, src / f"s{i}.parquet")
+
+    real = pp.pdf_pages_pipeline
+    calls = {"n": 0}
+
+    def exploding(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash in group 2")
+        return real(*a, **k)
+
+    monkeypatch.setattr(pp, "pdf_pages_pipeline", exploding)
+    try:
+        pp.run_pdf_extract(str(src), str(dst), group_size=1)
+        raise AssertionError("expected the simulated crash")
+    except RuntimeError:
+        pass
+    # group 1 is durable, groups 2-3 are not
+    from docling_ray.state import manifest as mf
+    assert set(mf.load_done(str(dst))) == {"s0.parquet"}
+
+    monkeypatch.setattr(pp, "pdf_pages_pipeline", real)
+    stats = pp.run_pdf_extract(str(src), str(dst), group_size=1)
+    assert stats["shards_processed"] == 2      # only the lost groups
+    assert stats["rows_done"] == 9
+    got = {}
+    import glob as _glob
+    for f in _glob.glob(str(dst / "data" / "shard=*" / "*.parquet")):
+        t = pq_.read_table(f, columns=["doc_id", "text"])
+        got.update(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    assert got == expected
