@@ -423,6 +423,38 @@ def q_quality_score(sf_dir: str):
         .select_columns(["doc_id", "score_micro"])
 
 
+def q_hll_distinct(sf_dir: str):
+    """Approximate per-type distinct-user counts via a mergeable
+    HyperLogLog sketch (4096 registers, ~1.6% σ) — COUNT(DISTINCT)
+    without shuffling a single value: one map_batches pass emits
+    fixed-size register rows, merged by elementwise max.  Deterministic
+    and partition-invariant (pytest-proven), but not SQL-expressible —
+    the driver records the rows-only check; the error-bound and
+    merge-algebra evidence lives in tests/test_sketch.py."""
+    import ray
+
+    from docling_ray.stages.sketch import count_distinct_approx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return count_distinct_approx(ds, "event_type", "user_id")
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampler by OPERATOR COMPOSITION: annotate
+    each row with its md5(doc_id) 32-bit prefix (``hash_sample`` at
+    rate=1.0), then ``domain_cap`` over ``lang`` ranked hash-ASC — exactly
+    20 docs per language, invariant to run, partitioning and cluster
+    size.  No new operator code: the sampler IS cap ∘ hash."""
+    from docling_ray.stages.corpus_filters import domain_cap, hash_sample
+
+    ds = _documents(sf_dir, columns=["doc_id", "lang"])
+    annotated = hash_sample(ds, rate=1.0)
+    return domain_cap(annotated, domain_col="lang", order_col="h32",
+                      id_col="doc_id", n=20, ascending=True) \
+        .select_columns(["doc_id", "lang", "h32"])
+
+
 def q_top_k_tokens(sf_dir: str):
     """Corpus vocabulary statistics: global top-50 tokens by frequency
     (ties → token ASC).  Combiner-first shape: per-batch partial counts
@@ -1158,6 +1190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "top_k_tokens": q_top_k_tokens,
+        "stratified_sample": q_stratified_sample,
+        "hll_distinct": q_hll_distinct,
         "domain_cap": q_domain_cap,
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
@@ -1264,6 +1298,19 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _EVENTS_WINDOWED_ORACLE_SQL,
         "sessions": _SESSIONS_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
+        "stratified_sample": """
+            SELECT doc_id, lang, h32 FROM (
+                SELECT doc_id, lang,
+                       CAST(CAST(('0x' || substr(
+                                md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT) AS BIGINT) AS h32,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY CAST(('0x' || substr(
+                                md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT), doc_id) AS rk
+                FROM documents) WHERE rk <= 20
+        """,
         "top_k_tokens": r"""
             WITH toks AS (
                 SELECT list_filter(regexp_split_to_array(text, '\s+'),

@@ -45,7 +45,8 @@ from docling_ray.stages.dedup import _part_of
 
 
 def _top_n_per_domain(table: pa.Table, domain_col: str, order_col: str,
-                      id_col: str, n: int) -> pa.Table:
+                      id_col: str, n: int,
+                      ascending: bool = False) -> pa.Table:
     """Vectorized top-N per domain of one in-memory table: stable
     multi-key sort (domain ASC, order DESC, id ASC) + C-level group
     head — no Python per domain.  ALL input columns survive (the cap is
@@ -58,14 +59,15 @@ def _top_n_per_domain(table: pa.Table, domain_col: str, order_col: str,
     pos = "__row_pos"                      # position in `table`
     df[pos] = np.arange(len(df), dtype=np.int64)
     df = df.sort_values([domain_col, order_col, id_col],
-                        ascending=[True, False, True], kind="mergesort")
+                        ascending=[True, ascending, True],
+                        kind="mergesort")
     top = df.groupby(domain_col, sort=False, dropna=False).head(n)
     return table.take(pa.array(top[pos].to_numpy(), pa.int64()))
 
 
 def domain_cap(ds, domain_col: str = "source", order_col: str = "n_chars",
                id_col: str = "doc_id", n: int = 10,
-               num_partitions: int = 64):
+               num_partitions: int = 64, ascending: bool = False):
     """Keep the top-``n`` rows of each domain, ranked by ``order_col``
     DESC with ``id_col`` ASC tiebreak (web pipelines cap documents per
     registered domain so no single site dominates the corpus).
@@ -74,14 +76,20 @@ def domain_cap(ds, domain_col: str = "source", order_col: str = "n_chars",
     top-N candidates (the only rows that can survive globally), then one
     pre-bucketed ``groupby(part)`` finishes the exact rank per domain
     inside its hash partition.  The shuffle therefore moves at most
-    ``N × num_batches`` rows per domain regardless of domain skew."""
+    ``N × num_batches`` rows per domain regardless of domain skew.
+
+    ``ascending=True`` ranks by ``order_col`` ASC instead — with a
+    per-row hash as the order column this is a deterministic STRATIFIED
+    sampler (exactly n rows per group, invariant to partitioning)."""
     def _candidates(batch: pa.Table) -> pa.Table:
-        top = _top_n_per_domain(batch, domain_col, order_col, id_col, n)
+        top = _top_n_per_domain(batch, domain_col, order_col, id_col, n,
+                                ascending=ascending)
         return top.append_column(
             "part", pa.array(_part_of(top[domain_col], num_partitions)))
 
     def _finish(group: pa.Table) -> pa.Table:
-        return _top_n_per_domain(group, domain_col, order_col, id_col, n)
+        return _top_n_per_domain(group, domain_col, order_col, id_col, n,
+                                 ascending=ascending)
 
     cand = ds.map_batches(_candidates, batch_format="pyarrow")
     return cand.groupby("part").map_groups(_finish, batch_format="pyarrow")

@@ -1,0 +1,108 @@
+"""Mergeable sketches: HyperLogLog count-distinct.
+
+The scale story: COUNT(DISTINCT key) done exactly needs an all-to-all
+shuffle of every distinct value; the HLL register vector is a 2^p-byte
+MERGEABLE summary, so distinct cardinality becomes one ``map_batches``
+pass emitting a fixed-size row per (batch, group) plus an elementwise
+``max`` merge — no shuffle of values at any scale, ~1.04/sqrt(2^p)
+relative error (Flajolet et al. 2007, the standard analysis).
+
+Determinism: the value hash is pandas' C siphash (`pd.util.hash_array`,
+fixed key — the same process-stable hash the partitioners use), and the
+merge is an elementwise max, so the estimate is invariant to run,
+batching, partitioning and cluster size.  With p=12 the rank field is
+the low 52 bits of the hash — below 2^53, so the float64 log2 used for
+the vectorized bit-length is EXACT, never an off-by-one from rounding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+HLL_P = 12                     # 4096 registers, ~1.6% relative error
+_M = 1 << HLL_P
+_RANK_BITS = 64 - HLL_P        # 52: exact in float64
+_ALPHA = 0.7213 / (1 + 1.079 / _M)
+
+
+def _hash64(col) -> np.ndarray:
+    import pandas as pd
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pd.util.hash_array(col.to_numpy(zero_copy_only=False))
+
+
+def hll_registers(values) -> np.ndarray:
+    """Register vector (uint8[4096]) of one value array — the per-batch
+    partial.  Vectorized: bucket = top p bits, rank = leading-zero count
+    of the remaining 52 bits + 1 (0 → 53), ``np.maximum.at`` scatter."""
+    h = _hash64(values)
+    bucket = (h >> np.uint64(_RANK_BITS)).astype(np.int64)
+    q = (h & np.uint64((1 << _RANK_BITS) - 1)).astype(np.float64)
+    rank = np.full(len(h), _RANK_BITS + 1, dtype=np.uint8)
+    nz = q > 0
+    rank[nz] = (_RANK_BITS - np.floor(np.log2(q[nz]))).astype(np.uint8)
+    regs = np.zeros(_M, dtype=np.uint8)
+    np.maximum.at(regs, bucket, rank)
+    return regs
+
+
+def hll_merge(parts) -> np.ndarray:
+    """Elementwise max of register vectors (bytes or uint8 arrays) —
+    commutative + associative + idempotent, hence partition-invariant."""
+    out = np.zeros(_M, dtype=np.uint8)
+    for p in parts:
+        arr = np.frombuffer(p, dtype=np.uint8) if isinstance(p, bytes) \
+            else p
+        np.maximum(out, arr, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Standard HLL estimator with the small-range linear-counting
+    correction (the only regime correction our 64-bit hash needs)."""
+    est = _ALPHA * _M * _M / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * _M and zeros:
+        est = _M * np.log(_M / zeros)
+    return int(round(est))
+
+
+def grouped_hll_partials(batch: pa.Table, group_col: str,
+                         value_col: str) -> pa.Table:
+    """One row per (batch, group): the group's register vector.  The
+    downstream merge sees ≤ num_batches × num_groups fixed-size rows —
+    the whole reduction is metadata-sized next to the corpus."""
+    import pyarrow.compute as pc
+
+    groups, regs = [], []
+    gcol = batch[group_col].combine_chunks()
+    for g in pc.unique(gcol):
+        mask = pc.equal(gcol, g)
+        vals = batch[value_col].combine_chunks().filter(
+            pc.fill_null(mask, False))
+        groups.append(g.as_py())
+        regs.append(hll_registers(vals).tobytes())
+    gtype = batch.schema.field(group_col).type
+    return pa.table({group_col: pa.array(groups, gtype),
+                     "regs": pa.array(regs, pa.binary())})
+
+
+def count_distinct_approx(ds, group_col: str, value_col: str) -> pa.Table:
+    """Approximate per-group COUNT(DISTINCT value): partial registers
+    per batch (map_batches) → driver-side merge of the bounded partial
+    set → estimate.  Returns ``(group_col, n_distinct_est)``."""
+    partials = ds.map_batches(
+        lambda b: grouped_hll_partials(b, group_col, value_col),
+        batch_format="pyarrow").take_all()
+    by_group: dict = {}
+    for row in partials:
+        by_group.setdefault(row[group_col], []).append(row["regs"])
+    items = sorted(by_group.items(), key=lambda kv: str(kv[0]))
+    return pa.table({
+        group_col: pa.array([k for k, _ in items]),
+        "n_distinct_est": pa.array(
+            [hll_estimate(hll_merge(v)) for _, v in items], pa.int64()),
+    })

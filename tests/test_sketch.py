@@ -1,0 +1,61 @@
+"""HyperLogLog count-distinct sketch (docling_ray/stages/sketch.py):
+error bound, merge algebra, partition invariance."""
+
+import numpy as np
+import pyarrow as pa
+
+from docling_ray.stages.sketch import (count_distinct_approx, hll_estimate,
+                                       hll_merge, hll_registers)
+
+
+def test_hll_error_bound_across_cardinalities():
+    rng = np.random.default_rng(3)
+    for true_n in (50, 1_000, 20_000, 200_000):
+        vals = pa.array(rng.choice(10**12, size=true_n, replace=False))
+        est = hll_estimate(hll_registers(vals))
+        # 4096 registers → σ ≈ 1.6%; assert 4σ plus small-N slack
+        assert abs(est - true_n) <= max(0.07 * true_n, 8), (true_n, est)
+
+
+def test_hll_duplicates_do_not_inflate():
+    base = pa.array(list(range(500)) * 40)       # 20k rows, 500 distinct
+    est = hll_estimate(hll_registers(base))
+    assert abs(est - 500) <= 35
+
+
+def test_hll_merge_equals_single_pass():
+    rng = np.random.default_rng(9)
+    vals = rng.choice(10**9, size=30_000, replace=False)
+    whole = hll_registers(pa.array(vals))
+    chunks = [hll_registers(pa.array(c)) for c in np.array_split(vals, 7)]
+    merged = hll_merge([c.tobytes() for c in chunks])
+    assert np.array_equal(whole, merged)
+    # associativity/idempotence: re-merging a prefix changes nothing
+    again = hll_merge([merged, chunks[0]])
+    assert np.array_equal(again, merged)
+
+
+def test_count_distinct_approx_partition_invariant(ray_session):
+    import ray
+
+    rng = np.random.default_rng(17)
+    n = 6000
+    t = pa.table({
+        "lang": pa.array([("en", "de", "fr")[i % 3] for i in range(n)]),
+        "uid": pa.array(rng.integers(0, 900, size=n)),
+    })
+    results = []
+    for p in (1, 4, 19):
+        out = count_distinct_approx(
+            ray.data.from_arrow(t).repartition(p), "lang", "uid")
+        results.append(list(zip(out["lang"].to_pylist(),
+                                out["n_distinct_est"].to_pylist())))
+    assert results[0] == results[1] == results[2]
+    # and close to exact
+    import collections
+    exact = collections.defaultdict(set)
+    for lang, uid in zip(t["lang"].to_pylist(), t["uid"].to_pylist()):
+        exact[lang].add(uid)
+    for lang, est in results[0]:
+        true_n = len(exact[lang])
+        assert abs(est - true_n) <= max(0.07 * true_n, 8)
