@@ -82,18 +82,54 @@ def _convert_corpus(input_dir: str, output: str, num_cpus: int) -> int:
 
     from docling_ray.pipelines.extract_pipeline import run_extract
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     stats = run_extract(input_dir, output)
     print(json.dumps(stats))
-    ray.shutdown()
+    if owns_session:     # never tear down a caller's (e.g. pytest's) Ray
+        ray.shutdown()
+    return 0
+
+
+def _curate_corpus(args) -> int:
+    """`docling_ray curate <corpus-dir> -o <out>`: the composed
+    training-data chain (extract → exact dedup → MinHash near-dup drop →
+    quality floor → chunk) via the checkpointed resumable runner — the
+    CLI surface of pipelines/corpus.run_corpus."""
+    import ray
+
+    from docling_ray.pipelines.corpus import run_corpus
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    stats = run_corpus(args.input, args.output,
+                       resume=not args.no_resume,
+                       minhash_threshold=args.minhash_threshold,
+                       drop_mode=args.drop_mode)
+    print(json.dumps(stats))
+    if owns_session:     # never tear down a caller's (e.g. pytest's) Ray
+        ray.shutdown()
     return 0
 
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="docling_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
+    cur = sub.add_parser(
+        "curate", help="corpus dir → deduped/filtered chunk parquet "
+                       "(checkpointed; re-run to resume)")
+    cur.add_argument("input")
+    cur.add_argument("--output", "-o", default="./curated")
+    cur.add_argument("--minhash-threshold", type=float, default=0.7)
+    cur.add_argument("--drop-mode", choices=("auto", "broadcast", "sharded"),
+                     default="auto")
+    cur.add_argument("--no-resume", action="store_true")
+    cur.add_argument("--num-cpus", type=int,
+                     default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     conv = sub.add_parser("convert", help="convert documents or a parquet corpus")
     conv.add_argument("input")
     conv.add_argument("--output", "-o", default="./out")
@@ -105,6 +141,8 @@ def main(argv=None) -> int:
                       default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     args = parser.parse_args(argv)
 
+    if args.cmd == "curate":
+        return _curate_corpus(args)
     if "://" in args.input:
         # URL input expansion (reference cli/main.py:513-550): fetch to a
         # temp file, then convert.  file:// works offline; http(s) needs
