@@ -307,6 +307,40 @@ def q_ann_ivf_topk(sf_dir: str):
     return table.select(["query_id", "vec_id", "rank"])
 
 
+def q_kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment of every embedding row against the
+    seeded k=8 codebook (the inference half of distributed k-means —
+    one broadcast + one stateless matmul pass; stages/kmeans.py)."""
+    import ray.data
+
+    from docling_ray.stages.kmeans import assign_clusters, seeded_centroids
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return assign_clusters(ds, seeded_centroids(64, 8, seed=29))
+
+
+def q_kmeans_fit(sf_dir: str):
+    """Two unrolled Lloyd iterations of distributed k-means (seeded
+    init): broadcast centroids → one map_batches partial-stats pass →
+    tiny driver merge, twice.  Output = per-cluster population under the
+    second-round assignment (empty clusters emitted with 0), oracled by
+    the same two iterations unrolled as DuckDB CTEs."""
+    import pyarrow as pa
+    import ray.data
+
+    from docling_ray.stages.kmeans import kmeans_fit
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+    fit = kmeans_fit(ds, k=8, dim=64, iters=2, seed=29, init="seeded")
+    k = len(fit["counts"])
+    return pa.table({
+        "cluster_id": pa.array(range(k), pa.int64()),
+        "n_points": pa.array(fit["counts"], pa.int64()),
+    })
+
+
 def q_chunks(sf_dir: str):
     """Hierarchical chunking over the synthetic web corpus."""
     import ray.data
@@ -1161,6 +1195,71 @@ def _ivf_topk_oracle_sql(n_anchors: int = 16, nprobe: int = 4,
     """
 
 
+def _kmeans_centroid_rows(k: int = 8, dim: int = 64, seed: int = 29) -> str:
+    """The seeded k-means codebook (bit-identical to the IVF anchors)
+    rendered as SQL VALUES literals — the same carry-the-model-as-
+    literals trick the LSH planes and IVF anchors use."""
+    from docling_ray.stages.kmeans import seeded_centroids
+
+    c = seeded_centroids(dim, k, seed)
+    return ",\n                ".join(
+        "({}, [{}])".format(
+            cid, ", ".join(repr(float(x)) for x in c[cid]))
+        for cid in range(k))
+
+
+def _kmeans_assign_sql(src: str, cents: str) -> str:
+    """Shared assignment clause: argmin ||v−c||² as argmax of
+    dot − ||c||²/2 (the exact numpy formula), ties to the lowest cid."""
+    return f"""
+                SELECT e.vec_id, e.embedding, c.cid
+                FROM embeddings e CROSS JOIN {cents} c
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_dot_product(e.embedding, c.cvec)
+                             - 0.5 * list_dot_product(c.cvec, c.cvec) DESC,
+                             c.cid) = 1"""
+
+
+def _kmeans_fit_oracle_sql(k: int = 8, dim: int = 64,
+                           seed: int = 29) -> str:
+    """Two Lloyd iterations unrolled as CTEs: assign vs the seeded
+    literals, per-dimension means via zipped unnest (empty clusters keep
+    the seeded centroid), re-assign vs the updated centroids, count."""
+    rows = _kmeans_centroid_rows(k, dim, seed)
+    return f"""
+            WITH c0(cid, cvec) AS (VALUES
+                {rows}
+            ),
+            a1 AS ({_kmeans_assign_sql('embeddings', 'c0')}
+            ),
+            dims1 AS (
+                SELECT cid,
+                       unnest(CAST(embedding AS DOUBLE[])) AS v,
+                       unnest(range(len(embedding))) AS idx
+                FROM a1
+            ),
+            m1 AS (
+                SELECT cid, list(s ORDER BY idx) AS mvec
+                FROM (SELECT cid, idx, sum(v) / count(*) AS s
+                      FROM dims1 GROUP BY cid, idx)
+                GROUP BY cid
+            ),
+            c1 AS (
+                SELECT c0.cid,
+                       coalesce(m1.mvec, CAST(c0.cvec AS DOUBLE[])) AS cvec
+                FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid
+            ),
+            a2 AS ({_kmeans_assign_sql('embeddings', 'c1')}
+            )
+            SELECT CAST(c1.cid AS BIGINT) AS cluster_id,
+                   CAST(coalesce(n.n, 0) AS BIGINT) AS n_points
+            FROM c1 LEFT JOIN (
+                SELECT cid, count(*) AS n FROM a2 GROUP BY cid
+            ) n ON n.cid = c1.cid
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "lang_metrics": q_lang_metrics,
@@ -1178,6 +1277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_fit": q_kmeans_fit,
         "chunks": q_chunks,
         "pdf_pipeline": q_pdf_pipeline,
         "minhash_near_dup": q_minhash_near_dup,
@@ -1271,6 +1372,15 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucketed": _lsh_bucketed_oracle_sql(),
         "ann_lsh_topk": _lsh_topk_oracle_sql(),
         "ann_ivf_topk": _ivf_topk_oracle_sql(),
+        "kmeans_assign": f"""
+            WITH cents(cid, cvec) AS (VALUES
+                {_kmeans_centroid_rows()}
+            ),
+            a AS ({_kmeans_assign_sql('embeddings', 'cents')}
+            )
+            SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM a
+        """,
+        "kmeans_fit": _kmeans_fit_oracle_sql(),
         "minhash_near_dup": _minhash_oracle_sql(),
         "minhash_clusters": f"""
             WITH RECURSIVE pairs AS (

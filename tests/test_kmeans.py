@@ -1,0 +1,82 @@
+"""Distributed Lloyd's k-means (docling_ray/stages/kmeans.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+from docling_ray.stages.kmeans import kmeans_fit, seeded_centroids
+
+
+def _blob_table(rng, centers, per, spread=0.05):
+    rows = []
+    for c in centers:
+        rows.append(c + rng.normal(scale=spread, size=(per, len(c))))
+    m = np.concatenate(rows)
+    return pa.table({"embedding": pa.array(list(m), pa.list_(pa.float64()))})
+
+
+def test_kmeans_recovers_blobs_and_inertia_monotone(ray_session):
+    import ray
+
+    rng = np.random.default_rng(4)
+    centers = np.eye(4) * 3.0                       # 4 well-separated blobs
+    t = _blob_table(rng, centers, per=120)
+    ds = ray.data.from_arrow(t).repartition(6)
+    fit = kmeans_fit(ds, k=4, dim=4, iters=6, seed=1)
+    # Lloyd's monotonicity: the objective never increases
+    h = fit["inertia"]
+    assert all(h[i + 1] <= h[i] + 1e-9 for i in range(len(h) - 1))
+    # converged centroids sit on the true blob centers (≤ spread/3 err)
+    got = fit["centroids"]
+    for c in centers:
+        d = np.min(np.linalg.norm(got - c, axis=1))
+        assert d < 0.05, (c, d)
+    # every point accounted for
+    assert fit["counts"].sum() == 480
+
+
+def test_kmeans_deterministic_rerun(ray_session):
+    import ray
+
+    rng = np.random.default_rng(8)
+    t = _blob_table(rng, np.eye(3) * 2.0, per=60)
+    ds = ray.data.from_arrow(t).repartition(4)
+    a = kmeans_fit(ds, k=3, dim=3, iters=4, seed=2)
+    b = kmeans_fit(ds, k=3, dim=3, iters=4, seed=2)
+    assert np.array_equal(a["centroids"], b["centroids"])
+    assert a["inertia"] == b["inertia"]
+
+
+def test_kmeans_first_round_matches_seeded_ivf_anchors(ray_session):
+    """Round 1 assigns against seeded_centroids(seed) — the identical
+    data-independent anchors the IVF quantizer uses, so the trained
+    codebook genuinely 'drops into the same slot' (ann.py contract).
+    Seeded anchors maximize dot over UNIT vectors while Lloyd assigns by
+    euclidean distance; on unit-norm inputs the two rules coincide."""
+    from docling_ray.stages.ann import IvfAnchors
+
+    rng = np.random.default_rng(12)
+    m = rng.normal(size=(200, 16))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)   # unit-norm inputs
+    ivf = IvfAnchors(dim=16, n_anchors=8, seed=29)
+    assert np.allclose(ivf.anchors, seeded_centroids(16, 8, seed=29))
+    ivf_assign = ivf.assign(m)
+
+    cents = seeded_centroids(16, 8, seed=29)
+    scores = m @ cents.T - 0.5 * np.einsum("ij,ij->i", cents, cents)
+    km_assign = np.argmax(scores, axis=1)
+    # anchors are unit-norm too, so the −||c||²/2 term is constant
+    assert np.array_equal(ivf_assign, km_assign)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    import ray
+
+    # all points in one tight blob → most clusters stay empty
+    rng = np.random.default_rng(3)
+    t = _blob_table(rng, [np.zeros(4) + 5.0], per=50)
+    ds = ray.data.from_arrow(t)
+    fit = kmeans_fit(ds, k=6, dim=4, iters=3, seed=5, init="seeded")
+    init = seeded_centroids(4, 6, seed=5)
+    empty = fit["counts"] == 0
+    assert empty.sum() >= 4
+    assert np.array_equal(fit["centroids"][empty], init[empty])
