@@ -76,9 +76,11 @@ class BruteForceTopK:
                 out_q.append(int(self.query_ids[qi]))
                 out_v.append(ids[j])
                 out_s.append(float(sims[qi, j]))
+        # vec_id must be typed even when no query matches this batch
+        # (empty list → null-typed column → block schema mismatch)
         return pa.table({
             "query_id": pa.array(out_q, pa.int64()),
-            "vec_id": pa.array(out_v),
+            "vec_id": pa.array([int(v) for v in out_v], pa.int64()),
             "cosine": pa.array(out_s, pa.float64()),
         })
 
@@ -366,9 +368,11 @@ class LshBucketedTopK:
                 out_q.append(int(self.query_ids[qi]))
                 out_v.append(ids[cand[oi]])
                 out_s.append(float(sims[oi]))
+        # vec_id must be typed even when no query matches this batch
+        # (empty list → null-typed column → block schema mismatch)
         return pa.table({
             "query_id": pa.array(out_q, pa.int64()),
-            "vec_id": pa.array(out_v),
+            "vec_id": pa.array([int(v) for v in out_v], pa.int64()),
             "cosine": pa.array(out_s, pa.float64()),
         })
 
@@ -452,10 +456,31 @@ class IvfAnchors:
         a = rng.normal(size=(n_anchors, dim))
         self.anchors = a / np.linalg.norm(a, axis=1, keepdims=True)
 
+    @classmethod
+    def from_codebook(cls, centroids: np.ndarray) -> "IvfAnchors":
+        """Wrap a LEARNED codebook (e.g. ``stages/kmeans.kmeans_fit``'s
+        centroids) as the quantizer — the slot the seeded anchors stand
+        in for.  Assignment stays euclidean-correct for non-unit
+        centroids via the ||c||²/2 term in :meth:`assign`."""
+        self = cls.__new__(cls)
+        self.anchors = np.asarray(centroids, dtype=np.float64)
+        return self
+
     def assign(self, matrix: np.ndarray) -> np.ndarray:
-        """Per-row anchor id (argmax dot; |v| is constant across anchors,
-        so this equals argmax cosine)."""
-        return np.argmax(matrix @ self.anchors.T, axis=1)
+        """Per-row anchor id: argmin ||v−c||² as argmax of
+        dot − ||c||²/2.  For UNIT anchors (the seeded default) the
+        correction is a constant 0.5 across anchors, so it is skipped
+        outright — argmax dot (= argmax cosine), bit-identical to the
+        previous behavior and to the SQL oracle."""
+        return np.argmax(self.scores(matrix), axis=1)
+
+    def scores(self, matrix: np.ndarray) -> np.ndarray:
+        """(n, n_anchors) assignment scores (higher = closer)."""
+        half_sq = 0.5 * np.einsum("ij,ij->i", self.anchors, self.anchors)
+        scores = matrix @ self.anchors.T
+        if not np.allclose(half_sq, half_sq[0]):
+            scores = scores - half_sq
+        return scores
 
 
 class IvfTopK:
@@ -490,9 +515,11 @@ class IvfTopK:
                 out_q.append(int(self.query_ids[qi]))
                 out_v.append(ids[cand[j]])
                 out_s.append(float(sims[j]))
+        # vec_id must be typed even when no query matches this batch
+        # (empty list → null-typed column → block schema mismatch)
         return pa.table({
             "query_id": pa.array(out_q, pa.int64()),
-            "vec_id": pa.array(out_v),
+            "vec_id": pa.array([int(v) for v in out_v], pa.int64()),
             "cosine": pa.array(out_s, pa.float64()),
         })
 
@@ -500,16 +527,24 @@ class IvfTopK:
 def ivf_topk(ds, query_ids: list[int], query_vectors: np.ndarray,
              k: int = 10, dim: int = 64, n_anchors: int = 16,
              nprobe: int = 4, seed: int = 29,
-             concurrency: int = 4) -> pa.Table:
+             concurrency: int = 4, codebook: np.ndarray = None) -> pa.Table:
     """IVF-style ANN top-k: rows are bucketed by nearest anchor; each
     query scores ONLY rows whose anchor is among its ``nprobe`` closest
     anchors (the inverted-file probe-list contract).  Partial top-k per
     batch + small bounded driver merge, same as the other ANN paths.
     Recall is the probe-coverage bound; precision within the candidate
-    set is exact."""
-    ivf = IvfAnchors(dim=dim, n_anchors=n_anchors, seed=seed)
+    set is exact.
+
+    ``codebook``: a trained (k, dim) centroid matrix — e.g. from
+    ``stages/kmeans.kmeans_fit`` — replacing the seeded anchors; the
+    seeded default keeps the SQL-literal oracle exact."""
+    if codebook is not None:
+        ivf = IvfAnchors.from_codebook(codebook)
+        n_anchors = len(ivf.anchors)
+    else:
+        ivf = IvfAnchors(dim=dim, n_anchors=n_anchors, seed=seed)
     qmat = _normalize(np.asarray(query_vectors, dtype=np.float64))
-    qdots = qmat @ ivf.anchors.T                       # (nq, n_anchors)
+    qdots = ivf.scores(qmat)                           # (nq, n_anchors)
     probes = []
     for qi in range(len(query_ids)):
         order = np.lexsort((np.arange(n_anchors), -qdots[qi]))[:nprobe]

@@ -68,6 +68,45 @@ def test_kmeans_first_round_matches_seeded_ivf_anchors(ray_session):
     assert np.array_equal(ivf_assign, km_assign)
 
 
+def test_trained_codebook_drops_into_ivf_and_beats_seeded(ray_session):
+    """End-to-end slot proof: kmeans_fit centroids → ivf_topk(codebook=)
+    with nprobe=1 achieves perfect recall on blob-clustered data (each
+    query's true neighbors live in its own cluster's inverted list),
+    while the data-independent seeded anchors cannot do better."""
+    import ray
+
+    from docling_ray.stages.ann import brute_force_topk, ivf_topk
+    from docling_ray.stages.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(7)
+    dim, k = 16, 8
+    centers = np.zeros((k, dim))
+    centers[np.arange(k), np.arange(k)] = 3.0       # orthogonal blob dirs
+    t = _blob_table(rng, centers, per=50)
+    t = t.append_column("vec_id", pa.array(range(t.num_rows), pa.int64()))
+    ds = ray.data.from_arrow(t).repartition(5)
+
+    fit = kmeans_fit(ds, k=k, dim=dim, iters=5, seed=3)
+    qids = [0, 75, 260]
+    qvecs = np.asarray([t["embedding"][i].as_py() for i in qids])
+
+    truth = brute_force_topk(ds, qids, qvecs, k=5)
+    trained = ivf_topk(ds, qids, qvecs, k=5, dim=dim, nprobe=1,
+                       codebook=fit["centroids"])
+    seeded = ivf_topk(ds, qids, qvecs, k=5, dim=dim,
+                      n_anchors=k, nprobe=1)
+
+    def pairs(tab):
+        return set(zip(tab["query_id"].to_pylist(),
+                       tab["vec_id"].to_pylist()))
+
+    truth_p = pairs(truth)
+    rec_trained = len(pairs(trained) & truth_p) / len(truth_p)
+    rec_seeded = len(pairs(seeded) & truth_p) / len(truth_p)
+    assert rec_trained == 1.0, rec_trained
+    assert rec_trained >= rec_seeded
+
+
 def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     import ray
 
