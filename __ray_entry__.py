@@ -307,6 +307,20 @@ def q_ann_ivf_topk(sf_dir: str):
     return table.select(["query_id", "vec_id", "rank"])
 
 
+def q_quantiles(sf_dir: str):
+    """Exact per-language doc-length percentiles via mergeable
+    histograms (stages/quantiles.py): batches collapse to (lang, value,
+    count) before the shuffle, so the all-to-all moves histograms, not
+    rows; the driver folds a cardinality-bounded histogram."""
+    import ray.data
+
+    from docling_ray.stages.quantiles import grouped_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    return grouped_quantiles(ds, "n_chars", "lang")
+
+
 def q_kmeans_assign(sf_dir: str):
     """Nearest-centroid assignment of every embedding row against the
     seeded k=8 codebook (the inference half of distributed k-means —
@@ -1277,6 +1291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "quantiles": q_quantiles,
         "kmeans_assign": q_kmeans_assign,
         "kmeans_fit": q_kmeans_fit,
         "chunks": q_chunks,
@@ -1372,6 +1387,25 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucketed": _lsh_bucketed_oracle_sql(),
         "ann_lsh_topk": _lsh_topk_oracle_sql(),
         "ann_ivf_topk": _ivf_topk_oracle_sql(),
+        "quantiles": """
+            WITH h AS (
+                SELECT lang, n_chars AS value, count(*) AS c
+                FROM documents GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT lang, value,
+                       sum(c) OVER (PARTITION BY lang
+                                    ORDER BY value) AS cum,
+                       sum(c) OVER (PARTITION BY lang) AS n
+                FROM h
+            ),
+            p(q_pct) AS (VALUES (25), (50), (75), (90), (99))
+            SELECT s.lang, CAST(p.q_pct AS BIGINT) AS q_pct,
+                   CAST(min(s.value) AS BIGINT) AS value
+            FROM s CROSS JOIN p
+            WHERE s.cum * 100 >= p.q_pct * s.n
+            GROUP BY s.lang, p.q_pct
+        """,
         "kmeans_assign": f"""
             WITH cents(cid, cvec) AS (VALUES
                 {_kmeans_centroid_rows()}

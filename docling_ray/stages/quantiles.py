@@ -1,0 +1,89 @@
+"""Exact distributed quantiles over a discrete column — the mergeable-
+histogram pattern (same family as the HLL sketch and the k-means partial
+stats: per-batch combine first, shuffle only the collapsed statistic).
+
+Shape:
+
+- ONE ``map_batches`` pass collapses each batch to ``(group, value,
+  count)`` rows via pyarrow's C ``group_by`` — the all-to-all that
+  follows moves histograms, never rows,
+- ONE distributed ``groupby(group, value).sum`` merges the partials,
+- the driver folds the merged histogram (bounded by ``|groups| × |distinct
+  values|`` — for doc-length-like columns that is 10³-10⁶ tiny rows, NOT
+  the corpus; callers with unbounded-cardinality value columns should
+  bucket first) into cumulative counts and reads off the quantiles.
+
+Quantile contract (integer-exact, mirrored verbatim in the SQL oracle):
+``q_pct``-th percentile = the smallest value whose cumulative count
+``cum`` satisfies ``cum * 100 >= q_pct * n`` — i.e. discrete lower
+quantiles with no interpolation, so the compared output stays integral.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+
+def _hist_batch(batch: pa.Table, value_col: str,
+                group_col: str | None) -> pa.Table:
+    """One batch → its (group, value, count) histogram (C group_by)."""
+    keys = ([group_col] if group_col else []) + [value_col]
+    out = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+    return out.rename_columns(keys + ["count"])
+
+
+def grouped_quantiles(ds, value_col: str, group_col: str | None = None,
+                      pcts: Sequence[int] = (25, 50, 75, 90, 99)):
+    """Exact per-group percentiles of an integer column.
+
+    Returns a pyarrow Table ``(group_col?, q_pct, value)`` — one row per
+    group × percentile, integer-valued throughout.
+    """
+    keys = ([group_col] if group_col else []) + [value_col]
+    merged = (
+        ds.map_batches(
+            lambda b: _hist_batch(b, value_col, group_col),
+            batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum(on="count", alias_name="count"))
+    )
+    # bounded driver fold: |groups| × |distinct values| histogram rows
+    hist = pa.Table.from_pylist(merged.take_all())
+    if hist.num_rows == 0:
+        cols = ([(group_col, pa.array([], pa.string()))] if group_col
+                else [])
+        cols += [("q_pct", pa.array([], pa.int64())),
+                 ("value", pa.array([], pa.int64()))]
+        return pa.table(dict(cols))
+
+    groups = (hist[group_col].to_numpy(zero_copy_only=False)
+              if group_col else np.zeros(hist.num_rows, dtype=np.int64))
+    values = hist[value_col].to_numpy(zero_copy_only=False)
+    counts = hist["count"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((values, groups))
+    groups, values, counts = groups[order], values[order], counts[order]
+
+    out_g, out_p, out_v = [], [], []
+    starts = np.flatnonzero(
+        np.r_[True, groups[1:] != groups[:-1]])
+    bounds = np.r_[starts, len(groups)]
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        cum = np.cumsum(counts[s:e])
+        n = int(cum[-1])
+        for pct in pcts:
+            # smallest value with cum*100 >= pct*n (integer-exact)
+            idx = int(np.searchsorted(cum * 100, pct * n))
+            out_g.append(groups[s])
+            out_p.append(int(pct))
+            out_v.append(int(values[s + idx]))
+    cols = {}
+    if group_col:
+        cols[group_col] = pa.array([str(g) for g in out_g])
+    cols["q_pct"] = pa.array(out_p, pa.int64())
+    cols["value"] = pa.array(out_v, pa.int64())
+    return pa.table(cols)
