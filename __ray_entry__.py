@@ -321,6 +321,32 @@ def q_quantiles(sf_dir: str):
     return grouped_quantiles(ds, "n_chars", "lang")
 
 
+def q_gopher_repetition(sf_dir: str):
+    """Per-document n-gram repetition counters (the decision statistics
+    of the published repetition-filter family): count of the most
+    frequent 2-gram and total occurrences of duplicated 2-/5-grams —
+    integer-exact, ONE stateless map_batches pass, zero shuffles
+    (stages/repetition.py)."""
+    from docling_ray.stages.repetition import repetition_stats
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return repetition_stats(ds).select_columns(
+        ["doc_id", "n_words", "top2_n", "dup2_n", "top5_n", "dup5_n"])
+
+
+def q_dup_windows(sf_dir: str):
+    """Cross-document exact duplicate token windows (the decision
+    statistic of exact-substring corpus dedup): per doc, distinct
+    8-token windows and how many are shared with another document.
+    Per-doc distinct md5-prefix window hashes (16 B rows, never text)
+    make ONE hash-bucketed all-to-all; buckets resolve duplicates with
+    a vectorized sorted-run scan (stages/repetition.py)."""
+    from docling_ray.stages.repetition import dup_windows
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return dup_windows(ds, w=8)
+
+
 def q_kmeans_assign(sf_dir: str):
     """Nearest-centroid assignment of every embedding row against the
     seeded k=8 codebook (the inference half of distributed k-means —
@@ -1292,6 +1318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "quantiles": q_quantiles,
+        "gopher_repetition": q_gopher_repetition,
+        "dup_windows": q_dup_windows,
         "kmeans_assign": q_kmeans_assign,
         "kmeans_fit": q_kmeans_fit,
         "chunks": q_chunks,
@@ -1405,6 +1433,80 @@ def oracle_sql() -> dict[str, str]:
             FROM s CROSS JOIN p
             WHERE s.cum * 100 >= p.q_pct * s.n
             GROUP BY s.lang, p.q_pct
+        """,
+        "gopher_repetition": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            g2 AS (
+                SELECT doc_id, g, count(*) AS c FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, length(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS g
+                    FROM tok)
+                GROUP BY doc_id, g
+            ),
+            a2 AS (
+                SELECT doc_id, max(c) AS top2_n,
+                       coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS dup2_n
+                FROM g2 GROUP BY doc_id
+            ),
+            g5 AS (
+                SELECT doc_id, g, count(*) AS c FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, length(t) - 3),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+                    FROM tok)
+                GROUP BY doc_id, g
+            ),
+            a5 AS (
+                SELECT doc_id, max(c) AS top5_n,
+                       coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS dup5_n
+                FROM g5 GROUP BY doc_id
+            )
+            SELECT tok.doc_id,
+                   CAST(length(t) AS BIGINT) AS n_words,
+                   CAST(coalesce(a2.top2_n, 0) AS BIGINT) AS top2_n,
+                   CAST(coalesce(a2.dup2_n, 0) AS BIGINT) AS dup2_n,
+                   CAST(coalesce(a5.top5_n, 0) AS BIGINT) AS top5_n,
+                   CAST(coalesce(a5.dup5_n, 0) AS BIGINT) AS dup5_n
+            FROM tok
+            LEFT JOIN a2 USING (doc_id)
+            LEFT JOIN a5 USING (doc_id)
+        """,
+        "dup_windows": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            w AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, length(t) - 6),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    || ' ' || t[i+3] || ' ' || t[i+4]
+                                    || ' ' || t[i+5] || ' ' || t[i+6]
+                                    || ' ' || t[i+7])) AS g
+                    FROM tok)
+            ),
+            hd AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(g), 1, 16))::UBIGINT AS gh
+                FROM w
+            ),
+            d AS (SELECT gh, count(*) AS nd FROM hd GROUP BY gh)
+            SELECT hd.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_windows
+            FROM hd JOIN d USING (gh)
+            GROUP BY hd.doc_id
         """,
         "kmeans_assign": f"""
             WITH cents(cid, cvec) AS (VALUES

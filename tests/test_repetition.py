@@ -1,0 +1,106 @@
+"""Repetition stats + cross-doc duplicate windows (stages/repetition.py)."""
+
+import pyarrow as pa
+
+from docling_ray.stages.repetition import (dup_windows,
+                                           repetition_stats,
+                                           repetition_stats_batch)
+
+
+def _doc_table(texts, start_id=0):
+    return pa.table({
+        "doc_id": pa.array(range(start_id, start_id + len(texts)),
+                           pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def test_repetition_stats_known_values():
+    batch = _doc_table(["a b a b c", "x", "", None,
+                        "w w w w w w"])
+    out = repetition_stats_batch(batch).to_pylist()
+    # doc0: 5 words; 2-grams a·b, b·a, a·b, b·c → top2=2, dup2=2;
+    # one distinct 5-gram → top5=1, dup5=0
+    assert out[0]["n_words"] == 5 and out[0]["top2_n"] == 2
+    assert out[0]["dup2_n"] == 2 and out[0]["top5_n"] == 1
+    assert out[0]["dup5_n"] == 0
+    # single-token / empty / null docs: all zero except n_words
+    assert out[1]["n_words"] == 1 and out[1]["top2_n"] == 0
+    assert out[2]["n_words"] == 0 and out[3]["n_words"] == 0
+    # doc4: "w"×6 → five identical 2-grams (top2=dup2=5),
+    # two identical 5-grams (top5=dup5=2)
+    assert out[4]["top2_n"] == 5 and out[4]["dup2_n"] == 5
+    assert out[4]["top5_n"] == 2 and out[4]["dup5_n"] == 2
+
+
+def test_repetition_stats_whitespace_runs():
+    # RE2 \s+ split with empties dropped: runs/leading/trailing spaces
+    # change nothing (the SQL mirror's list_filter semantics)
+    a = repetition_stats_batch(_doc_table(["a  b   a b"])).to_pylist()[0]
+    b = repetition_stats_batch(_doc_table([" a b a b "])).to_pylist()[0]
+    for k in ("n_words", "top2_n", "dup2_n"):
+        assert a[k] == b[k]
+    assert a["n_words"] == 4
+
+
+def test_repetition_stats_streams(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(_doc_table(["a b a b", "c d"] * 20)) \
+        .repartition(5)
+    out = repetition_stats(ds)
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    assert len(rows) == 40
+    assert rows[0]["top2_n"] == 2 and rows[1]["top2_n"] == 1
+
+
+def _dup_counts(ray, texts, parts=3, w=8):
+    ds = ray.data.from_arrow(_doc_table(texts)).repartition(parts)
+    out = dup_windows(ds, w=w)
+    return {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in out.take_all()}
+
+
+def test_dup_windows_cross_batch(ray_session):
+    import ray
+
+    # docs 0 and 2 share the window "p q r s t u v w" even when split
+    # across blocks; doc1 is disjoint; doc3 is too short for any window
+    texts = ["p q r s t u v w x",
+             "a b c d e f g h i",
+             "z p q r s t u v w",
+             "tiny doc"]
+    got = _dup_counts(ray, texts, parts=4)
+    assert got[0] == (2, 1) and got[2] == (2, 1)
+    assert got[1] == (2, 0)
+    assert 3 not in got        # <w tokens → no row (SQL mirror agrees)
+
+
+def test_dup_windows_within_doc_repeat_not_dup(ray_session):
+    import ray
+
+    # a window repeated WITHIN one doc is distinct-collapsed, so it is
+    # not "shared with another document"
+    t = "p q r s t u v w " * 2 + "end"
+    got = _dup_counts(ray, [t, "a b c d e f g h"], parts=2)
+    assert got[0][1] == 0 and got[1] == (1, 0)
+
+
+def test_dup_windows_partition_invariant(ray_session):
+    import ray
+
+    texts = [f"w{i % 7} x{i % 5} y z a b c d e f g{i % 3}"
+             for i in range(60)]
+    a = _dup_counts(ray, texts, parts=1)
+    b = _dup_counts(ray, texts, parts=9)
+    assert a == b
+
+
+def test_dup_windows_empty_input_keeps_schema(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(_doc_table([]))
+    out = dup_windows(ds, w=8)
+    names = set(out.schema().names)
+    assert names == {"doc_id", "n_windows", "n_dup_windows"}
+    assert out.count() == 0
