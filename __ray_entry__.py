@@ -347,6 +347,25 @@ def q_dup_windows(sf_dir: str):
     return dup_windows(ds, w=8)
 
 
+def q_bloom_probe(sf_dir: str):
+    """Bloom-filter membership probe (the sketch behind incremental
+    seen-URL / prior-crawl dedup): docs ``doc_id < 150`` build a 512-bit
+    k=3 filter (distributed OR-merged partials), every doc probes it —
+    no false negatives, and the deliberately small filter produces false
+    positives that the SQL oracle reproduces BIT-FOR-BIT because both
+    sides compute identical md5 positions (stages/sketch.py)."""
+    import ray
+
+    from docling_ray.stages.sketch import bloom_probe, build_bloom
+
+    ref_ds = _documents(sf_dir, columns=["doc_id"]) \
+        .filter(expr="doc_id < 150")
+    bloom = build_bloom(ref_ds, "doc_id", m_bits=512, k_hashes=3)
+    ds = _documents(sf_dir, columns=["doc_id"])
+    return bloom_probe(ds, ray.put(bloom), "doc_id", m_bits=512,
+                       k_hashes=3)
+
+
 def q_kmeans_assign(sf_dir: str):
     """Nearest-centroid assignment of every embedding row against the
     seeded k=8 codebook (the inference half of distributed k-means —
@@ -1320,6 +1339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles": q_quantiles,
         "gopher_repetition": q_gopher_repetition,
         "dup_windows": q_dup_windows,
+        "bloom_probe": q_bloom_probe,
         "kmeans_assign": q_kmeans_assign,
         "kmeans_fit": q_kmeans_fit,
         "chunks": q_chunks,
@@ -1507,6 +1527,29 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_dup_windows
             FROM hd JOIN d USING (gh)
             GROUP BY hd.doc_id
+        """,
+        "bloom_probe": """
+            WITH ks(i) AS (VALUES (0), (1), (2)),
+            pos AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                           || ':' || i), 1, 16))::UBIGINT
+                       % 512 AS p
+                FROM documents CROSS JOIN ks
+                WHERE doc_id < 150
+            ),
+            pr AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                           || ':' || i), 1, 16))::UBIGINT
+                       % 512 AS p
+                FROM documents CROSS JOIN ks
+            )
+            SELECT pr.doc_id,
+                   CAST(min(CASE WHEN pos.p IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS maybe_member
+            FROM pr LEFT JOIN pos ON pos.p = pr.p
+            GROUP BY pr.doc_id
         """,
         "kmeans_assign": f"""
             WITH cents(cid, cvec) AS (VALUES

@@ -1,4 +1,4 @@
-"""Mergeable sketches: HyperLogLog count-distinct.
+"""Mergeable sketches: HyperLogLog count-distinct and Bloom membership.
 
 The scale story: COUNT(DISTINCT key) done exactly needs an all-to-all
 shuffle of every distinct value; the HLL register vector is a 2^p-byte
@@ -6,6 +6,16 @@ MERGEABLE summary, so distinct cardinality becomes one ``map_batches``
 pass emitting a fixed-size row per (batch, group) plus an elementwise
 ``max`` merge — no shuffle of values at any scale, ~1.04/sqrt(2^p)
 relative error (Flajolet et al. 2007, the standard analysis).
+
+The Bloom filter is the same pattern with OR instead of max: per-batch
+partial bit arrays over the reference keys merge elementwise (one
+fixed-size row per batch), and the merged filter broadcasts once per
+probe actor — membership tests (incremental dedup against a prior
+crawl, seen-URL suppression) with no false negatives and a tunable
+false-positive rate, never a shuffle.  Bit positions are the first 8
+bytes of ``md5(key || ':' || i)`` mod m — DuckDB computes the IDENTICAL
+positions, so a SQL mirror reproduces the probe's output bit-for-bit
+INCLUDING its false positives.
 
 Determinism: the value hash is pandas' C siphash (`pd.util.hash_array`,
 fixed key — the same process-stable hash the partitioners use), and the
@@ -88,6 +98,116 @@ def grouped_hll_partials(batch: pa.Table, group_col: str,
     gtype = batch.schema.field(group_col).type
     return pa.table({group_col: pa.array(groups, gtype),
                      "regs": pa.array(regs, pa.binary())})
+
+
+# -- Bloom filter -----------------------------------------------------------
+
+
+def bloom_positions(key: str, m_bits: int, k_hashes: int) -> list[int]:
+    """The ``k`` bit positions of one key: first 8 bytes of
+    ``md5(key || ':' || i)`` mod m — mirrored verbatim by DuckDB's
+    ``('0x' || substr(md5(s || ':' || i), 1, 16))::UBIGINT % m``."""
+    import hashlib
+
+    return [
+        int.from_bytes(
+            hashlib.md5(f"{key}:{i}".encode("utf-8")).digest()[:8],
+            "big") % m_bits
+        for i in range(k_hashes)
+    ]
+
+
+def _key_strings(col) -> list:
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.cast(col, pa.string()).to_pylist()
+
+
+def bloom_partial(batch: pa.Table, key_col: str, m_bits: int,
+                  k_hashes: int) -> pa.Table:
+    """One batch of reference keys → one packed-bit-array row (m/8
+    bytes).  Null keys set no bits (the SQL mirror's md5(NULL) drops
+    them the same way)."""
+    bits = np.zeros(m_bits, dtype=bool)
+    for s in _key_strings(batch[key_col]):
+        if s is None:
+            continue
+        bits[bloom_positions(s, m_bits, k_hashes)] = True
+    return pa.table({"bits": pa.array([np.packbits(bits).tobytes()],
+                                      pa.binary())})
+
+
+def bloom_merge(parts) -> np.ndarray:
+    """Elementwise OR of packed partials — commutative + associative +
+    idempotent, hence partition-invariant (the ``hll_merge`` contract)."""
+    out: np.ndarray | None = None
+    for p in parts:
+        arr = np.frombuffer(p, dtype=np.uint8) if isinstance(p, bytes) \
+            else np.asarray(p, dtype=np.uint8)
+        out = arr.copy() if out is None else np.bitwise_or(out, arr)
+    if out is None:
+        raise ValueError("bloom_merge: no partials")
+    return out
+
+
+def build_bloom(ds, key_col: str, m_bits: int = 1 << 20,
+                k_hashes: int = 3) -> bytes:
+    """Distributed build: per-batch partial bit arrays (map_batches) →
+    driver OR-fold of the bounded partial set (num_batches × m/8 bytes).
+    Returns the packed filter, ready for ``ray.put`` broadcast."""
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+    partials = ds.map_batches(
+        lambda b: bloom_partial(b, key_col, m_bits, k_hashes),
+        batch_format="pyarrow").take_all()
+    if not partials:
+        return bytes(m_bits // 8)
+    return bloom_merge([row["bits"] for row in partials]).tobytes()
+
+
+class BloomProbeStage:
+    """``map_batches(BloomProbeStage, concurrency=N,
+    fn_constructor_kwargs=dict(bloom_ref=ref, ...))`` — flags every row
+    whose key tests positive (all ``k`` bits set).  No false negatives;
+    false positives at the standard ``(1 - e^(-kn/m))^k`` rate, and
+    byte-reproducible (fixed md5 positions).  The filter is fetched once
+    per ACTOR (the broadcast-lookup shape, stages/joins.py)."""
+
+    def __init__(self, bloom_ref, key_col: str, m_bits: int,
+                 k_hashes: int = 3, flag_col: str = "maybe_member"):
+        import ray
+
+        raw = (bloom_ref if isinstance(bloom_ref, (bytes, bytearray))
+               else ray.get(bloom_ref))
+        self.bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8))
+        self.key_col = key_col
+        self.m_bits = m_bits
+        self.k_hashes = k_hashes
+        self.flag_col = flag_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bits = self.bits
+        flags = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, s in enumerate(_key_strings(batch[self.key_col])):
+            if s is None:
+                continue        # null key: md5(NULL) is NULL → not member
+            pos = bloom_positions(s, self.m_bits, self.k_hashes)
+            flags[i] = int(bits[pos].all())
+        return batch.append_column(self.flag_col, pa.array(flags))
+
+
+def bloom_probe(ds, bloom_ref, key_col: str, m_bits: int,
+                k_hashes: int = 3, concurrency: int = 4,
+                flag_col: str = "maybe_member"):
+    """Membership-flag stream: ``ds`` plus an integer ``flag_col``."""
+    return ds.map_batches(
+        BloomProbeStage, batch_format="pyarrow",
+        fn_constructor_kwargs={"bloom_ref": bloom_ref, "key_col": key_col,
+                               "m_bits": m_bits, "k_hashes": k_hashes,
+                               "flag_col": flag_col},
+        concurrency=(1, concurrency))
 
 
 def count_distinct_approx(ds, group_col: str, value_col: str) -> pa.Table:

@@ -59,3 +59,63 @@ def test_count_distinct_approx_partition_invariant(ray_session):
     for lang, est in results[0]:
         true_n = len(exact[lang])
         assert abs(est - true_n) <= max(0.07 * true_n, 8)
+
+
+# -- Bloom filter -----------------------------------------------------------
+
+
+def _bloom_of(keys, m_bits=256, k=3):
+    from docling_ray.stages.sketch import bloom_merge, bloom_partial
+
+    t = pa.table({"k": pa.array(keys, pa.int64())})
+    return bloom_merge([bloom_partial(t, "k", m_bits, k)["bits"][0].as_py()])
+
+
+def test_bloom_no_false_negatives():
+    import numpy as np
+
+    from docling_ray.stages.sketch import bloom_positions
+
+    bits = np.unpackbits(np.asarray(_bloom_of(list(range(40)))))
+    for key in range(40):
+        assert bits[bloom_positions(str(key), 256, 3)].all()
+
+
+def test_bloom_merge_partition_invariant(ray_session):
+    import ray
+
+    from docling_ray.stages.sketch import build_bloom
+
+    keys = list(range(0, 300, 7))
+    t = pa.table({"k": pa.array(keys, pa.int64())})
+    blooms = {
+        p: build_bloom(ray.data.from_arrow(t).repartition(p), "k",
+                       m_bits=512, k_hashes=3)
+        for p in (1, 5)
+    }
+    assert blooms[1] == blooms[5]
+
+
+def test_bloom_probe_flags(ray_session):
+    import ray
+
+    from docling_ray.stages.sketch import (bloom_positions, bloom_probe,
+                                           build_bloom)
+    import numpy as np
+
+    ref = pa.table({"k": pa.array(range(50), pa.int64())})
+    bloom = build_bloom(ray.data.from_arrow(ref), "k", m_bits=512,
+                        k_hashes=3)
+    probe = pa.table({"k": pa.array(list(range(40, 120)) + [None],
+                                    pa.int64())})
+    out = bloom_probe(ray.data.from_arrow(probe).repartition(3),
+                      ray.put(bloom), "k", m_bits=512, k_hashes=3)
+    rows = {r["k"]: r["maybe_member"] for r in out.take_all()}
+    # members always flagged
+    assert all(rows[k] == 1 for k in range(40, 50))
+    # non-members: flag equals the direct bit test (FPs deterministic)
+    bits = np.unpackbits(np.frombuffer(bloom, dtype=np.uint8))
+    for k in range(50, 120):
+        assert rows[k] == int(bits[bloom_positions(str(k), 512, 3)].all())
+    # null key is never a member
+    assert rows[None] == 0
