@@ -347,6 +347,81 @@ def q_dup_windows(sf_dir: str):
     return dup_windows(ds, w=8)
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrub (privacy step of published corpus pipelines): the
+    corpus has no PII, so each doc's text is AUGMENTED deterministically
+    from doc_id (email when id%3≠0, phone when id%4≠0, IP when id%5≠0 —
+    both sides build the identical string), then scanned and redacted
+    with Arrow's C RE2 kernels in one fused pass.  DuckDB applies the
+    same patterns in the same fixed order with the same engine, so the
+    redacted text compares byte-identical via md5
+    (stages/privacy.py)."""
+    import numpy as np
+
+    from docling_ray.stages.privacy import pii_redact_batch, pii_scan_batch
+
+    def augment(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        text = pd.Series(batch["text"].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        ids = pd.Series(d.astype(str), dtype=object)
+        email = (" contact user" + ids + "@example.com").where(
+            d % 3 != 0, "")
+        phone = (" call 555-" + pd.Series((1000 + d % 9000).astype(str),
+                                          dtype=object)).where(d % 4 != 0, "")
+        ip = (" from 10.0." + pd.Series((d % 256).astype(str), dtype=object)
+              + "." + pd.Series((d % 100).astype(str), dtype=object)).where(
+                  d % 5 != 0, "")
+        aug = text + email + phone + ip
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(aug.to_numpy(), pa.string())})
+
+    def scan_redact(batch: pa.Table) -> pa.Table:
+        out = pii_redact_batch(pii_scan_batch(batch))
+        return _md5_of(out, "redacted", "redacted_md5").select(
+            ["doc_id", "n_email", "n_phone", "n_ipv4", "redacted_md5"])
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(augment, batch_format="pyarrow") \
+        .map_batches(scan_redact, batch_format="pyarrow")
+
+
+def q_json_field_stats(sf_dir: str):
+    """Semi-structured column extraction: pull the integer ``k`` out of
+    the events' JSON ``props`` in-stream (NULL-on-malformed contract),
+    then a per-type rollup — count, sum, max (stages/semistructured.py)."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    from docling_ray.stages.semistructured import json_field
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+    withk = json_field(ds, "props", "k", out_column="k", out_type="int64")
+    return withk.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum(on="k", alias_name="k_sum"),
+        Max(on="k", alias_name="k_max"),
+    )
+
+
+def q_running_totals(sf_dir: str):
+    """Per-event running aggregates over each user's time-ordered stream
+    (prefix windows: ROW_NUMBER + running sum in integer centi-units so
+    the cumulative hashes exactly).  hash(user) pre-bucket, ONE shuffle,
+    one vectorized pass per partition (stages/sessions.py)."""
+    import ray.data
+
+    from docling_ray.stages.sessions import running_totals
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    return running_totals(ds)
+
+
 def q_bloom_probe(sf_dir: str):
     """Bloom-filter membership probe (the sketch behind incremental
     seen-URL / prior-crawl dedup): docs ``doc_id < 150`` build a 512-bit
@@ -663,12 +738,16 @@ def q_hash_sample(sf_dir: str):
         .select_columns(["doc_id", "lang", "h32"])
 
 
-def _md5_text_col(batch: pa.Table, column: str = "text") -> pa.Table:
+def _md5_of(batch: pa.Table, column: str, out: str) -> pa.Table:
     import hashlib
 
     md5s = [hashlib.md5((v.as_py() or "").encode()).hexdigest()
             for v in batch[column]]
-    return batch.append_column("text_md5", pa.array(md5s, pa.string()))
+    return batch.append_column(out, pa.array(md5s, pa.string()))
+
+
+def _md5_text_col(batch: pa.Table, column: str = "text") -> pa.Table:
+    return _md5_of(batch, column, "text_md5")
 
 
 def q_mets_gbs(sf_dir: str):
@@ -1340,6 +1419,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": q_gopher_repetition,
         "dup_windows": q_dup_windows,
         "bloom_probe": q_bloom_probe,
+        "pii_redact": q_pii_redact,
+        "json_field_stats": q_json_field_stats,
+        "running_totals": q_running_totals,
         "kmeans_assign": q_kmeans_assign,
         "kmeans_fit": q_kmeans_fit,
         "chunks": q_chunks,
@@ -1527,6 +1609,66 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_dup_windows
             FROM hd JOIN d USING (gh)
             GROUP BY hd.doc_id
+        """,
+        "pii_redact": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0 THEN '' ELSE
+                          ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com' END
+                       || CASE WHEN doc_id % 4 = 0 THEN '' ELSE
+                          ' call 555-'
+                          || CAST(1000 + doc_id % 9000 AS VARCHAR) END
+                       || CASE WHEN doc_id % 5 = 0 THEN '' ELSE
+                          ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST(doc_id % 100 AS VARCHAR) END
+                       AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                   CAST(length(regexp_extract_all(text,
+                       '\b\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+                   CAST(length(regexp_extract_all(text,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   md5(regexp_replace(regexpreplace2.r, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                       '[IPV4]', 'g')) AS redacted_md5
+            FROM aug,
+                 LATERAL (SELECT regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '[EMAIL]', 'g'),
+                     '\b\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS r)
+                 AS regexpreplace2
+        """,
+        "json_field_stats": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(k) AS BIGINT) AS k_sum,
+                   CAST(max(k) AS BIGINT) AS k_max
+            FROM (
+                SELECT event_type,
+                       CASE WHEN json_valid(props) THEN
+                           TRY_CAST(json_extract_string(props, '$.k')
+                                    AS BIGINT)
+                       END AS k
+                FROM events
+            )
+            GROUP BY event_type
+        """,
+        "running_totals": """
+            SELECT event_id, user_id,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
+                   CAST(sum(coalesce(CAST(floor(value * 100) AS BIGINT), 0))
+                        OVER w AS BIGINT) AS running_centi
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_id IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
         """,
         "bloom_probe": """
             WITH ks(i) AS (VALUES (0), (1), (2)),

@@ -64,6 +64,105 @@ def session_partition(part: pa.Table, gap_us: int,
     })
 
 
+def running_totals_partition(part: pa.Table, user_column: str,
+                             ts_column: str, id_column: str,
+                             amount_column: str) -> pa.Table:
+    """One hash partition → per-event running aggregates: sort by
+    (user, ts, id), detect user boundaries, subtract each user's prefix
+    base from the global cumulatives — one vectorized pass, no per-user
+    Python."""
+    user_type = part.schema.field(user_column).type
+    id_type = part.schema.field(id_column).type
+    n = part.num_rows
+    if n == 0:
+        return pa.table({
+            id_column: pa.array([], id_type),
+            user_column: pa.array([], user_type),
+            "running_n": pa.array([], pa.int64()),
+            "running_centi": pa.array([], pa.int64()),
+        })
+    order = pa.compute.sort_indices(
+        part, sort_keys=[(user_column, "ascending"),
+                         (ts_column, "ascending"),
+                         (id_column, "ascending")])
+    g = part.take(order)
+    users = g[user_column].to_numpy(zero_copy_only=False)
+    centi = g["_centi"].to_numpy(zero_copy_only=False)
+    new_user = np.empty(n, dtype=bool)
+    new_user[0] = True
+    new_user[1:] = users[1:] != users[:-1]
+    starts = np.flatnonzero(new_user)
+    sizes = np.diff(np.append(starts, n))
+    idx = np.arange(n, dtype=np.int64)
+    running_n = idx - np.repeat(starts, sizes) + 1
+    cum = np.cumsum(centi)
+    base = np.repeat(cum[starts] - centi[starts], sizes)
+    return pa.table({
+        id_column: g[id_column],
+        user_column: g[user_column],
+        "running_n": pa.array(running_n, pa.int64()),
+        "running_centi": pa.array(cum - base, pa.int64()),
+    })
+
+
+def running_totals(ds, user_column: str = "user_id", ts_column: str = "ts",
+                   id_column: str = "event_id",
+                   amount_column: str = "value",
+                   num_partitions: int = 64):
+    """Per-event running aggregates over each user's time-ordered stream
+    (the prefix-window operator: ``ROW_NUMBER`` + running sum): emits
+    ``(id, user, running_n, running_centi)`` per input event.
+
+    The amount is floored to integer centi-units BEFORE accumulating, so
+    the running sum is exact integer arithmetic on both sides — a float
+    cumsum's result depends on accumulation strategy and would not
+    hash-compare.  Same shape as ``sessionize``: hash(user) pre-bucket,
+    ONE shuffle, one vectorized pass per partition.  Rows with a null
+    user, timestamp or id are dropped (no window identity)."""
+    import pyarrow.compute as pc
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_column]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        amt = pc.cast(
+            pc.floor(pc.multiply(
+                pc.cast(batch[amount_column], pa.float64()), 100.0)),
+            pa.int64())
+        out = pa.table({
+            id_column: batch[id_column],
+            user_column: batch[user_column],
+            ts_column: ts,
+            "_centi": pc.fill_null(amt, 0),
+        })
+        valid = pc.and_(pc.and_(pc.is_valid(out[user_column]),
+                                pc.is_valid(out[ts_column])),
+                        pc.is_valid(out[id_column]))
+        out = out.filter(valid)
+        return out.append_column(
+            "_part", pa.array(_part_of(out[user_column], num_partitions),
+                              pa.int64()))
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("_part").map_groups(
+            lambda p: running_totals_partition(
+                p.drop_columns(["_part"]), user_column, ts_column,
+                id_column, amount_column),
+            batch_format="pyarrow")
+    # seed a 0-row typed block so an empty result keeps its schema
+    import ray.data
+
+    empty = ray.data.from_arrow(pa.table({
+        id_column: pa.array([], types[id_column]),
+        user_column: pa.array([], types[user_column]),
+        "running_n": pa.array([], pa.int64()),
+        "running_centi": pa.array([], pa.int64()),
+    }))
+    return empty.union(out)
+
+
 def sessionize(ds, user_column: str = "user_id", ts_column: str = "ts",
                gap_us: int = DEFAULT_GAP_US, num_partitions: int = 64):
     """Event dataset → per-session rows.  ``ts_column`` may be an Arrow
