@@ -347,6 +347,18 @@ def q_dup_windows(sf_dir: str):
     return dup_windows(ds, w=8)
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-5 salient terms by tf/df (search-index keyword
+    extraction): combiner-first DF pass (vocabulary-sized shuffle) →
+    broadcast DF map → stateless per-batch top-k.  Score is ONE float64
+    division, IEEE-identical in numpy and DuckDB, so rankings agree
+    bit-for-bit; ties break on term ASC (stages/tfidf.py)."""
+    from docling_ray.stages.tfidf import tfidf_top_terms
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=5)
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub (privacy step of published corpus pipelines): the
     corpus has no PII, so each doc's text is AUGMENTED deterministically
@@ -1419,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": q_gopher_repetition,
         "dup_windows": q_dup_windows,
         "bloom_probe": q_bloom_probe,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "pii_redact": q_pii_redact,
         "json_field_stats": q_json_field_stats,
         "running_totals": q_running_totals,
@@ -1609,6 +1622,31 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_dup_windows
             FROM hd JOIN d USING (gh)
             GROUP BY hd.doc_id
+        """,
+        "tfidf_top_terms": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(text,
+                           '\s+'), x -> x <> '')) AS w
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2
+            ),
+            df AS (
+                SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+            ),
+            ranked AS (
+                SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC,
+                                    tf.w ASC) AS rank
+                FROM tf JOIN df USING (w)
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
         """,
         "pii_redact": r"""
             WITH aug AS (
