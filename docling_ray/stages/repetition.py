@@ -116,7 +116,7 @@ def repetition_stats(ds, column: str = "text",
 
 
 def _window_hash_rows(batch: pa.Table, column: str, w: int, id_col: str,
-                      num_partitions: int) -> pa.Table:
+                      num_partitions: int, sample_mod: int = 1) -> pa.Table:
     """One batch → its per-doc DISTINCT window-hash rows
     ``(doc_id, gh, part)``.  md5 runs once per distinct gram STRING in
     the batch (repeated boilerplate windows hash once), then a second
@@ -138,6 +138,12 @@ def _window_hash_rows(batch: pa.Table, column: str, w: int, id_col: str,
                            "gh": gh_uniq[inv]})
              .drop_duplicates())
     ids = batch[id_col].to_numpy(zero_copy_only=False)
+    if sample_mod > 1:
+        # uniform sampling in HASH space: both sides keep exactly the
+        # windows with gh % s == 0, so the sampled statistic is still
+        # deterministic and SQL-mirrorable
+        pairs = pairs[pairs["gh"].to_numpy() % np.uint64(sample_mod)
+                      == 0]
     gh = pairs["gh"].to_numpy()
     return pa.table({
         id_col: pa.array(ids[pairs["d"].to_numpy()], pa.int64()),
@@ -170,7 +176,8 @@ def _bucket_partials(group: pa.Table, id_col: str) -> pa.Table:
 
 
 def dup_windows(ds, w: int = 8, column: str = "text",
-                id_col: str = "doc_id", num_partitions: int = 64):
+                id_col: str = "doc_id", num_partitions: int = 64,
+                sample_mod: int = 1):
     """Per-document duplicate-window counts: ``(doc_id, n_windows,
     n_dup_windows)`` where ``n_windows`` counts the doc's distinct
     ``w``-token windows and ``n_dup_windows`` those shared with at least
@@ -180,9 +187,24 @@ def dup_windows(ds, w: int = 8, column: str = "text",
     Shape: map_batches (distinct 16 B hash rows) → ONE ``groupby(part)``
     over hash buckets (vectorized sorted-run scan per bucket) → small
     ``groupby(doc_id)`` sum of the per-bucket partials.
+
+    Scale notes.  (1) Exact substring analysis over a full corpus is
+    inherently O(total tokens) shuffle volume — the published pipelines
+    either run it per shard or SAMPLE; ``sample_mod=s`` keeps only
+    windows with ``gh % s == 0`` (uniform in hash space, deterministic,
+    SQL-mirrorable), cutting both counters and volume by ~s while the
+    dup-RATIO estimate stays unbiased.  (2) Window hashes spread
+    uniformly over partitions, but one pathological window shared by a
+    large corpus fraction concentrates ITS rows in one partition (a
+    key, not a bucket, so more partitions don't split it); the rows are
+    16 B and the per-partition pass is vectorized, so the practical cap
+    is partition memory — for adversarial template corpora run the
+    exact-dup collapse first (stages/dedup.py), which removes identical
+    documents before their windows are ever hashed.
     """
     rows = ds.map_batches(
-        lambda b: _window_hash_rows(b, column, w, id_col, num_partitions),
+        lambda b: _window_hash_rows(b, column, w, id_col, num_partitions,
+                                    sample_mod),
         batch_format="pyarrow")
     partials = rows.groupby("part").map_groups(
         lambda g: _bucket_partials(g, id_col), batch_format="pyarrow")

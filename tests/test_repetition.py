@@ -104,3 +104,27 @@ def test_dup_windows_empty_input_keeps_schema(ray_session):
     names = set(out.schema().names)
     assert names == {"doc_id", "n_windows", "n_dup_windows"}
     assert out.count() == 0
+
+
+def test_dup_windows_hash_sampling(ray_session):
+    import numpy as np
+    import ray
+
+    from docling_ray.stages.repetition import _window_hash_rows
+
+    texts = [f"a{i} b c d e f g h i j k{i}" for i in range(40)]
+    ds = ray.data.from_arrow(_doc_table(texts)).repartition(4)
+    full = dup_windows(ds, w=8)
+    sampled = dup_windows(ds, w=8, sample_mod=2)
+    f = {r["doc_id"]: r for r in full.take_all()}
+    s = {r["doc_id"]: r for r in sampled.take_all()}
+    # sampled counters never exceed the full ones, and equal exactly the
+    # count of kept (gh % 2 == 0) windows — recomputed directly
+    rows = _window_hash_rows(_doc_table(texts), "text", 8, "doc_id", 4)
+    gh = rows["gh"].to_numpy(zero_copy_only=False).view(np.uint64)
+    ids = rows["doc_id"].to_numpy(zero_copy_only=False)
+    for d, row in s.items():
+        kept = int(np.count_nonzero((ids == d) & (gh % 2 == 0)))
+        assert row["n_windows"] == kept
+        assert row["n_windows"] <= f[d]["n_windows"]
+        assert row["n_dup_windows"] <= f[d]["n_dup_windows"]
