@@ -109,7 +109,9 @@ def _curate_corpus(args) -> int:
     stats = run_corpus(args.input, args.output,
                        resume=not args.no_resume,
                        minhash_threshold=args.minhash_threshold,
-                       drop_mode=args.drop_mode)
+                       drop_mode=args.drop_mode,
+                       emit_text=args.emit_text or args.redact_pii,
+                       redact_pii=args.redact_pii)
     print(json.dumps(stats))
     if owns_session:     # never tear down a caller's (e.g. pytest's) Ray
         ray.shutdown()
@@ -127,6 +129,11 @@ def main(argv=None) -> int:
     cur.add_argument("--minhash-threshold", type=float, default=0.7)
     cur.add_argument("--drop-mode", choices=("auto", "broadcast", "sharded"),
                      default="auto")
+    cur.add_argument("--emit-text", action="store_true",
+                     help="carry chunk text into the output parquet")
+    cur.add_argument("--redact-pii", action="store_true",
+                     help="mask emails/phones/IPv4 in chunk text "
+                          "(implies --emit-text)")
     cur.add_argument("--no-resume", action="store_true")
     cur.add_argument("--num-cpus", type=int,
                      default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))

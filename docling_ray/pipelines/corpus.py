@@ -110,16 +110,26 @@ class DropUrls:
         return batch.filter(pc.invert(hit))
 
 
-def _chunk_and_filter(batch: pa.Table, min_doc_tokens: int) -> pa.Table:
+def _chunk_and_filter(batch: pa.Table, min_doc_tokens: int,
+                      emit_text: bool = False,
+                      redact_pii: bool = False) -> pa.Table:
     """Chunk the docs of one batch and drop every chunk of a document whose
     TOTAL token count is under the quality floor — the per-doc sum is
     available in-stage (chunk rows of a doc are contiguous), so the
-    quality filter costs no extra shuffle."""
+    quality filter costs no extra shuffle.
+
+    ``emit_text`` carries the chunk text into the output (the trainable
+    corpus form; the metadata-only default keeps the driver-query golden
+    byte-stable); ``redact_pii`` additionally masks emails / phones /
+    IPv4s with the fixed-order RE2 rules of ``stages/privacy.py`` —
+    stateless C kernels, so the scrub costs no extra pass."""
     from docling_ray.stages.chunk import chunk_batch
 
+    cols = ["url", "chunk_id", "n_tokens", "kind"] + (
+        ["text"] if emit_text else [])
     chunks = chunk_batch(batch)
     if chunks.num_rows == 0:
-        return chunks.select(["url", "chunk_id", "n_tokens", "kind"])
+        return chunks.select(cols)
     urls = chunks["url"].to_numpy(zero_copy_only=False)
     toks = chunks["n_tokens"].to_numpy(zero_copy_only=False)
     import numpy as np
@@ -131,8 +141,14 @@ def _chunk_and_filter(batch: pa.Table, min_doc_tokens: int) -> pa.Table:
     doc_idx = np.cumsum(change) - 1
     totals = np.bincount(doc_idx, weights=toks)
     keep = totals[doc_idx] >= min_doc_tokens
-    return chunks.filter(pa.array(keep)) \
-        .select(["url", "chunk_id", "n_tokens", "kind"])
+    out = chunks.filter(pa.array(keep)).select(cols)
+    if emit_text and redact_pii and out.num_rows:
+        from docling_ray.stages.privacy import pii_redact_batch
+
+        redacted = pii_redact_batch(out, "text", "_redacted")["_redacted"]
+        out = out.set_column(out.column_names.index("text"), "text",
+                             redacted)
+    return out
 
 
 def corpus_chunks(ds, minhash_threshold: float = 0.7,
@@ -205,7 +221,9 @@ def run_corpus(input_dir: str, output_dir: str,
                resume: bool = True,
                drop_mode: str = "auto",
                drop_broadcast_max: int = DROP_BROADCAST_MAX,
-               drop_num_shards: int = 8) -> dict:
+               drop_num_shards: int = 8,
+               emit_text: bool = False,
+               redact_pii: bool = False) -> dict:
     """Checkpointed, resumable corpus run (the at-scale shape):
 
     1. ``extract`` → ``{out}/extracted/data`` partitioned parquet (the
@@ -236,6 +254,7 @@ def run_corpus(input_dir: str, output_dir: str,
     from docling_ray.pipelines.extract_pipeline import run_extract
     from docling_ray.stages.dedup import exact_dedup_losers, minhash_near_dups
 
+    emit_text = emit_text or redact_pii      # a scrub needs the text
     os.makedirs(output_dir, exist_ok=True)
     timings_path = os.path.join(output_dir, "stage_timings.json")
     timings: dict = {}
@@ -371,7 +390,9 @@ def run_corpus(input_dir: str, output_dir: str,
                 DropUrls, batch_format="pyarrow", concurrency=(1, 4),
                 fn_constructor_kwargs={"drop_ref": drop_ref})
         out = filtered.map_batches(
-            lambda b: _chunk_and_filter(b, min_doc_tokens),
+            lambda b: _chunk_and_filter(b, min_doc_tokens,
+                                        emit_text=emit_text,
+                                        redact_pii=redact_pii),
             batch_format="pyarrow")
         try:
             out.write_parquet(chunks_dir)

@@ -140,3 +140,45 @@ def test_drop_set_shards_load_and_filter(ray_session):
     assert out["url"].to_pylist() == [f"u{i}" for i in range(1, 50, 2)]
     for s in shards:
         ray.kill(s)
+
+
+def test_chunk_and_filter_emit_text_and_redact():
+    from docling_ray.pipelines.corpus import _chunk_and_filter
+
+    html = (b"<html><body><p>mail me at a@b.com or call 555-0142 "
+            b"about the corpus quality floor tokens</p></body></html>")
+    batch = pa.table({
+        "url": ["https://x.example/pii"],
+        "html": pa.array([html], pa.large_binary()),
+    })
+    # metadata-only default: no text column (golden-stable)
+    meta = _chunk_and_filter(batch, min_doc_tokens=1)
+    assert "text" not in meta.column_names
+    # emit_text carries the chunk text; redact masks it in-stage
+    plain = _chunk_and_filter(batch, 1, emit_text=True)
+    assert "a@b.com" in " ".join(plain["text"].to_pylist())
+    red = _chunk_and_filter(batch, 1, emit_text=True, redact_pii=True)
+    joined = " ".join(red["text"].to_pylist())
+    assert "[EMAIL]" in joined and "[PHONE]" in joined
+    assert "a@b.com" not in joined
+    # rows and metadata identical either way
+    assert red.num_rows == plain.num_rows == meta.num_rows
+    assert red["n_tokens"].to_pylist() == meta["n_tokens"].to_pylist()
+
+
+def test_run_corpus_redacted_output(ray_session, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from docling_ray.pipelines.corpus import run_corpus
+    from docling_ray.sources.webpages import write_corpus
+
+    src = tmp_path / "src"
+    write_corpus(str(src), 30, rows_per_file=15)
+    out = tmp_path / "cur"
+    run_corpus(str(src), str(out), redact_pii=True)
+    files = glob.glob(str(out / "chunks" / "*.parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    assert "text" in t.schema.names
+    assert t.num_rows > 0
