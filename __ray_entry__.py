@@ -453,6 +453,21 @@ def q_bloom_probe(sf_dir: str):
                        k_hashes=3)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-shaped semantic dedup: seeded k=8 codebook assignment →
+    within-cluster cosine drop (≥ 0.45, keep-lowest-id pair semantics) —
+    embedding dedup made sub-quadratic by clustering; the oracle
+    replays assignment from centroid literals and the drop via EXISTS
+    (stages/kmeans.py)."""
+    import ray.data
+
+    from docling_ray.stages.kmeans import semantic_dedup, seeded_centroids
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, seeded_centroids(64, 8), threshold=0.45)
+
+
 def q_kmeans_assign(sf_dir: str):
     """Nearest-centroid assignment of every embedding row against the
     seeded k=8 codebook (the inference half of distributed k-means —
@@ -1435,6 +1450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "json_field_stats": q_json_field_stats,
         "running_totals": q_running_totals,
+        "semantic_dedup": q_semantic_dedup,
         "kmeans_assign": q_kmeans_assign,
         "kmeans_fit": q_kmeans_fit,
         "chunks": q_chunks,
@@ -1738,6 +1754,21 @@ def oracle_sql() -> dict[str, str]:
             a AS ({_kmeans_assign_sql('embeddings', 'cents')}
             )
             SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM a
+        """,
+        "semantic_dedup": f"""
+            WITH cents(cid, cvec) AS (VALUES
+                {_kmeans_centroid_rows()}
+            ),
+            a AS ({_kmeans_assign_sql('embeddings', 'cents')}
+            )
+            SELECT x.vec_id, CAST(x.cid AS BIGINT) AS cluster_id
+            FROM a x
+            WHERE NOT EXISTS (
+                SELECT 1 FROM a y
+                WHERE y.cid = x.cid AND y.vec_id < x.vec_id
+                      AND list_cosine_similarity(x.embedding,
+                                                 y.embedding) >= 0.45
+            )
         """,
         "kmeans_fit": _kmeans_fit_oracle_sql(),
         "minhash_near_dup": _minhash_oracle_sql(),

@@ -153,3 +153,70 @@ def kmeans_fit(ds, k: int = 16, dim: int = 64, iters: int = 5,
         new[nonempty] = sums[nonempty] / counts[nonempty, None]
         cents = new
     return {"centroids": cents, "counts": counts, "inertia": history}
+
+
+def _cluster_semantic_dedup(group: pa.Table, threshold: float,
+                            column: str, id_column: str) -> pa.Table:
+    """One cluster → its kept rows.  Drop rule (order-independent,
+    mirrored by the oracle's EXISTS): a row is dropped iff some
+    same-cluster row with a LOWER id has cosine ≥ threshold — the
+    pair-based keep-lowest semantics the simhash/minhash drop family
+    uses.  Pairwise cosines run as chunked matmuls against the id-sorted
+    prefix, bounding the live intermediate."""
+    ids = group[id_column].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    m = _to_matrix(group[column])[order]
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    x = m / norms[:, None]
+    n = len(x)
+    drop = np.zeros(n, dtype=bool)
+    chunk = max(1, int((16 << 20) // (max(n, 1) * 8)))
+    for s in range(1, n, chunk):
+        e = min(n, s + chunk)
+        sims = x[s:e] @ x.T                      # (chunk, n)
+        js = np.arange(s, e)[:, None]
+        hit = (sims >= threshold) & (np.arange(n)[None, :] < js)
+        drop[s:e] = hit.any(axis=1)
+    keep_pos = order[~drop]
+    return pa.table({
+        id_column: group[id_column].take(pa.array(keep_pos, pa.int64())),
+        "cluster_id": group["cluster_id"].take(
+            pa.array(keep_pos, pa.int64())),
+    })
+
+
+def semantic_dedup(ds, centroids: np.ndarray, threshold: float = 0.5,
+                   column: str = "embedding", id_column: str = "vec_id"):
+    """SemDeDup-shaped semantic deduplication: cluster the embedding
+    space with a (trained or seeded) codebook, then drop near-identical
+    rows WITHIN each cluster — the published recipe that makes
+    embedding-level dedup sub-quadratic (pairwise cosines only inside
+    clusters, never across the corpus).
+
+    ONE stateless assignment pass (broadcast centroids, one matmul per
+    batch) → ONE ``groupby(cluster_id)`` shuffle of (id, vector) rows →
+    vectorized chunked in-cluster dedup.  Returns kept
+    ``(id_column, cluster_id)`` rows.  Cluster sizes bound worker
+    memory: size k to the corpus (the k-means fit is distributed) so
+    clusters stay ≪ corpus; cross-cluster near-dups are missed by
+    construction — the documented SemDeDup trade."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def _assign_keep_vec(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        m = _to_matrix(batch[column])
+        scores = m @ cents.T - 0.5 * np.einsum("ij,ij->i", cents, cents)
+        return pa.table({
+            id_column: batch[id_column],
+            column: batch[column],
+            "cluster_id": pa.array(np.argmax(scores, axis=1)
+                                   .astype(np.int64)),
+        })
+
+    assigned = ds.map_batches(_assign_keep_vec, batch_format="pyarrow")
+    return assigned.groupby("cluster_id").map_groups(
+        lambda g: _cluster_semantic_dedup(g, threshold, column, id_column),
+        batch_format="pyarrow")

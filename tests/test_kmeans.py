@@ -119,3 +119,71 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     empty = fit["counts"] == 0
     assert empty.sum() >= 4
     assert np.array_equal(fit["centroids"][empty], init[empty])
+
+
+def _embed_table(vecs, ids=None):
+    import pyarrow as pa
+
+    ids = ids if ids is not None else list(range(len(vecs)))
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([[float(x) for x in v] for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+
+
+def test_semantic_dedup_drops_within_cluster_neighbors(ray_session):
+    import ray
+
+    from docling_ray.stages.kmeans import semantic_dedup
+
+    cents = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]])
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],      # id 0 — kept (lowest in its near-set)
+        [0.99, 0.01, 0.0, 0.0],    # id 1 — cos≈1 with id 0 → dropped
+        [0.9, 0.0, 0.3, 0.0],      # id 2 — cos≈0.9 with id 0 → dropped
+        [1.0, 0.0, -2.0, 0.0],     # id 3 — same cluster, far → kept
+        [0.0, 1.0, 0.0, 0.0],      # id 4 — other cluster → kept
+    ]
+    ds = ray.data.from_arrow(_embed_table(vecs)).repartition(3)
+    kept = sorted(r["vec_id"]
+                  for r in semantic_dedup(ds, cents, 0.85).take_all())
+    assert kept == [0, 3, 4]
+
+
+def test_semantic_dedup_cross_cluster_pair_survives(ray_session):
+    import ray
+
+    from docling_ray.stages.kmeans import semantic_dedup
+
+    # two near-identical vectors whose nearest centroids differ: the
+    # documented SemDeDup miss — both kept
+    cents = np.array([[1.0, 0.04, 0.0, 0.0], [1.0, -0.04, 0.0, 0.0]])
+    vecs = [[1.0, 0.01, 0.0, 0.0], [1.0, -0.01, 0.0, 0.0]]
+    ds = ray.data.from_arrow(_embed_table(vecs))
+    kept = sorted(r["vec_id"]
+                  for r in semantic_dedup(ds, cents, 0.9).take_all())
+    assert kept == [0, 1]
+
+
+def test_semantic_dedup_partition_invariant(ray_session):
+    import ray
+
+    from docling_ray.stages.kmeans import semantic_dedup, seeded_centroids
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(40, 8))
+    # plant near-dups: rows 40..49 are jittered copies of rows 0..9
+    vecs = np.vstack([base, base[:10] + 1e-3 * rng.normal(size=(10, 8))])
+    cents = seeded_centroids(8, 4, seed=3)
+    outs = []
+    for p in (1, 7):
+        ds = ray.data.from_arrow(_embed_table(vecs.tolist())).repartition(p)
+        outs.append(sorted(
+            (r["vec_id"], r["cluster_id"])
+            for r in semantic_dedup(ds, cents, 0.98).take_all()))
+    assert outs[0] == outs[1]
+    kept_ids = {v for v, _ in outs[0]}
+    # every jittered copy shares its original's cluster → dropped
+    assert all(40 + i not in kept_ids for i in range(10))
+    assert all(i in kept_ids for i in range(40))
