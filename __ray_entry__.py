@@ -376,8 +376,9 @@ def q_pii_redact(sf_dir: str):
         import pandas as pd
 
         d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # null text → "" on BOTH sides (the oracle's coalesce(text, ''))
         text = pd.Series(batch["text"].to_numpy(zero_copy_only=False),
-                         dtype=object)
+                         dtype=object).fillna("")
         ids = pd.Series(d.astype(str), dtype=object)
         email = (" contact user" + ids + "@example.com").where(
             d % 3 != 0, "")
@@ -1568,7 +1569,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": r"""
             WITH tok AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(text, '\s+'),
+                       list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '\s+'),
                                    x -> x <> '') AS t
                 FROM documents
             ),
@@ -1612,7 +1614,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_windows": r"""
             WITH tok AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(text, '\s+'),
+                       list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '\s+'),
                                    x -> x <> '') AS t
                 FROM documents
             ),
@@ -1642,8 +1645,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": r"""
             WITH tok AS (
                 SELECT doc_id,
-                       unnest(list_filter(regexp_split_to_array(text,
-                           '\s+'), x -> x <> '')) AS w
+                       unnest(list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '\s+'),
+                           x -> x <> '')) AS w
                 FROM documents
             ),
             tf AS (
@@ -1667,7 +1671,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": r"""
             WITH aug AS (
                 SELECT doc_id,
-                       text
+                       coalesce(text, '')
                        || CASE WHEN doc_id % 3 = 0 THEN '' ELSE
                           ' contact user' || CAST(doc_id AS VARCHAR)
                           || '@example.com' END
@@ -1704,7 +1708,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(k) AS BIGINT) AS k_max
             FROM (
                 SELECT event_type,
-                       CASE WHEN json_valid(props) THEN
+                       CASE WHEN json_valid(props)
+                            AND json_type(json_extract(props, '$.k'))
+                                IN ('UBIGINT', 'BIGINT') THEN
                            TRY_CAST(json_extract_string(props, '$.k')
                                     AS BIGINT)
                        END AS k
@@ -1868,7 +1874,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(text, '\s+'),
+                       list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '\s+'),
                                    x -> x <> '') AS t
                 FROM documents
             ),

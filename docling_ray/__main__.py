@@ -110,7 +110,7 @@ def _curate_corpus(args) -> int:
                        resume=not args.no_resume,
                        minhash_threshold=args.minhash_threshold,
                        drop_mode=args.drop_mode,
-                       emit_text=args.emit_text or args.redact_pii,
+                       emit_text=args.emit_text,
                        redact_pii=args.redact_pii)
     print(json.dumps(stats))
     if owns_session:     # never tear down a caller's (e.g. pytest's) Ray

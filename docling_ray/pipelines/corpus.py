@@ -263,20 +263,27 @@ def run_corpus(input_dir: str, output_dir: str,
 
     import shutil
 
-    def _run_stage(stage: str, timing_key: str, out_path, fn) -> None:
+    def _run_stage(stage: str, timing_key: str, out_path, fn,
+                   params: str = "ok") -> None:
         """Marker-gated stage runner enforcing the stale-partial-write
         invariant: a stage dir without its done marker is a crashed
         partial write, and Ray's write_parquet APPENDS uniquely-named
         files, so the dir must be removed before recomputing (the
-        run_extract lesson, ADVICE r1)."""
+        run_extract lesson, ADVICE r1).
+
+        The marker stores the stage's output-shaping ``params``; a
+        resume whose params differ (e.g. a finished metadata-only run
+        re-invoked with ``--redact-pii``) RECOMPUTES instead of silently
+        returning stale output with the wrong shape."""
         mark = os.path.join(output_dir, f"_{stage}_done")
-        if resume and os.path.exists(mark):
+        if resume and os.path.exists(mark) \
+                and open(mark).read() == params:
             return
         if out_path is not None:
             shutil.rmtree(out_path, ignore_errors=True)
         t0 = time.time()
         fn()
-        open(mark, "w").write("ok")
+        open(mark, "w").write(params)
         timings[timing_key] = round(time.time() - t0, 3)
 
     # stage 1: extract (run_extract owns its per-shard manifest resume
@@ -334,7 +341,8 @@ def run_corpus(input_dir: str, output_dir: str,
         futs = [pool.submit(_run_stage, "dedup", "dedup_sec", losers_path,
                             _stage_losers),
                 pool.submit(_run_stage, "pairs", "minhash_sec", pairs_path,
-                            _stage_pairs)]
+                            _stage_pairs,
+                            f"threshold={minhash_threshold}")]
         for f in futs:
             f.result()
     if decisions_pending:
@@ -400,7 +408,9 @@ def run_corpus(input_dir: str, output_dir: str,
             for s in shards:
                 ray.kill(s)
 
-    _run_stage("chunks", "chunks_sec", chunks_dir, _stage_chunks)
+    _run_stage("chunks", "chunks_sec", chunks_dir, _stage_chunks,
+               params=f"emit_text={emit_text} redact_pii={redact_pii} "
+                      f"min_doc_tokens={min_doc_tokens}")
 
     json.dump(timings, open(timings_path, "w"))
     n_chunks = 0

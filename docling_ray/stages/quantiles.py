@@ -45,6 +45,7 @@ def grouped_quantiles(ds, value_col: str, group_col: str | None = None,
     group × percentile, integer-valued throughout.
     """
     keys = ([group_col] if group_col else []) + [value_col]
+    in_schema = ds.schema()          # before execution — it can be None after
     merged = (
         ds.map_batches(
             lambda b: _hist_batch(b, value_col, group_col),
@@ -52,38 +53,53 @@ def grouped_quantiles(ds, value_col: str, group_col: str | None = None,
         .groupby(keys)
         .aggregate(Sum(on="count", alias_name="count"))
     )
+    import pyarrow.compute as pc
+
     # bounded driver fold: |groups| × |distinct values| histogram rows
     hist = pa.Table.from_pylist(merged.take_all())
     if hist.num_rows == 0:
-        cols = ([(group_col, pa.array([], pa.string()))] if group_col
+        # Ray 2.49 reports schema()=None for zero-row datasets (NOTES
+        # trap), so the group type is unknowable then — string fallback
+        gtype = (dict(zip(in_schema.names, in_schema.types))[group_col]
+                 if group_col and in_schema is not None else pa.string())
+        cols = ([(group_col, pa.array([], gtype))] if group_col
                 else [])
         cols += [("q_pct", pa.array([], pa.int64())),
                  ("value", pa.array([], pa.int64()))]
         return pa.table(dict(cols))
 
-    groups = (hist[group_col].to_numpy(zero_copy_only=False)
-              if group_col else np.zeros(hist.num_rows, dtype=np.int64))
+    # group identity via dictionary codes (C-level, exact for ANY group
+    # type, and a null group is its own code — never a sort crash)
+    if group_col:
+        enc = hist[group_col].combine_chunks().dictionary_encode()
+        codes = pc.fill_null(enc.indices, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    else:
+        codes = np.zeros(hist.num_rows, dtype=np.int64)
     values = hist[value_col].to_numpy(zero_copy_only=False)
     counts = hist["count"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((values, groups))
-    groups, values, counts = groups[order], values[order], counts[order]
+    order = np.lexsort((values, codes))
+    codes, values, counts = codes[order], values[order], counts[order]
 
-    out_g, out_p, out_v = [], [], []
+    first_rows, out_p, out_v = [], [], []
     starts = np.flatnonzero(
-        np.r_[True, groups[1:] != groups[:-1]])
-    bounds = np.r_[starts, len(groups)]
+        np.r_[True, codes[1:] != codes[:-1]])
+    bounds = np.r_[starts, len(codes)]
     for s, e in zip(bounds[:-1], bounds[1:]):
         cum = np.cumsum(counts[s:e])
         n = int(cum[-1])
         for pct in pcts:
             # smallest value with cum*100 >= pct*n (integer-exact)
             idx = int(np.searchsorted(cum * 100, pct * n))
-            out_g.append(groups[s])
+            first_rows.append(int(order[s]))
             out_p.append(int(pct))
             out_v.append(int(values[s + idx]))
     cols = {}
     if group_col:
-        cols[group_col] = pa.array([str(g) for g in out_g])
+        # take() from the histogram keeps the group column's TYPE (and
+        # nulls) exactly — never a stringified copy
+        cols[group_col] = hist[group_col].take(
+            pa.array(first_rows, pa.int64())).combine_chunks()
     cols["q_pct"] = pa.array(out_p, pa.int64())
     cols["value"] = pa.array(out_v, pa.int64())
     return pa.table(cols)

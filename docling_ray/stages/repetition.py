@@ -123,7 +123,8 @@ def _window_hash_rows(batch: pa.Table, column: str, w: int, id_col: str,
     distinct pass in hash space mirrors the oracle's collision collapse."""
     doc_idx, toks = _doc_tokens(batch, column)
     d, g = _grams(doc_idx, toks, w)
-    empty = pa.table({id_col: pa.array([], pa.int64()),
+    id_type = batch.schema.field(id_col).type
+    empty = pa.table({id_col: pa.array([], id_type),
                       "gh": pa.array([], pa.int64()),
                       "part": pa.array([], pa.int64())})
     if not len(d):
@@ -137,7 +138,6 @@ def _window_hash_rows(batch: pa.Table, column: str, w: int, id_col: str,
     pairs = (pd.DataFrame({"d": dedup["d"].to_numpy(),
                            "gh": gh_uniq[inv]})
              .drop_duplicates())
-    ids = batch[id_col].to_numpy(zero_copy_only=False)
     if sample_mod > 1:
         # uniform sampling in HASH space: both sides keep exactly the
         # windows with gh % s == 0, so the sampled statistic is still
@@ -145,8 +145,11 @@ def _window_hash_rows(batch: pa.Table, column: str, w: int, id_col: str,
         pairs = pairs[pairs["gh"].to_numpy() % np.uint64(sample_mod)
                       == 0]
     gh = pairs["gh"].to_numpy()
+    # take() keeps the caller's id type (ints, strings, ...) exactly
+    id_vals = batch[id_col].take(pa.array(pairs["d"].to_numpy(),
+                                          pa.int64()))
     return pa.table({
-        id_col: pa.array(ids[pairs["d"].to_numpy()], pa.int64()),
+        id_col: id_vals,
         "gh": pa.array(gh.view(np.int64)),
         "part": pa.array((gh % np.uint64(num_partitions)).astype(np.int64)),
     })
@@ -164,9 +167,13 @@ def _bucket_partials(group: pa.Table, id_col: str) -> pa.Table:
     starts = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]])
     run_len = np.diff(np.r_[starts, len(gh)])
     is_dup = np.repeat(run_len >= 2, run_len)
-    uniq_ids, codes = np.unique(ids, return_inverse=True)
+    uniq_ids, first_pos, codes = np.unique(ids, return_index=True,
+                                           return_inverse=True)
+    # take() via first occurrences keeps the id type (ints, strings, ...)
+    id_vals = group[id_col].take(
+        pa.array(np.asarray(order)[first_pos], pa.int64()))
     return pa.table({
-        id_col: pa.array(uniq_ids, pa.int64()),
+        id_col: id_vals,
         "n_windows": pa.array(np.bincount(codes, minlength=len(uniq_ids))
                               .astype(np.int64)),
         "n_dup_windows": pa.array(
@@ -214,8 +221,10 @@ def dup_windows(ds, w: int = 8, column: str = "text",
     import ray.data
 
     # seed a 0-row typed block so an empty result keeps its schema
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
     empty = ray.data.from_arrow(pa.table({
-        id_col: pa.array([], pa.int64()),
+        id_col: pa.array([], id_type),
         "n_windows": pa.array([], pa.int64()),
         "n_dup_windows": pa.array([], pa.int64()),
     }))

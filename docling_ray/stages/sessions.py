@@ -65,12 +65,12 @@ def session_partition(part: pa.Table, gap_us: int,
 
 
 def running_totals_partition(part: pa.Table, user_column: str,
-                             ts_column: str, id_column: str,
-                             amount_column: str) -> pa.Table:
+                             ts_column: str, id_column: str) -> pa.Table:
     """One hash partition → per-event running aggregates: sort by
     (user, ts, id), detect user boundaries, subtract each user's prefix
     base from the global cumulatives — one vectorized pass, no per-user
-    Python."""
+    Python.  The amount arrives pre-floored as the ``_centi`` column
+    (``running_totals``'s prep stage owns the unit conversion)."""
     user_type = part.schema.field(user_column).type
     id_type = part.schema.field(id_column).type
     n = part.num_rows
@@ -149,7 +149,7 @@ def running_totals(ds, user_column: str = "user_id", ts_column: str = "ts",
         .groupby("_part").map_groups(
             lambda p: running_totals_partition(
                 p.drop_columns(["_part"]), user_column, ts_column,
-                id_column, amount_column),
+                id_column),
             batch_format="pyarrow")
     # seed a 0-row typed block so an empty result keeps its schema
     import ray.data

@@ -182,6 +182,12 @@ class BloomProbeStage:
         raw = (bloom_ref if isinstance(bloom_ref, (bytes, bytearray))
                else ray.get(bloom_ref))
         self.bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8))
+        if len(self.bits) != m_bits:
+            # a probe against the wrong modulus is silently wrong (false
+            # negatives the Bloom contract forbids) — fail loudly instead
+            raise ValueError(
+                f"bloom filter holds {len(self.bits)} bits but probe was "
+                f"configured with m_bits={m_bits}")
         self.key_col = key_col
         self.m_bits = m_bits
         self.k_hashes = k_hashes

@@ -173,12 +173,52 @@ def test_run_corpus_redacted_output(ray_session, tmp_path):
 
     from docling_ray.pipelines.corpus import run_corpus
     from docling_ray.sources.webpages import write_corpus
+    from docling_ray.stages.privacy import pii_redact_batch
+
+    def read_chunks(d):
+        files = sorted(glob.glob(str(d / "chunks" / "*.parquet")))
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        return t.sort_by([("url", "ascending"), ("chunk_id", "ascending")])
 
     src = tmp_path / "src"
     write_corpus(str(src), 30, rows_per_file=15)
     out = tmp_path / "cur"
     run_corpus(str(src), str(out), redact_pii=True)
+    red = read_chunks(out)
+    assert "text" in red.schema.names and red.num_rows > 0
+    # the redacted run must equal redact(plain run) text-for-text — a
+    # lost redact_pii kwarg would slip a bare text column through
+    out2 = tmp_path / "cur_plain"
+    run_corpus(str(src), str(out2), emit_text=True)
+    plain = read_chunks(out2)
+    expect = pii_redact_batch(plain, "text", "_r")["_r"].to_pylist()
+    assert red["text"].to_pylist() == expect
+    assert red["url"].to_pylist() == plain["url"].to_pylist()
+
+
+def test_run_corpus_resume_recomputes_on_param_change(ray_session,
+                                                     tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from docling_ray.pipelines.corpus import run_corpus
+    from docling_ray.sources.webpages import write_corpus
+
+    src = tmp_path / "src"
+    write_corpus(str(src), 20, rows_per_file=10)
+    out = tmp_path / "cur"
+    run_corpus(str(src), str(out))                  # metadata-only run
+    files = glob.glob(str(out / "chunks" / "*.parquet"))
+    assert "text" not in pq.read_schema(files[0]).names
+    # a resume with NEW output-shaping params must not return the stale
+    # metadata-only chunks (the silent-unredacted-output trap)
+    stats = run_corpus(str(src), str(out), redact_pii=True)
     files = glob.glob(str(out / "chunks" / "*.parquet"))
     t = pa.concat_tables([pq.read_table(f) for f in files])
     assert "text" in t.schema.names
-    assert t.num_rows > 0
+    assert "chunks_sec" in stats["timings"]         # stage actually ran
+    # unchanged params still resume instantly (no chunk recompute)
+    stats2 = run_corpus(str(src), str(out), redact_pii=True)
+    assert "chunks_sec" not in stats2["timings"] or \
+        stats2["timings"]["chunks_sec"] == stats["timings"]["chunks_sec"]

@@ -36,16 +36,30 @@ def test_pii_redact_masks_in_fixed_order():
 
 
 def test_json_field_contracts():
+    # TYPE-STRICT (the json_type SQL-mirror contract): int64 accepts
+    # JSON integers only — "12", 7.9, 1e3 and true are all NULL
     t = pa.table({"props": [
         '{"k": 7}', '{"k": "12"}', '{"other": 1}', "not json",
         None, '[1,2]', '{"k": null}', '{"k": {"nested": 1}}',
+        '{"k": 7.9}', '{"k": true}', '{"k": 1e3}', '{"k": -4}',
+        '{"k": 18446744073709551615}',
     ]})
     out = json_field_batch(t, "props", "k", out_column="k")
-    assert out["k"].to_pylist() == [7, 12, None, None, None, None,
-                                    None, None]
+    assert out["k"].to_pylist() == [7, None, None, None, None, None,
+                                    None, None, None, None, None, -4,
+                                    None]
+    f = json_field_batch(t, "props", "k", out_column="kf",
+                         out_type="float64")
+    assert f["kf"].to_pylist()[0] == 7.0 and f["kf"].to_pylist()[8] == 7.9
+    assert f["kf"].to_pylist()[10] == 1000.0
+    assert f["kf"].to_pylist()[9] is None          # bool is not a number
     s = json_field_batch(t, "props", "k", out_column="ks",
                          out_type="string")
-    assert s["ks"].to_pylist()[0] == "7"
+    assert s["ks"].to_pylist()[0] is None          # numbers not stringified
+    s2 = json_field_batch(pa.table({"props": ['{"k": "x"}']}),
+                          "props", "k", out_column="ks",
+                          out_type="string")
+    assert s2["ks"].to_pylist() == ["x"]
 
 
 def _events(ray, rows, parts=3):

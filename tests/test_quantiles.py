@@ -78,3 +78,19 @@ def test_quantiles_empty_input(ray_session):
     out = grouped_quantiles(ds, "v", "g")
     assert out.num_rows == 0
     assert set(out.column_names) == {"g", "q_pct", "value"}
+
+
+def test_quantiles_preserves_group_type_and_null_group(ray_session):
+    import ray
+
+    t = pa.table({
+        "g": pa.array([1, 1, 2, 2, None], pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50], pa.int64()),
+    })
+    out = grouped_quantiles(ray.data.from_arrow(t).repartition(2), "v",
+                            "g", pcts=(50,))
+    # group column keeps its int64 type (never stringified) and the
+    # null group is its own group, not a crash
+    assert out.schema.field("g").type == pa.int64()
+    got = {r["g"]: r["value"] for r in out.to_pylist()}
+    assert got == {1: 10, 2: 30, None: 50}

@@ -128,3 +128,20 @@ def test_dup_windows_hash_sampling(ray_session):
         assert row["n_windows"] == kept
         assert row["n_windows"] <= f[d]["n_windows"]
         assert row["n_dup_windows"] <= f[d]["n_dup_windows"]
+
+
+def test_dup_windows_string_ids(ray_session):
+    import ray
+
+    t = pa.table({
+        "url": pa.array(["u/a", "u/b", "u/c"], pa.string()),
+        "text": ["p q r s t u v w x",
+                 "z p q r s t u v w",
+                 "a b c d e f g h"],
+    })
+    out = dup_windows(ray.data.from_arrow(t).repartition(2),
+                      w=8, id_col="url")
+    got = {r["url"]: (r["n_windows"], r["n_dup_windows"])
+           for r in out.take_all()}
+    assert out.schema().base_schema.field("url").type == pa.string()
+    assert got == {"u/a": (2, 1), "u/b": (2, 1), "u/c": (1, 0)}
