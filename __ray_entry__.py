@@ -347,6 +347,20 @@ def q_dup_windows(sf_dir: str):
     return dup_windows(ds, w=8)
 
 
+def q_lm_familiarity(sf_dir: str):
+    """Corpus-LM familiarity (the CCNet-family quality signal) in an
+    integer-exact form: per-doc sum of corpus-wide counts of its
+    character bigrams.  Combiner-first model pass (alphabet²-bounded
+    shuffle) → broadcast model → one searchsorted per doc; codepoint
+    bigrams == DuckDB character slices by construction
+    (stages/lmscore.py)."""
+    from docling_ray.stages.lmscore import familiarity
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return familiarity(ds).select_columns(
+        ["doc_id", "n_bigrams", "familiar_sum"])
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Per-doc top-5 salient terms by tf/df (search-index keyword
     extraction): combiner-first DF pass (vocabulary-sized shuffle) →
@@ -1447,6 +1461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": q_gopher_repetition,
         "dup_windows": q_dup_windows,
         "bloom_probe": q_bloom_probe,
+        "lm_familiarity": q_lm_familiarity,
         "tfidf_top_terms": q_tfidf_top_terms,
         "pii_redact": q_pii_redact,
         "json_field_stats": q_json_field_stats,
@@ -1641,6 +1656,28 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_dup_windows
             FROM hd JOIN d USING (gh)
             GROUP BY hd.doc_id
+        """,
+        "lm_familiarity": """
+            WITH ch AS (
+                SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ),
+            docbg AS (
+                SELECT doc_id, b, count(*) AS tf FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, length(t)),
+                               i -> t[i:i+1])) AS b
+                    FROM ch)
+                GROUP BY doc_id, b
+            ),
+            model AS (SELECT b, sum(tf) AS c FROM docbg GROUP BY b),
+            s AS (
+                SELECT doc_id, sum(tf) AS n, sum(tf * c) AS fam
+                FROM docbg JOIN model USING (b) GROUP BY doc_id
+            )
+            SELECT ch.doc_id,
+                   CAST(coalesce(s.n, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(s.fam, 0) AS BIGINT) AS familiar_sum
+            FROM ch LEFT JOIN s USING (doc_id)
         """,
         "tfidf_top_terms": r"""
             WITH tok AS (
