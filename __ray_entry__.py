@@ -347,6 +347,34 @@ def q_dup_windows(sf_dir: str):
     return dup_windows(ds, w=8)
 
 
+def q_length_floor(sf_dir: str):
+    """Percentile-driven dynamic filter by pure COMPOSITION: the exact
+    grouped-quantiles operator computes each language's 25th-percentile
+    doc length (a 25-row decision table), which broadcasts into a
+    stateless filter — docs at or above their language's floor survive.
+    The adaptive-threshold pattern real pipelines use instead of one
+    global magic number."""
+    import pyarrow.compute as pc
+
+    from docling_ray.stages.quantiles import grouped_quantiles
+
+    ds = _documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    q = grouped_quantiles(ds, "n_chars", "lang", pcts=(25,))
+    floor = dict(zip(q["lang"].to_pylist(), q["value"].to_pylist()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        floors = np.array([floor.get(l, 0) for l in langs],
+                          dtype=np.int64)
+        return batch.filter(pa.array(chars >= floors)) \
+            .select(["doc_id", "lang", "n_chars"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def q_lm_familiarity(sf_dir: str):
     """Corpus-LM familiarity (the CCNet-family quality signal) in an
     integer-exact form: per-doc sum of corpus-wide counts of its
@@ -1461,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": q_gopher_repetition,
         "dup_windows": q_dup_windows,
         "bloom_probe": q_bloom_probe,
+        "length_floor": q_length_floor,
         "lm_familiarity": q_lm_familiarity,
         "tfidf_top_terms": q_tfidf_top_terms,
         "pii_redact": q_pii_redact,
@@ -1656,6 +1685,27 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_dup_windows
             FROM hd JOIN d USING (gh)
             GROUP BY hd.doc_id
+        """,
+        "length_floor": """
+            WITH h AS (
+                SELECT lang, n_chars AS value, count(*) AS c
+                FROM documents GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT lang, value,
+                       sum(c) OVER (PARTITION BY lang
+                                    ORDER BY value) AS cum,
+                       sum(c) OVER (PARTITION BY lang) AS n
+                FROM h
+            ),
+            floor25 AS (
+                SELECT s.lang, CAST(min(s.value) AS BIGINT) AS floor_val
+                FROM s WHERE s.cum * 100 >= 25 * s.n
+                GROUP BY s.lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN floor25 f USING (lang)
+            WHERE d.n_chars >= f.floor_val
         """,
         "lm_familiarity": """
             WITH ch AS (
