@@ -145,3 +145,34 @@ def test_dup_windows_string_ids(ray_session):
            for r in out.take_all()}
     assert out.schema().base_schema.field("url").type == pa.string()
     assert got == {"u/a": (2, 1), "u/b": (2, 1), "u/c": (1, 0)}
+
+
+def test_dup_windows_hot_template_skew(ray_session):
+    """A template window shared by 30% of the corpus (power-law dup
+    skew): output stays one row per doc (linear — never pairwise), the
+    hot docs' counters are exact, and partitioning doesn't change them."""
+    import ray
+
+    hot = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    texts = [f"u{i} " + hot if i % 10 < 3 else
+             f"u{i} v{i} w{i} x{i} y{i} z{i} q{i} r{i} s{i}"
+             for i in range(200)]
+    ds = ray.data.from_arrow(_doc_table(texts)).repartition(8)
+    out = dup_windows(ds, w=8)
+    rows = out.take_all()
+    assert len(rows) == 200                     # linear in docs
+    got = {r["doc_id"]: r for r in rows}
+    for i in range(200):
+        if i % 10 < 3:
+            # "u{i} alpha ... theta" = 9 tokens → 2 windows; the pure
+            # template window is shared by all 60 hot docs
+            assert got[i]["n_windows"] == 2
+            assert got[i]["n_dup_windows"] == 1
+        else:
+            assert got[i]["n_dup_windows"] == 0
+    b = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+         for r in dup_windows(
+             ray.data.from_arrow(_doc_table(texts)).repartition(1),
+             w=8).take_all()}
+    assert all(b[i] == (got[i]["n_windows"], got[i]["n_dup_windows"])
+               for i in range(200))
