@@ -1179,10 +1179,15 @@ _LANGID_ORACLE_SQL = r"""
            CASE WHEN c.n_chars_t > 0
                      AND c.n_cjk * 1.0 / greatest(c.n_chars_t, 1) > 0.1
                 THEN 'zh'
-                WHEN greatest(h.en, h.de, h.fr, h.es) = 0 THEN 'und'
-                WHEN h.en = greatest(h.en, h.de, h.fr, h.es) THEN 'en'
-                WHEN h.de = greatest(h.de, h.fr, h.es) THEN 'de'
-                WHEN h.fr = greatest(h.fr, h.es) THEN 'fr'
+                -- coalesce: docs with no tokens (null/empty text) have no
+                -- hits row; null≡0 hits → 'und', matching langid_of
+                WHEN greatest(coalesce(h.en, 0), coalesce(h.de, 0),
+                              coalesce(h.fr, 0), coalesce(h.es, 0)) = 0
+                THEN 'und'
+                WHEN coalesce(h.en, 0) = greatest(h.en, h.de, h.fr, h.es)
+                THEN 'en'
+                WHEN coalesce(h.de, 0) = greatest(h.de, h.fr, h.es) THEN 'de'
+                WHEN coalesce(h.fr, 0) = greatest(h.fr, h.es) THEN 'fr'
                 ELSE 'es' END AS lang_pred
     FROM cjk c LEFT JOIN hits h ON c.doc_id = h.doc_id
 """
@@ -1191,12 +1196,15 @@ _LANGID_ORACLE_SQL = r"""
 # floor to micro-units in both so the comparison is float-free
 _QUALITY_SCORE_ORACLE_SQL = r"""
     WITH counts AS (
+        -- null text ≡ '' (engine fill_null contract)
         SELECT doc_id,
-               CAST(length(text) AS DOUBLE) AS n_chars_t,
-               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               CAST(length(coalesce(text, '')) AS DOUBLE) AS n_chars_t,
+               CAST(length(regexp_replace(coalesce(text, ''),
+                                          '[^A-Za-z]', '', 'g'))
                     AS DOUBLE) AS n_alpha,
-               CAST(CASE WHEN trim(text) = '' THEN 0
-                    ELSE length(regexp_split_to_array(trim(text), '\s+'))
+               CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                    ELSE length(regexp_split_to_array(
+                             trim(coalesce(text, '')), '\s+'))
                     END AS DOUBLE) AS n_tokens
         FROM documents
     )
@@ -1532,21 +1540,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "dedup_exact": """
-            SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint
-            FROM documents GROUP BY md5(text)
+            -- null text ≡ '' (the engine's fill_null contract for the
+            -- whole text-stat family)
+            SELECT min(doc_id) AS doc_id,
+                   md5(coalesce(text, '')) AS fingerprint
+            FROM documents GROUP BY md5(coalesce(text, ''))
         """,
         "token_quality": r"""
             SELECT doc_id,
-                   CAST(CASE WHEN trim(text) = '' THEN 0
-                        ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                   CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                        ELSE length(regexp_split_to_array(
+                                 trim(coalesce(text, '')), '\s+'))
                         END AS BIGINT) AS n_tokens,
-                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
-                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
-                   CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_space
+                   CAST(length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+                   CAST(length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                   CAST(length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '\s', '', 'g')) AS BIGINT) AS n_space
             FROM documents
         """,
         "fingerprint": """
-            SELECT doc_id, md5(text) AS fingerprint FROM documents
+            SELECT doc_id, md5(coalesce(text, '')) AS fingerprint
+            FROM documents
         """,
         "events_by_type": """
             SELECT event_type,

@@ -22,6 +22,12 @@ import re
 import pyarrow as pa
 
 _TOKEN_RE = re.compile(r"[^\s]+")
+# RE2-ASCII whitespace semantics (what DuckDB's regexp_* and Arrow's C
+# kernels use): NBSP etc. are NOT separators.  The oracle-compared
+# hash/langid families tokenize with THIS so the SQL mirrors agree on
+# unicode text; the unicode-\s `tokens_of` stays for the chunker family
+# (documented divergence, see token_count_batch).
+_TOKEN_RE_ASCII = re.compile(r"[^\s]+", re.ASCII)
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 _DIGIT_RE = re.compile(r"[0-9]")
 _SPACE_RE = re.compile(r"\s")
@@ -129,7 +135,9 @@ def simhash64(text: str) -> int:
     import numpy as np
     from collections import Counter
 
-    counts = Counter(tokens_of(text))
+    # ASCII-\s tokens: identical to the SQL mirror's RE2 [^\s]+ even on
+    # NBSP/unicode-space text (ASCII corpora are unaffected)
+    counts = Counter(_TOKEN_RE_ASCII.findall(text))
     if not counts:
         return 0
     digests = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8]
@@ -211,7 +219,8 @@ def langid_of(text: str) -> str:
     cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
     if cjk / max(len(text), 1) > 0.1:
         return "zh"
-    toks = set(t.lower().strip(".,;:!?\"'()") for t in tokens_of(text))
+    toks = set(t.lower().strip(".,;:!?\"'()")
+               for t in _TOKEN_RE_ASCII.findall(text))
     best, best_score = "und", 0
     for lang, profile in _LANG_PROFILES.items():
         score = len(toks & profile)
