@@ -764,6 +764,77 @@ def q_range_join(sf_dir: str):
     return joined.select_columns(["event_id", "user_id", "n_in_window"])
 
 
+def q_orders_customer_join(sf_dir: str):
+    """Large-large relational join: orders ⋈ customer on custkey through
+    Ray Data's native hash-shuffle join (``shuffle_join`` wrapper) — the
+    shape for when NEITHER side fits a worker heap, vs the broadcast
+    lookup of ``customer_nation``.  Price projected to integer cents so
+    the compare is float-free (IEEE double*100+floor, identical in numpy
+    and DuckDB)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docling_ray.stages.joins import shuffle_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    joined = shuffle_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                          how="inner", num_partitions=16)
+
+    def project(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(
+            batch["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "custkey": batch["o_custkey"],
+                         "mktsegment": batch["c_mktsegment"],
+                         "total_cents": cents})
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+def q_join_semi(sf_dir: str):
+    """Relational EXISTS as a hash-shuffle left-semi join: customers with
+    at least one URGENT order.  Semi emits left columns only and never
+    replicates right payload — the dedup-free alternative to
+    inner-join + distinct."""
+    import ray.data
+
+    from docling_ray.stages.joins import shuffle_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"]) \
+        .filter(expr="o_orderpriority == '1-URGENT'") \
+        .select_columns(["o_custkey"])
+    return shuffle_join(cust, urgent, on="c_custkey", right_on="o_custkey",
+                        how="left_semi", num_partitions=16)
+
+
+def q_join_anti(sf_dir: str):
+    """Relational NOT EXISTS as a hash-shuffle left-anti join: customers
+    with no order totaling >= $300k.  Anti-join is also the scale-safe
+    way to apply a large drop-list without broadcasting it (the
+    run_corpus drop-set escape hatch, pipelines/corpus.py)."""
+    import ray.data
+
+    from docling_ray.stages.joins import shuffle_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    big = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"]) \
+        .filter(expr="o_totalprice >= 300000.0") \
+        .select_columns(["o_custkey"])
+    return shuffle_join(cust, big, on="c_custkey", right_on="o_custkey",
+                        how="left_anti", num_partitions=16)
+
+
 def q_domain_cap(sf_dir: str):
     """Per-domain document cap: top-10 docs per ``source`` ranked by
     ``n_chars`` DESC (doc_id ASC tiebreak) — the per-site quota step of
@@ -1517,6 +1588,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality_score,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "orders_customer_join": q_orders_customer_join,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
         "top_k_tokens": q_top_k_tokens,
         "stratified_sample": q_stratified_sample,
         "hll_distinct": q_hll_distinct,
@@ -1962,6 +2036,26 @@ def oracle_sql() -> dict[str, str]:
               ON r.user_id = l.user_id
              AND r.ts BETWEEN l.ts - INTERVAL 5 MINUTE AND l.ts
             GROUP BY l.event_id, l.user_id
+        """,
+        "orders_customer_join": """
+            SELECT o.o_orderkey,
+                   o.o_custkey AS custkey,
+                   c.c_mktsegment AS mktsegment,
+                   CAST(floor(o.o_totalprice * 100.0) AS BIGINT)
+                       AS total_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "join_semi": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        """,
+        "join_anti": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice >= 300000.0)
         """,
         "domain_cap": """
             SELECT doc_id, source, n_chars FROM (

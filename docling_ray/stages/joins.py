@@ -249,3 +249,31 @@ def range_join_count(left, right, on: str, ts_col: str,
         lambda g: _range_count_partition(g, on, ts_col, lo_us, hi_us,
                                          left_cols, out_schema),
         batch_format="pyarrow")
+
+
+def shuffle_join(left, right, on, right_on=None, how: str = "inner",
+                 num_partitions: int = 32, **kwargs):
+    """Large-large relational join as Ray Data's native hash-shuffle join
+    (``Dataset.join``, Ray >= 2.46): both sides are hash-partitioned on
+    the key and each partition pair is joined independently — the shape
+    that holds when NEITHER side fits in a worker's heap.  Use
+    ``BroadcastLookupJoin`` instead whenever one side is small enough to
+    ``ray.put`` once (dimension tables): it skips the big side's shuffle
+    entirely.
+
+    ``how``: inner / left_outer / right_outer / full_outer / left_semi /
+    right_semi / left_anti / right_anti.  Semi/anti emit LEFT (resp.
+    right) columns only — the relational EXISTS / NOT EXISTS forms, which
+    is also the scale-safe way to apply a large drop-list (anti) without
+    broadcasting it.
+
+    ``num_partitions`` bounds per-partition memory: size it so
+    (|left| + |right|) / P fits a worker heap; skewed keys concentrate in
+    one partition, so salt or pre-aggregate the hot side first (the
+    repo-wide skew rule, see stages/dedup.py).
+    """
+    on = (on,) if isinstance(on, str) else tuple(on)
+    right_on = (right_on,) if isinstance(right_on, str) \
+        else (tuple(right_on) if right_on is not None else None)
+    return left.join(right, join_type=how, num_partitions=num_partitions,
+                     on=on, right_on=right_on, **kwargs)

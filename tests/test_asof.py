@@ -164,3 +164,40 @@ def test_asof_hot_key_single_partition(ray_session):
               for lid, m in _brute_force(left, right).items()}
     got, = _run(left, right, ray, parts=(9,))
     assert got == expect
+
+
+# -- shuffle_join (native hash join wrapper) --------------------------------
+
+def test_shuffle_join_inner_semi_anti(ray_session):
+    """inner/semi/anti against brute force, with duplicate keys on both
+    sides (inner must emit the cross product per key) and keys present on
+    only one side."""
+    import ray
+
+    from docling_ray.stages.joins import shuffle_join
+
+    left = pa.table({
+        "k": pa.array([1, 1, 2, 3, 5], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e"]),
+    })
+    right = pa.table({
+        "rk": pa.array([1, 2, 2, 4], pa.int64()),
+        "rv": pa.array([10, 20, 21, 40], pa.int64()),
+    })
+    lds = ray.data.from_arrow(left).repartition(3)
+    rds = ray.data.from_arrow(right).repartition(2)
+
+    inner = shuffle_join(lds, rds, on="k", right_on="rk", how="inner",
+                         num_partitions=4).take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in inner)
+    assert got == [(1, "a", 10), (1, "b", 10),
+                   (2, "c", 20), (2, "c", 21)]
+
+    semi = shuffle_join(lds, rds, on="k", right_on="rk", how="left_semi",
+                        num_partitions=4).take_all()
+    assert sorted(r["lv"] for r in semi) == ["a", "b", "c"]
+    assert all(set(r) == {"k", "lv"} for r in semi)  # left columns only
+
+    anti = shuffle_join(lds, rds, on="k", right_on="rk", how="left_anti",
+                        num_partitions=4).take_all()
+    assert sorted(r["lv"] for r in anti) == ["d", "e"]
