@@ -661,6 +661,23 @@ def q_quality_score(sf_dir: str):
         .select_columns(["doc_id", "score_micro"])
 
 
+def q_gopher_quality(sf_dir: str):
+    """The full published Gopher rule set (token band, mean-word-length
+    band, symbol ratio, alpha-token fraction, stop words, bullet/ellipsis
+    line ratios) as one stateless vectorized stage — every rule an
+    integer cross-multiplication so the SQL mirror is hash-exact.
+    ``min_tokens=10`` (not the paper's 50) so the short synthetic corpus
+    exercises both outcomes."""
+    from docling_ray.stages.textstats import gopher_stats_batch
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(lambda b: gopher_stats_batch(b, min_tokens=10),
+                     batch_format="pyarrow")
+    return ds.select_columns(
+        ["doc_id", "n_tokens", "n_alpha_tokens", "n_stopwords",
+         "n_symbols", "n_bullet_lines", "n_ellipsis_lines", "gopher_pass"])
+
+
 def q_hll_distinct(sf_dir: str):
     """Approximate per-type distinct-user counts via a mergeable
     HyperLogLog sketch (4096 registers, ~1.6% σ) — COUNT(DISTINCT)
@@ -1273,10 +1290,10 @@ _QUALITY_SCORE_ORACLE_SQL = r"""
                CAST(length(regexp_replace(coalesce(text, ''),
                                           '[^A-Za-z]', '', 'g'))
                     AS DOUBLE) AS n_alpha,
-               CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-                    ELSE length(regexp_split_to_array(
-                             trim(coalesce(text, '')), '\s+'))
-                    END AS DOUBLE) AS n_tokens
+               -- [^\s]+ match count, not trim+split: DuckDB trim()
+               -- strips spaces only (fuzz-found, see token_quality)
+               CAST(len(regexp_extract_all(coalesce(text, ''), '[^\s]+'))
+                    AS DOUBLE) AS n_tokens
         FROM documents
     )
     SELECT doc_id,
@@ -1586,6 +1603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_near_dup": q_jaccard_near_dup,
         "langid": q_langid,
         "quality_score": q_quality_score,
+        "gopher_quality": q_gopher_quality,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -1621,11 +1639,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(coalesce(text, ''))
         """,
         "token_quality": r"""
+            -- n_tokens counts [^\s]+ matches directly: DuckDB trim()
+            -- strips SPACES only, so the trim+split form over-counts on
+            -- leading/trailing \n\t (fuzz-found)
             SELECT doc_id,
-                   CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-                        ELSE length(regexp_split_to_array(
-                                 trim(coalesce(text, '')), '\s+'))
-                        END AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                                               '[^\s]+'))
+                        AS BIGINT) AS n_tokens,
                    CAST(length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
                    CAST(length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
                    CAST(length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '\s', '', 'g')) AS BIGINT) AS n_space
@@ -1978,6 +1998,52 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _EVENTS_WINDOWED_ORACLE_SQL,
         "sessions": _SESSIONS_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
+        "gopher_quality": r"""
+            -- same RE2 patterns as gopher_stats_batch; every rule an
+            -- integer cross-multiplication, so hash-exact
+            WITH c AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS t
+                FROM documents
+            ), n AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(t, '[^\s]+')) AS BIGINT)
+                           AS n_tokens,
+                       CAST(length(t)
+                            - len(regexp_extract_all(t, '\s')) AS BIGINT)
+                           AS word_chars,
+                       CAST(len(regexp_extract_all(
+                                t, '[^\s]*[A-Za-z][^\s]*')) AS BIGINT)
+                           AS n_alpha_tokens,
+                       CAST(len(regexp_extract_all(
+                                t, '\b(the|be|to|of|and|that|have|with)\b'))
+                            AS BIGINT) AS n_stopwords,
+                       CAST(len(regexp_extract_all(t, '#'))
+                            + len(regexp_extract_all(t, '\.\.\.'))
+                            + len(regexp_extract_all(t, '…')) AS BIGINT)
+                           AS n_symbols,
+                       CAST(len(regexp_extract_all(t, '\n'))
+                            + CASE WHEN length(t) > 0 THEN 1 ELSE 0 END
+                            AS BIGINT) AS n_lines,
+                       CAST(len(regexp_extract_all(t, '(?m)^\s*[-*•]'))
+                            AS BIGINT) AS n_bullet_lines,
+                       CAST(len(regexp_extract_all(t, '(?m)(\.\.\.|…)$'))
+                            AS BIGINT) AS n_ellipsis_lines
+                FROM c
+            )
+            SELECT doc_id, n_tokens, n_alpha_tokens, n_stopwords,
+                   n_symbols, n_bullet_lines, n_ellipsis_lines,
+                   CAST(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                              AND 3 * n_tokens <= word_chars
+                              AND word_chars <= 10 * n_tokens
+                              AND 10 * n_symbols < n_tokens
+                              AND 5 * n_alpha_tokens > 4 * n_tokens
+                              AND n_stopwords >= 2
+                              AND 10 * n_bullet_lines < 9 * n_lines
+                              AND 10 * n_ellipsis_lines < 3 * n_lines
+                        THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+            FROM n
+        """,
         "stratified_sample": """
             SELECT doc_id, lang, h32 FROM (
                 SELECT doc_id, lang,

@@ -281,3 +281,70 @@ def top_k_tokens(ds, k: int = 50, column: str = "text") -> pa.Table:
         "token": pa.array([r["token"] for r in merged], pa.string()),
         "n": pa.array([r["n"] for r in merged], pa.int64()),
     })
+
+
+# -- Gopher quality rules ----------------------------------------------------
+
+_GOPHER_STOPWORDS_RE = (r"\b(the|be|to|of|and|that|have|with)\b")
+_GOPHER_ALPHA_TOKEN_RE = r"[^\s]*[A-Za-z][^\s]*"
+_GOPHER_BULLET_LINE_RE = r"(?m)^\s*[-*•]"
+_GOPHER_ELLIPSIS_LINE_RE = r"(?m)(\.\.\.|…)$"
+
+
+def gopher_stats_batch(batch: pa.Table, column: str = "text",
+                       min_tokens: int = 50,
+                       max_tokens: int = 100_000) -> pa.Table:
+    """Per-doc Gopher quality counters + pass flag (Rae et al. 2021
+    §A1.1.2, the published rule set behind MassiveWeb): token-count band,
+    mean-word-length band [3, 10], symbol-to-word ratio (# and ellipsis)
+    < 0.1, >= 80% of tokens contain an alphabetic char, >= 2 of the 8
+    canonical English stop words, < 90% bullet-started lines, < 30%
+    ellipsis-ended lines.
+
+    Everything is an Arrow C RE2 kernel and every RULE is an
+    integer cross-multiplication (``10 * n_sym < n_tokens`` instead of a
+    float ratio), so the DuckDB mirror is hash-exact by construction.
+    RE2 semantics shared with the SQL side: ASCII ``\\s``/``\\b``,
+    non-overlapping counts.  NULL text ≡ '' (family contract).  Zero
+    shuffles — this is a stateless per-batch stage."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(batch[column].combine_chunks(), "")
+
+    def cnt(pattern: str) -> "np.ndarray":
+        return pc.count_substring_regex(col, pattern) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    n_chars = pc.utf8_length(col).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    n_tokens = cnt(r"[^\s]+")
+    n_space = cnt(r"\s")
+    n_alpha_tok = cnt(_GOPHER_ALPHA_TOKEN_RE)
+    n_stop = cnt(_GOPHER_STOPWORDS_RE)
+    n_sym = cnt(r"#") + cnt(r"\.\.\.") + cnt("…")
+    n_newline = cnt(r"\n")
+    n_lines = n_newline + (n_chars > 0).astype(np.int64)
+    n_bullet = cnt(_GOPHER_BULLET_LINE_RE)
+    n_ellipsis_line = cnt(_GOPHER_ELLIPSIS_LINE_RE)
+
+    word_chars = n_chars - n_space          # chars inside tokens
+    ok = (
+        (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+        & (3 * n_tokens <= word_chars) & (word_chars <= 10 * n_tokens)
+        & (10 * n_sym < n_tokens)
+        & (5 * n_alpha_tok > 4 * n_tokens)
+        & (n_stop >= 2)
+        & (10 * n_bullet < 9 * n_lines)
+        & (10 * n_ellipsis_line < 3 * n_lines)
+    )
+    out = batch
+    for name, arr in (("n_tokens", n_tokens),
+                      ("n_alpha_tokens", n_alpha_tok),
+                      ("n_stopwords", n_stop),
+                      ("n_symbols", n_sym),
+                      ("n_bullet_lines", n_bullet),
+                      ("n_ellipsis_lines", n_ellipsis_line),
+                      ("gopher_pass", ok.astype(np.int64))):
+        out = out.append_column(name, pa.array(arr, pa.int64()))
+    return out

@@ -213,3 +213,43 @@ def test_hash_sample_null_id_excluded():
     batch = pa.table({"doc_id": pa.array(["x", None, "y"], pa.string())})
     out = hash_sample_batch(batch, rate=1.0)
     assert out["doc_id"].to_pylist() == ["x", "y"]
+
+
+# -- Gopher quality rules ----------------------------------------------------
+
+def test_gopher_stats_each_rule_fires():
+    """One crafted doc per rule: the pass flag flips for exactly the
+    intended violation, counters are integer-exact."""
+    import pyarrow as pa
+
+    from docling_ray.stages.textstats import gopher_stats_batch
+
+    good = "the quick brown foxes jumped with delight over that lazy dog " \
+           "and every word here have plenty of letters to clear bands"
+    docs = {
+        "good": good,
+        "too_short": "the cat with that have",                   # < 10 toks
+        "short_words": "a b c d e f g h i j k l m n o p",        # mean < 3
+        "long_words": ("the "
+                       + "pneumonoultramicroscopics " * 12
+                       + "be of that have with"),                # mean > 10
+        "symbols": good + " " + "# " * 40,                       # sym ratio
+        "numeric": "the 111 222 333 444 555 666 777 888 999 000 "
+                   "111 222 be with that",                       # alpha < .8
+        "no_stopwords": "quick brown foxes jumped gleefully over "
+                        "lazy dogs during autumn morning walks",  # stop < 2
+        "bullets": "\n".join("- item the with that be of" for _ in range(10)),
+        "ellipses": "\n".join("the end with that be of..."
+                              for _ in range(10)),
+    }
+    t = pa.table({"name": pa.array(list(docs)),
+                  "text": pa.array(list(docs.values()))})
+    out = gopher_stats_batch(t, min_tokens=10)
+    flags = dict(zip(out["name"].to_pylist(),
+                     out["gopher_pass"].to_pylist()))
+    assert flags == {k: (1 if k == "good" else 0) for k in docs}, flags
+
+    row = {c: out[c][0].as_py() for c in out.column_names}
+    assert row["n_tokens"] == len(good.split())
+    assert row["n_alpha_tokens"] == len(good.split())
+    assert row["n_stopwords"] >= 2 and row["n_symbols"] == 0

@@ -21,7 +21,10 @@ import pytest
 import __ray_entry__ as entrymod
 
 WORDS = ["the", "fast", "key", "naïve\xa0café", "α β", "join", "sort",
-         "batch", "du-pli", "zz", "", "x"]
+         "batch", "du-pli", "zz", "", "x",
+         # multiline / bullet / ellipsis / symbol shapes for the
+         # line-sensitive rule families (gopher_quality)
+         "a\nb", "\n- dash", "stuff...", "#tag", "end…\nnext"]
 
 
 def _rand_documents(rng: np.random.Generator, n: int) -> pa.Table:
@@ -101,7 +104,7 @@ DOC_QUERIES = ["gopher_repetition", "dup_windows", "quantiles",
                "pii_redact", "token_quality", "fingerprint", "langid",
                "quality_score", "simhash", "winnow_fingerprint",
                "dedup_exact", "hash_sample", "domain_cap",
-               "lang_metrics"]
+               "lang_metrics", "gopher_quality"]
 EVENT_QUERIES = ["json_field_stats", "running_totals", "sessions",
                  "events_windowed", "events_by_type", "asof_join",
                  "range_join"]
