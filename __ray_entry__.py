@@ -661,6 +661,40 @@ def q_quality_score(sf_dir: str):
         .select_columns(["doc_id", "score_micro"])
 
 
+def q_line_dedup(sf_dir: str):
+    """Corpus-wide duplicate-LINE removal with reconstruction (the
+    C4/RefinedWeb boilerplate step): decision pass moves only
+    (doc, pos, line-hash) rows through ONE shuffle, the bounded drop set
+    is broadcast, and text never shuffles.  The corpus has no newlines,
+    so the query manufactures them deterministically on BOTH sides
+    (text + itself + a shared footer → within-doc dups, cross-doc dups
+    from planted duplicates, and an every-doc footer)."""
+    import pyarrow.compute as pc
+
+    from docling_ray.stages.dedup import line_dedup
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"].combine_chunks(), "")
+        aug = pc.binary_join_element_wise(
+            t, t, pa.scalar("common footer the end"), pa.scalar("\n"))
+        return pa.table({"doc_id": batch["doc_id"], "text": aug})
+
+    cleaned = line_dedup(ds.map_batches(augment, batch_format="pyarrow"))
+
+    def project(batch: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        md5s = [_h.md5((v.as_py() or "").encode("utf-8")).hexdigest()
+                for v in batch["text_clean"]]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "clean_md5": pa.array(md5s, pa.string()),
+                         "n_lines_dropped": batch["n_lines_dropped"]})
+
+    return cleaned.map_batches(project, batch_format="pyarrow")
+
+
 def q_gopher_quality(sf_dir: str):
     """The full published Gopher rule set (token band, mean-word-length
     band, symbol ratio, alpha-token fraction, stop words, bullet/ellipsis
@@ -1604,6 +1638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "quality_score": q_quality_score,
         "gopher_quality": q_gopher_quality,
+        "line_dedup": q_line_dedup,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -1998,6 +2033,39 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _EVENTS_WINDOWED_ORACLE_SQL,
         "sessions": _SESSIONS_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
+        "line_dedup": r"""
+            -- same md5-prefix-uint64 line hash as the engine
+            -- (collisions collapse identically); empty lines are
+            -- structural, never deduped; keep-first by (doc_id, pos)
+            WITH aug AS (
+                SELECT doc_id,
+                       coalesce(text,'') || chr(10) || coalesce(text,'')
+                           || chr(10) || 'common footer the end' AS t
+                FROM documents
+            ), l AS (
+                SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+                       unnest(range(1, len(string_split(t, chr(10))) + 1))
+                           AS pos
+                FROM aug
+            ), k AS (
+                SELECT doc_id, pos, line, length(line) >= 1 AS elig,
+                       ('0x' || substr(md5(line), 1, 16))::UBIGINT AS lh
+                FROM l
+            ), r AS (
+                SELECT doc_id, pos, line,
+                       CASE WHEN NOT elig THEN TRUE
+                            ELSE row_number() OVER (
+                                     PARTITION BY elig, lh
+                                     ORDER BY doc_id, pos) = 1 END AS keep
+                FROM k
+            )
+            SELECT doc_id,
+                   md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                                    FILTER (WHERE keep), '')) AS clean_md5,
+                   CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
+                       AS n_lines_dropped
+            FROM r GROUP BY doc_id
+        """,
         "gopher_quality": r"""
             -- same RE2 patterns as gopher_stats_batch; every rule an
             -- integer cross-multiplication, so hash-exact

@@ -1369,3 +1369,164 @@ def jaccard_near_dups_inline(ds, threshold: float = 0.5, shingle_k: int = 3,
         "j_milli": pa.array([], pa.int64()),
     }))
     return empty.union(pairs)
+
+
+# -- line-level exact dedup (C4 / RefinedWeb) --------------------------------
+#
+# Corpus-wide duplicate-LINE removal with text reconstruction: every line
+# that occurs more than once across the whole corpus is kept only at its
+# first occurrence (ordered by (doc, position)); all other occurrences are
+# deleted and each doc's text is re-joined from its surviving lines.  The
+# published C4/RefinedWeb boilerplate-removal step (navbars, cookie
+# banners, footers repeated across a site).
+#
+# Shape (the run_corpus decision/payload split): the DECISION pass moves
+# only (doc_id, pos, line_hash) rows — ONE hash-bucketed shuffle, text
+# never enters it; the drop set (bounded by the duplicate-LINE count, a
+# small fraction of lines in real crawls) is broadcast once and applied
+# in a stateless map over the ORIGINAL dataset, so the payload never
+# shuffles at all.  At extreme duplicate rates route the drop rows
+# through `stages.joins.shuffle_join(how="left_anti")` on the exploded
+# line rows instead of the broadcast (the run_corpus drop-set threshold
+# rule, pipelines/corpus.py).
+
+
+def _line_rows(batch: pa.Table, text_col: str, id_col: str,
+               num_partitions: int) -> pa.Table:
+    """One batch → (doc_id, pos, lh, part) rows for every ELIGIBLE line
+    (non-empty; empty lines are structural, never deduped).  Vectorized
+    split/flatten; md5 runs once per DISTINCT line string in the batch.
+    Hash convention = dup_windows: md5-prefix-8-bytes big-endian uint64,
+    mirrored in SQL as ('0x' || substr(md5(line),1,16))::UBIGINT —
+    collisions collapse identically on both sides."""
+    import pyarrow.compute as pc
+
+    id_type = batch.schema.field(id_col).type
+    empty = pa.table({id_col: pa.array([], id_type),
+                      "pos": pa.array([], pa.int64()),
+                      "lh": pa.array([], pa.int64()),
+                      "part": pa.array([], pa.int64())})
+    if batch.num_rows == 0:
+        return empty
+    col = pc.fill_null(batch[text_col].combine_chunks(), "")
+    lines_list = pc.split_pattern(col, "\n")
+    counts = pc.list_value_length(lines_list).to_numpy(zero_copy_only=False)
+    total = int(counts.sum())
+    if total == 0:
+        return empty
+    parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(total, dtype=np.int64) - starts[parent] + 1  # 1-based
+    flat = pc.list_flatten(lines_list)
+    elig = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not elig.any():
+        return empty
+    parent, pos = parent[elig], pos[elig]
+    lines = flat.to_numpy(zero_copy_only=False)[elig]
+    uniq, inv = np.unique(lines, return_inverse=True)
+    lh_uniq = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+         for s in uniq),
+        dtype=np.uint64, count=len(uniq))
+    lh = lh_uniq[inv]
+    return pa.table({
+        id_col: batch[id_col].take(pa.array(parent)),
+        "pos": pa.array(pos),
+        "lh": pa.array(lh.view(np.int64)),
+        "part": pa.array((lh % np.uint64(num_partitions)).astype(np.int64)),
+    })
+
+
+def _line_losers(group: pa.Table, id_col: str) -> pa.Table:
+    """One lh-complete partition → its DROP rows (doc_id, pos): every
+    occurrence that is not the (doc, pos)-minimal one of its line hash.
+    Vectorized sort + first-of-run, zero per-group Python."""
+    import pyarrow.compute as pc
+
+    id_type = group.schema.field(id_col).type
+    empty = pa.table({id_col: pa.array([], id_type),
+                      "pos": pa.array([], pa.int64())})
+    if group.num_rows == 0:
+        return empty
+    order = pc.sort_indices(group, sort_keys=[
+        ("lh", "ascending"), (id_col, "ascending"), ("pos", "ascending")])
+    g = group.take(order)
+    lh = g["lh"].to_numpy(zero_copy_only=False)
+    first = np.empty(len(lh), dtype=bool)
+    first[0] = True
+    first[1:] = lh[1:] != lh[:-1]
+    losers = ~first
+    if not losers.any():
+        return empty
+    keep = pa.array(losers)
+    return pa.table({id_col: g[id_col].filter(keep),
+                     "pos": g["pos"].filter(keep)})
+
+
+class DropLinesStage:
+    """Reconstruction actor: fetches the broadcast drop table ONCE in
+    ``__init__`` (doc_id → sorted drop positions), then per batch splits
+    only the AFFECTED docs, drops their positions and re-joins — docs
+    with no dropped line pass through untouched (C-level ``is_in``
+    mask).  Appends ``text_clean`` and ``n_lines_dropped``."""
+
+    def __init__(self, drop_ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import ray
+
+        tbl = (drop_ref if isinstance(drop_ref, pa.Table)
+               else ray.get(drop_ref))
+        self.text_col, self.id_col = text_col, id_col
+        self.drops: dict = {}
+        for did, p in zip(tbl[id_col].to_pylist(), tbl["pos"].to_pylist()):
+            self.drops.setdefault(did, set()).add(p)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(batch[self.text_col].combine_chunks(), "")
+        ids = batch[self.id_col].to_pylist()
+        affected = [i for i, d in enumerate(ids) if d in self.drops]
+        texts = col.to_pylist()
+        n_drop = np.zeros(batch.num_rows, dtype=np.int64)
+        for i in affected:
+            dead = self.drops[ids[i]]
+            lines = texts[i].split("\n")
+            kept = [ln for p, ln in enumerate(lines, start=1)
+                    if p not in dead]
+            n_drop[i] = len(lines) - len(kept)
+            texts[i] = "\n".join(kept)
+        out = batch.append_column("text_clean", pa.array(texts, pa.string()))
+        return out.append_column("n_lines_dropped", pa.array(n_drop))
+
+
+def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               num_partitions: int = 64, concurrency: int = 4):
+    """Corpus-wide duplicate-line removal (see module comment above).
+    Returns the input dataset with ``text_clean`` (surviving lines
+    re-joined with \\n; '' if every line was a duplicate) and
+    ``n_lines_dropped`` appended.  Consumes the source twice (decision +
+    reconstruction) — the documented two-pass trade of
+    ``jaccard_near_dups``; at scale the decision pass reads a pruned
+    (id, text) projection."""
+    import ray
+
+    drops_ds = ds.map_batches(
+        lambda b: _line_rows(b, text_col, id_col, num_partitions),
+        batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: _line_losers(g, id_col), batch_format="pyarrow")
+    # bounded by the duplicate-line count; see module comment for the
+    # anti-join escape hatch at extreme duplicate rates
+    drop_batches = list(drops_ds.iter_batches(batch_format="pyarrow"))
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    drop_tbl = (pa.concat_tables(drop_batches) if drop_batches
+                else pa.table({id_col: pa.array([], id_type),
+                               "pos": pa.array([], pa.int64())}))
+    drop_ref = ray.put(drop_tbl)
+    return ds.map_batches(
+        DropLinesStage, batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        fn_constructor_kwargs={"drop_ref": drop_ref,
+                               "text_col": text_col, "id_col": id_col})

@@ -494,3 +494,48 @@ def test_jaccard_inline_variant_matches_join_variant(ray_session):
                                        threshold=0.5))
     assert a == b
     assert len(a) >= 4     # planted clusters found (incl. the exact dup)
+
+
+# -- line-level dedup (C4 / RefinedWeb) --------------------------------------
+
+def test_line_dedup_semantics(ray_session):
+    """Keep-first by (doc, pos) corpus-wide, within-doc dups dropped,
+    empty lines structural (never deduped), null text → ''."""
+    import ray
+
+    from docling_ray.stages.dedup import line_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "alpha\nshared footer\nbeta",
+            "gamma\nshared footer\nalpha",
+            "gamma\n\ndelta\n\nepsilon",   # two empty lines, both kept
+            None,
+        ])})
+    out = {r["doc_id"]: (r["text_clean"], r["n_lines_dropped"])
+           for r in line_dedup(ray.data.from_arrow(t).repartition(3),
+                               num_partitions=8).take_all()}
+    assert out == {
+        0: ("alpha\nshared footer\nbeta", 0),
+        1: ("gamma", 2),
+        2: ("\ndelta\n\nepsilon", 1),
+        3: ("", 0),
+    }
+
+
+def test_line_dedup_within_doc_and_ids(ray_session):
+    """Within-doc repeats collapse to the first position; string doc ids
+    work (generic id contract, the dup_windows take()-based pattern)."""
+    import ray
+
+    from docling_ray.stages.dedup import line_dedup
+
+    t = pa.table({
+        "doc_id": pa.array(["b", "a"], pa.string()),
+        "text": pa.array(["x\nx\nx\ny", "x\nz"])})
+    out = {r["doc_id"]: (r["text_clean"], r["n_lines_dropped"])
+           for r in line_dedup(ray.data.from_arrow(t).repartition(2),
+                               num_partitions=4).take_all()}
+    # keep-first orders by doc_id ASC: "a" wins the shared line "x"
+    assert out == {"a": ("x\nz", 0), "b": ("y", 3)}
