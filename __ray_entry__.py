@@ -661,6 +661,21 @@ def q_quality_score(sf_dir: str):
         .select_columns(["doc_id", "score_micro"])
 
 
+def q_pack_sequences(sf_dir: str):
+    """Concat-style sequence packing for training: lay docs end to end
+    in doc_id order (weight = n_chars) and cut 4096-unit sequences —
+    each doc's global offset, sequence id and in-sequence offset.  Built
+    on the distributed prefix scan (stages/scan.py): one sort shuffle,
+    per-block partials (one row per block) folded on the driver, then a
+    stateless vectorized second pass."""
+    from docling_ray.stages.scan import pack_sequences
+
+    ds = _documents(sf_dir, columns=["doc_id", "n_chars"])
+    return pack_sequences(ds, budget=4096, order_col="doc_id",
+                          token_col="n_chars") \
+        .select_columns(["doc_id", "cum_excl", "seq_id", "seq_offset"])
+
+
 def q_line_dedup(sf_dir: str):
     """Corpus-wide duplicate-LINE removal with reconstruction (the
     C4/RefinedWeb boilerplate step): decision pass moves only
@@ -1639,6 +1654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality_score,
         "gopher_quality": q_gopher_quality,
         "line_dedup": q_line_dedup,
+        "pack_sequences": q_pack_sequences,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -2033,6 +2049,25 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _EVENTS_WINDOWED_ORACLE_SQL,
         "sessions": _SESSIONS_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
+        "pack_sequences": """
+            SELECT doc_id,
+                   CAST(coalesce(sum(n_chars) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                       AS cum_excl,
+                   CAST(coalesce(sum(n_chars) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) // 4096 AS BIGINT)
+                       AS seq_id,
+                   CAST(coalesce(sum(n_chars) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) % 4096 AS BIGINT)
+                       AS seq_offset
+            FROM documents
+        """,
         "line_dedup": r"""
             -- same md5-prefix-uint64 line hash as the engine
             -- (collisions collapse identically); empty lines are
