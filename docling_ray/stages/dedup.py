@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import re
 from typing import Iterable
 
 import numpy as np
@@ -44,6 +45,7 @@ def _hash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 
 
 _SHINGLE_CACHE_CAP = 1_000_000
+_SHINGLE_TOKEN_RE = re.compile(r"[^\s]+", re.ASCII)
 
 
 def shingles_of(text: str, k: int = 3,
@@ -58,7 +60,12 @@ def shingles_of(text: str, k: int = 3,
     slot + int), so 1M entries is ~0.3-0.5 GB — PER ACTOR; a pool of
     cpus/2 signature actors multiplies that, which is why the cap is 1M
     and must be sized against per-worker heap, not the node total."""
-    toks = text.split()
+    # RE2-ASCII tokenization ([^\s]+): the SAME token rule the DuckDB
+    # oracles use, so shingle sets agree BY CONSTRUCTION even on
+    # NBSP/unicode-whitespace text (str.split() additionally breaks on
+    # U+00A0, U+2000-, \x1c-\x1f — fuzz-found divergence class; ASCII
+    # corpora are byte-identical under both)
+    toks = _SHINGLE_TOKEN_RE.findall(text)
     if len(toks) < k:
         grams = [" ".join(toks)] if toks else []
     else:
@@ -124,19 +131,27 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rpb = max(1, self.num_perm // self.num_bands)
-        keys, sketches = [], []
+        keys, sketches, nonempty = [], [], []
         for v in batch["text"]:
-            sig = minhash_signature(
-                shingles_of(v.as_py() or "", self.shingle_k,
-                            cache=self._gram_cache),
-                self.a, self.b)
+            sh = shingles_of(v.as_py() or "", self.shingle_k,
+                             cache=self._gram_cache)
+            # zero-token docs have NO shingles and never participate in
+            # near-dup candidates (they're exact-dup territory; the
+            # oracles exclude them identically).  Dropping them here also
+            # kills the one mega-bucket all empties would otherwise share
+            # — a quadratic skew bomb at crawl scale (fuzz-found).
+            nonempty.append(bool(sh))
+            if not sh:
+                continue
+            sig = minhash_signature(sh, self.a, self.b)
             raw = sig.astype(">u8").tobytes()
             keys.append(b"".join(
                 hashlib.md5(band.to_bytes(2, "big")
                             + raw[band * rpb * 8:(band + 1) * rpb * 8]).digest()[:8]
                 for band in range(self.num_bands)))
             sketches.append((sig & np.uint64(0xFF)).astype(np.uint8).tobytes())
-        out = batch.append_column("band_keys", pa.array(keys, pa.binary()))
+        out = batch.filter(pa.array(nonempty))
+        out = out.append_column("band_keys", pa.array(keys, pa.binary()))
         return out.append_column("sketch", pa.array(sketches, pa.binary()))
 
 
@@ -648,8 +663,19 @@ def simhash_near_dups(ds, max_hamming: int = 3, num_buckets: int = 4,
     and the emitted pairs themselves."""
     from docling_ray.stages.textstats import simhash_batch
 
-    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow") \
-        .select_columns(["doc_id", "simhash_u64"])
+    def _sig_rows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = simhash_batch(b)
+        # zero-token docs never pair (the oracle's unnest drops them;
+        # symmetric with the MinHash zero-shingle rule) — and the filter
+        # is on TOKEN count, not simhash==0, because a real token set
+        # can legitimately hash to 0
+        col = pc.fill_null(b["text"].combine_chunks(), "")
+        has = pc.greater(pc.count_substring_regex(col, r"[^\s]+"), 0)
+        return out.filter(has).select(["doc_id", "simhash_u64"])
+
+    sigs = ds.map_batches(_sig_rows, batch_format="pyarrow")
     rows = sigs.map_batches(
         lambda b: simhash_bucket_rows(b, num_buckets=num_buckets,
                                       num_partitions=num_partitions),
@@ -1210,10 +1236,13 @@ class ShingleMinHashBlobStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rpb = max(1, self.num_perm // self.num_bands)
-        keys, blobs, counts = [], [], []
-        for v in batch["text"]:
+        keys, blobs, counts, ids = [], [], [], []
+        for did, v in zip(batch["doc_id"], batch["text"]):
             sh = shingles_of(v.as_py() or "", self.shingle_k,
                              cache=self._gram_cache)
+            if not sh:      # zero-shingle docs: see MinHashStage
+                continue
+            ids.append(did)
             sig = minhash_signature(sh, self.a, self.b)
             raw = sig.astype(">u8").tobytes()
             keys.append(b"".join(
@@ -1224,8 +1253,9 @@ class ShingleMinHashBlobStage:
             arr = np.sort(np.fromiter(sh, dtype=np.uint64, count=len(sh)))
             blobs.append(arr.astype("<u8").tobytes())
             counts.append(len(sh))
+        id_type = batch.schema.field("doc_id").type
         return pa.table({
-            "doc_id": batch["doc_id"],
+            "doc_id": pa.array([d.as_py() for d in ids], id_type),
             "band_keys": pa.array(keys, pa.binary()),
             "blob": pa.array(blobs, pa.binary()),
             "n_sh": pa.array(counts, pa.int64()),

@@ -80,6 +80,23 @@ def _rand_events(rng: np.random.Generator, n: int) -> pa.Table:
     })
 
 
+def _rand_embeddings(rng: np.random.Generator, n: int,
+                     dim: int = 64) -> pa.Table:
+    """Unit-ish float32 vectors with planted near-duplicate pairs (same
+    base + tiny jitter) so threshold queries exercise both outcomes."""
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    for i in range(0, n, 10):            # every 10th is a near-copy of i+1
+        if i + 1 < n:
+            base[i + 1] = base[i] + rng.normal(
+                scale=0.01, size=dim).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in base],
+                              pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 4, size=n), pa.int32()),
+    })
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     df = df.astype({c: "float64" for c in df.columns
@@ -109,12 +126,17 @@ DOC_QUERIES = ["gopher_repetition", "dup_windows", "quantiles",
 EVENT_QUERIES = ["json_field_stats", "running_totals", "sessions",
                  "events_windowed", "events_by_type", "asof_join",
                  "range_join"]
+# the seeded-permutation / seeded-plane families: oracles embed the same
+# seeds, so they must agree on ANY table — including texts shorter than
+# the shingle k and planted near-identical vectors
+NEARDUP_QUERIES = ["minhash_near_dup", "simhash_near_dup",
+                   "jaccard_near_dup", "minhash_clusters"]
+EMBED_QUERIES = ["ann_topk", "embedding_near_dup", "ann_lsh_bucketed",
+                 "ann_lsh_topk", "ann_ivf_topk", "semantic_dedup",
+                 "kmeans_assign"]
 
 
-@pytest.mark.parametrize("seed", [101, 202])
-@pytest.mark.parametrize("name", DOC_QUERIES + EVENT_QUERIES)
-def test_query_matches_oracle_on_random_input(name, seed, tmp_path,
-                                              ray_session):
+def _run_differential(name: str, seed: int, tmp_path) -> None:
     rng = np.random.default_rng(seed)
     sf = tmp_path / f"sf_{name}_{seed}"
     os.makedirs(sf)
@@ -122,10 +144,12 @@ def test_query_matches_oracle_on_random_input(name, seed, tmp_path,
                    str(sf / "documents.parquet"), row_group_size=32)
     pq.write_table(_rand_events(rng, 300),
                    str(sf / "events.parquet"), row_group_size=64)
+    pq.write_table(_rand_embeddings(rng, 120),
+                   str(sf / "embeddings.parquet"), row_group_size=32)
 
     got = _canon(_to_pandas(entrymod.queries()[name](str(sf))))
     con = duckdb.connect()
-    for t in ("documents", "events"):
+    for t in ("documents", "events", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS "
                     f"SELECT * FROM '{sf}/{t}.parquet'")
     exp = _canon(con.execute(entrymod.oracle_sql()[name]).df())
@@ -133,3 +157,20 @@ def test_query_matches_oracle_on_random_input(name, seed, tmp_path,
     assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
     pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                   check_exact=False, rtol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+@pytest.mark.parametrize("name", DOC_QUERIES + EVENT_QUERIES)
+def test_query_matches_oracle_on_random_input(name, seed, tmp_path,
+                                              ray_session):
+    _run_differential(name, seed, tmp_path)
+
+
+@pytest.mark.parametrize("seed", [303])
+@pytest.mark.parametrize("name", NEARDUP_QUERIES + EMBED_QUERIES)
+def test_heavy_query_matches_oracle_on_random_input(name, seed, tmp_path,
+                                                    ray_session):
+    """One seed for the expensive seeded-permutation / embedding
+    families — each case runs a multi-shuffle pipeline plus a heavyweight
+    oracle (recursive CTEs, unrolled permutations)."""
+    _run_differential(name, seed, tmp_path)
