@@ -661,6 +661,52 @@ def q_quality_score(sf_dir: str):
         .select_columns(["doc_id", "score_micro"])
 
 
+def q_url_dedup(sf_dir: str):
+    """URL canonicalization + url-level dedup decision: canonical key
+    (lowercased scheme/host, default ports, utm params, fragments and
+    trailing slashes stripped — every rule an RE2 kernel mirrored in
+    SQL), then the native Min/Count aggregate per canonical url.  The
+    corpus has no url column, so both sides build one deterministically
+    from doc_id (three case/port/tracking variants that collapse to one
+    canonical form per doc_id mod 60)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    from docling_ray.stages.urls import canonical_url_batch
+
+    ds = _documents(sf_dir, columns=["doc_id"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        did = batch["doc_id"].combine_chunks()
+        dn = did.to_numpy(zero_copy_only=False).astype(np.int64)
+        s = lambda arr: pc.cast(pa.array(arr), pa.string())
+        a = s(dn % 4)
+        b = s(dn % 5)
+        c = s(dn % 7)    # variant-independent so the https
+        # variants v0/v2 collapse cross-variant on (a, b, c)
+        j = pc.binary_join_element_wise
+        e = pa.scalar("")
+        v0 = j(pa.scalar("HTTPS://WWW.Site"), a, pa.scalar(".COM:443/P"),
+               b, pa.scalar("/?utm_s=9&id="), c, pa.scalar("#f"),
+               s(did), e)
+        v1 = j(pa.scalar("http://www.site"), a, pa.scalar(".com/P"), b,
+               pa.scalar("?id="), c, e)
+        v2 = j(pa.scalar("https://www.site"), a, pa.scalar(".com:80/P"),
+               b, pa.scalar("/?id="), c, pa.scalar("&utm_a=1"), e)
+        m = dn % 3
+        url = pc.if_else(pa.array(m == 0), v0,
+                         pc.if_else(pa.array(m == 1), v1, v2))
+        return pa.table({"doc_id": batch["doc_id"], "url": url})
+
+    canon = ds.map_batches(augment, batch_format="pyarrow") \
+        .map_batches(canonical_url_batch, batch_format="pyarrow")
+    return canon.groupby("canon_url").aggregate(
+        Min(on="doc_id", alias_name="url_winner"),
+        Count(alias_name="n_urls"))
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-style sequence packing for training: lay docs end to end
     in doc_id order (weight = n_chars) and cut 4096-unit sequences —
@@ -1655,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q_gopher_quality,
         "line_dedup": q_line_dedup,
         "pack_sequences": q_pack_sequences,
+        "url_dedup": q_url_dedup,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -2049,6 +2096,56 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _EVENTS_WINDOWED_ORACLE_SQL,
         "sessions": _SESSIONS_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
+        "url_dedup": r"""
+            -- same fixed-order RE2 rules as canonical_url_batch
+            WITH raw AS (
+                SELECT doc_id,
+                       CASE doc_id % 3
+                         WHEN 0 THEN 'HTTPS://WWW.Site'
+                              || CAST(doc_id % 4 AS VARCHAR)
+                              || '.COM:443/P' || CAST(doc_id % 5 AS VARCHAR)
+                              || '/?utm_s=9&id='
+                              || CAST(doc_id % 7 AS VARCHAR)
+                              || '#f' || CAST(doc_id AS VARCHAR)
+                         WHEN 1 THEN 'http://www.site'
+                              || CAST(doc_id % 4 AS VARCHAR)
+                              || '.com/P' || CAST(doc_id % 5 AS VARCHAR)
+                              || '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                         ELSE 'https://www.site'
+                              || CAST(doc_id % 4 AS VARCHAR)
+                              || '.com:80/P' || CAST(doc_id % 5 AS VARCHAR)
+                              || '/?id=' || CAST(doc_id % 7 AS VARCHAR)
+                              || '&utm_a=1'
+                       END AS u
+                FROM documents
+            ), p AS (
+                SELECT doc_id, u,
+                       regexp_extract(u,
+                           '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^#]*)',
+                           ['scheme', 'host', 'rest']) AS s,
+                       regexp_matches(u,
+                           '^[A-Za-z][A-Za-z0-9+.\-]*://') AS ok
+                FROM raw
+            ), c AS (
+                SELECT doc_id,
+                       CASE WHEN ok THEN
+                           lower(s.scheme) || '://'
+                           || regexp_replace(lower(s.host),
+                                             ':(80|443)$', '')
+                           || regexp_replace(regexp_replace(regexp_replace(
+                                  regexp_replace(s.rest,
+                                      '&utm_[^&]*', '', 'g'),
+                                  '\?utm_[^&]*&', '?', 'g'),
+                                  '\?utm_[^&]*$', '', 'g'),
+                                  '/+$', '', 'g')
+                       ELSE u END AS canon_url
+                FROM p
+            )
+            SELECT canon_url,
+                   min(doc_id) AS url_winner,
+                   CAST(count(*) AS BIGINT) AS n_urls
+            FROM c GROUP BY canon_url
+        """,
         "pack_sequences": """
             SELECT doc_id,
                    CAST(coalesce(sum(n_chars) OVER (

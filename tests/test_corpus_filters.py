@@ -253,3 +253,29 @@ def test_gopher_stats_each_rule_fires():
     assert row["n_tokens"] == len(good.split())
     assert row["n_alpha_tokens"] == len(good.split())
     assert row["n_stopwords"] >= 2 and row["n_symbols"] == 0
+
+
+# -- URL canonicalization -----------------------------------------------------
+
+def test_canonical_url_rules():
+    import pyarrow as pa
+
+    from docling_ray.stages.urls import canonical_url_batch
+
+    cases = {
+        # case-fold scheme+host, keep path case, strip :443, utm, #frag
+        "HTTPS://WWW.Ex.COM:443/Path/?utm_s=1&id=2&utm_c=3#frag":
+            "https://www.ex.com/Path/?id=2",
+        "http://a.b:80/x/": "http://a.b/x",
+        "http://a.b/x": "http://a.b/x",
+        "https://Q.com/?utm_a=1&utm_b=2": "https://q.com",
+        "https://q.com": "https://q.com",
+        # :8080 is NOT a default port — kept
+        "http://h.io:8080/y": "http://h.io:8080/y",
+        # non-urls pass through unchanged, null -> ''
+        "not a url": "not a url",
+        None: "",
+    }
+    t = pa.table({"url": pa.array(list(cases.keys()), pa.string())})
+    got = canonical_url_batch(t)["canon_url"].to_pylist()
+    assert got == list(cases.values())
