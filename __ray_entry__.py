@@ -661,6 +661,38 @@ def q_quality_score(sf_dir: str):
         .select_columns(["doc_id", "score_micro"])
 
 
+def q_crawl_delta(sf_dir: str):
+    """Incremental-crawl ingestion: the delta of a new snapshot against a
+    previous one — new docs (odd doc_id) whose content fingerprint does
+    not appear in the old crawl (even doc_id; a size-independent split).
+    Pure composition: pruned filtered reads → md5 fingerprint →
+    left-anti hash-shuffle join on the fingerprint (the scale-safe form
+    — the old crawl's fingerprint set is corpus-sized, never
+    broadcastable)."""
+    from docling_ray.stages.joins import shuffle_join
+    from docling_ray.stages.textstats import fingerprint_batch
+
+    import pyarrow.compute as pc
+
+    def _fp_side(want_parity: int, cols: list, names: list):
+        def fn(b: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(b["doc_id"],
+                                            pa.scalar(1, pa.int64())),
+                            pa.scalar(want_parity, pa.int64()))
+            return fingerprint_batch(b.filter(keep)) \
+                .select(cols).rename_columns(names)
+        return fn
+
+    docs = _documents(sf_dir, columns=["doc_id", "text"])
+    new = docs.map_batches(
+        _fp_side(1, ["doc_id", "fingerprint"], ["doc_id", "fingerprint"]),
+        batch_format="pyarrow")
+    old = docs.map_batches(
+        _fp_side(0, ["fingerprint"], ["old_fp"]), batch_format="pyarrow")
+    return shuffle_join(new, old, on="fingerprint", right_on="old_fp",
+                        how="left_anti", num_partitions=16)
+
+
 def q_url_dedup(sf_dir: str):
     """URL canonicalization + url-level dedup decision: canonical key
     (lowercased scheme/host, default ports, utm params, fragments and
@@ -1702,6 +1734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q_line_dedup,
         "pack_sequences": q_pack_sequences,
         "url_dedup": q_url_dedup,
+        "crawl_delta": q_crawl_delta,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -2096,6 +2129,16 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _EVENTS_WINDOWED_ORACLE_SQL,
         "sessions": _SESSIONS_ORACLE_SQL,
         "quality_score": _QUALITY_SCORE_ORACLE_SQL,
+        "crawl_delta": """
+            SELECT n.doc_id, md5(coalesce(n.text, '')) AS fingerprint
+            FROM documents n
+            WHERE n.doc_id % 2 = 1
+              AND NOT EXISTS (
+                  SELECT 1 FROM documents o
+                  WHERE o.doc_id % 2 = 0
+                    AND md5(coalesce(o.text, ''))
+                        = md5(coalesce(n.text, '')))
+        """,
         "url_dedup": r"""
             -- same fixed-order RE2 rules as canonical_url_batch
             WITH raw AS (
