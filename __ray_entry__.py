@@ -739,6 +739,46 @@ def q_url_dedup(sf_dir: str):
         Count(alias_name="n_urls"))
 
 
+def q_substring_dedup(sf_dir: str):
+    """Exact-substring dedup with REMOVAL (the deduplicate-text-datasets
+    transform; `dup_windows` is its decision statistic): every 8-token
+    window shared across documents survives only in its minimal doc_id;
+    every other doc loses the covered tokens and is re-joined.  Decision
+    pass moves only (doc, pos, window-hash) rows through ONE shuffle;
+    the bounded loser table is broadcast and applied statelessly
+    (stages/repetition.py — ``backend="join"`` is the pytest-proven
+    payload-shuffle escape hatch for adversarial duplicate rates).  The
+    corpus has few cross-doc exact windows, so the query appends a
+    shared 8-token footer on BOTH sides — every doc but the minimal one
+    loses it, plus any organically shared windows."""
+    import pyarrow.compute as pc
+
+    from docling_ray.stages.repetition import substring_dedup
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"].combine_chunks(), "")
+        aug = pc.binary_join_element_wise(
+            t, pa.scalar("shared footer alpha beta gamma delta "
+                         "epsilon zeta"), pa.scalar(" "))
+        return pa.table({"doc_id": batch["doc_id"], "text": aug})
+
+    cleaned = substring_dedup(
+        ds.map_batches(augment, batch_format="pyarrow"), w=8)
+
+    def project(batch: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        md5s = [_h.md5((v.as_py() or "").encode("utf-8")).hexdigest()
+                for v in batch["text_clean"]]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "clean_md5": pa.array(md5s, pa.string()),
+                         "n_removed": batch["n_removed"]})
+
+    return cleaned.map_batches(project, batch_format="pyarrow")
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-style sequence packing for training: lay docs end to end
     in doc_id order (weight = n_chars) and cut 4096-unit sequences —
@@ -1732,6 +1772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality_score,
         "gopher_quality": q_gopher_quality,
         "line_dedup": q_line_dedup,
+        "substring_dedup": q_substring_dedup,
         "pack_sequences": q_pack_sequences,
         "url_dedup": q_url_dedup,
         "crawl_delta": q_crawl_delta,
@@ -2240,6 +2281,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
                        AS n_lines_dropped
             FROM r GROUP BY doc_id
+        """,
+        "substring_dedup": r"""
+            -- same md5-prefix-uint64 window hash as the engine; winner
+            -- of a cross-doc window = min(doc_id), keeps all its
+            -- occurrences; losers drop every covered token; survivors
+            -- re-join with single spaces (whitespace-normalizing)
+            WITH aug AS (
+                SELECT doc_id,
+                       coalesce(text, '') || ' ' ||
+                       'shared footer alpha beta gamma delta epsilon zeta'
+                           AS txt
+                FROM documents
+            ), tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(txt, '\s+'),
+                                   x -> x <> '') AS t
+                FROM aug
+            ), g AS (
+                SELECT doc_id,
+                       unnest(range(1, length(t) - 6)) AS pos,
+                       unnest(list_transform(range(1, length(t) - 6),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                || ' ' || t[i+3] || ' ' || t[i+4] || ' '
+                                || t[i+5] || ' ' || t[i+6] || ' '
+                                || t[i+7])) AS gram
+                FROM tok
+            ), gh AS (
+                SELECT doc_id, pos,
+                       ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS gh
+                FROM g
+            ), win AS (
+                SELECT gh, min(doc_id) AS mw FROM gh
+                GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+            ), cov AS (
+                SELECT DISTINCT r.doc_id, r.pos + o.o AS cpos
+                FROM (SELECT g2.doc_id, g2.pos
+                      FROM gh g2 JOIN win w USING (gh)
+                      WHERE g2.doc_id <> w.mw) r
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS o) o
+            ), toksp AS (
+                SELECT doc_id, unnest(range(1, length(t) + 1)) AS pos,
+                       unnest(t) AS tk
+                FROM tok
+            ), kept AS (
+                SELECT p.doc_id, p.tk, p.pos
+                FROM toksp p LEFT JOIN cov c
+                  ON p.doc_id = c.doc_id AND p.pos = c.cpos
+                WHERE c.doc_id IS NULL
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(tk, ' ' ORDER BY pos) AS text_clean,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT k.doc_id,
+                   md5(coalesce(a.text_clean, '')) AS clean_md5,
+                   CAST(length(k.t) - coalesce(a.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM tok k LEFT JOIN agg a USING (doc_id)
         """,
         "gopher_quality": r"""
             -- same RE2 patterns as gopher_stats_batch; every rule an

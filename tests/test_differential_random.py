@@ -122,7 +122,8 @@ DOC_QUERIES = ["gopher_repetition", "dup_windows", "quantiles",
                "quality_score", "simhash", "winnow_fingerprint",
                "dedup_exact", "hash_sample", "domain_cap",
                "lang_metrics", "gopher_quality", "line_dedup",
-               "pack_sequences", "url_dedup", "crawl_delta"]
+               "substring_dedup", "pack_sequences", "url_dedup",
+               "crawl_delta"]
 EVENT_QUERIES = ["json_field_stats", "running_totals", "sessions",
                  "events_windowed", "events_by_type", "asof_join",
                  "range_join"]

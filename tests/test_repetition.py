@@ -176,3 +176,90 @@ def test_dup_windows_hot_template_skew(ray_session):
              w=8).take_all()}
     assert all(b[i] == (got[i]["n_windows"], got[i]["n_dup_windows"])
                for i in range(200))
+
+
+# -- substring_dedup (removal) ----------------------------------------------
+
+
+def _clean(ray, texts, w=3, parts=3, backend="broadcast", ids=None):
+    from docling_ray.stages.repetition import substring_dedup
+
+    t = _doc_table(texts) if ids is None else pa.table({
+        "doc_id": pa.array(ids), "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(parts)
+    out = substring_dedup(ds, w=w, backend=backend)
+    return {r["doc_id"]: (r["text_clean"], r["n_removed"])
+            for r in out.take_all()}
+
+
+def test_substring_dedup_winner_keeps_losers_lose(ray_session):
+    import ray
+
+    # docs 0 and 1 share the 3-token window "q r s"; doc 0 (min id) keeps
+    # all its tokens, doc 1 loses exactly the covered span
+    got = _clean(ray, ["q r s t", "a b q r s c"], w=3)
+    assert got[0] == ("q r s t", 0)
+    assert got[1] == ("a b c", 3)
+
+
+def test_substring_dedup_overlapping_windows_union(ray_session):
+    import ray
+
+    # doc1 contains the shared text twice, with overlapping dup windows:
+    # covered spans union, tokens are not double-counted
+    got = _clean(ray, ["q r s t", "q r s t q r s t"], w=3)
+    assert got[0] == ("q r s t", 0)
+    assert got[1] == ("", 8)
+
+
+def test_substring_dedup_within_doc_repeat_untouched(ray_session):
+    import ray
+
+    # a window repeated only WITHIN one doc is not removed
+    got = _clean(ray, ["m n o p m n o"], w=3)
+    assert got[0] == ("m n o p m n o", 0)
+
+
+def test_substring_dedup_short_null_empty(ray_session):
+    import ray
+
+    got = _clean(ray, ["a b", "", None], w=3)
+    assert got[0] == ("a b", 0)
+    assert got[1] == ("", 0)
+    assert got[2] == ("", 0)
+
+
+def test_substring_dedup_whitespace_normalized(ray_session):
+    import ray
+
+    # untouched docs come back whitespace-normalized (the SQL
+    # string_agg(tok, ' ') contract)
+    got = _clean(ray, ["  a   b \t c "], w=3)
+    assert got[0] == ("a b c", 0)
+
+
+def test_substring_dedup_backends_agree(ray_session):
+    import ray
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "intro text the quick brown fox jumps over the lazy dog outro",
+             "the quick brown fox jumps over the lazy dog " * 2,
+             "completely unrelated words here only once",
+             "", None, "short one"]
+    a = _clean(ray, texts, w=4, backend="broadcast")
+    b = _clean(ray, texts, w=4, backend="join")
+    assert a == b
+    # min-id doc keeps the shared text
+    assert a[0][1] == 0 and a[1][1] > 0 and a[2][1] > 0
+
+
+def test_substring_dedup_string_ids_and_partition_invariance(ray_session):
+    import ray
+
+    texts = ["u v w x y", "z u v w x y z2"]
+    a = _clean(ray, texts, w=3, parts=1, ids=["docB", "docA"])
+    b = _clean(ray, texts, w=3, parts=4, ids=["docB", "docA"])
+    assert a == b
+    # lexicographic winner: "docA" (second row) keeps, "docB" loses
+    assert a["docA"][1] == 0
+    assert a["docB"] == ("", 5)
