@@ -779,6 +779,23 @@ def q_substring_dedup(sf_dir: str):
     return cleaned.map_batches(project, batch_format="pyarrow")
 
 
+def q_pagerank(sf_dir: str):
+    """Integer-exact PageRank (3 supersteps, d=0.85) over a seeded
+    link graph: every doc links to 3 pseudo-random nodes
+    ``md5(doc_id||'-'||k) % N`` (the seeded-derivation pattern of the
+    ANN/LSH oracles, so SQL rebuilds the SAME graph).  Each superstep
+    is two hash-bucketed all-to-alls of int64 pairs — the Pregel cost
+    model, no broadcast, nothing driver-side (stages/graph.py); ranks
+    are micro-unit integers with floor division, so sums commute and
+    the result is partition-invariant and hash-exact vs the
+    iteration-unrolled oracle."""
+    from docling_ray.stages.graph import pagerank, seeded_doc_edges
+
+    ds = _documents(sf_dir, columns=["doc_id"])
+    edges = seeded_doc_edges(ds, fanout=3)
+    return pagerank(edges, num_iters=3, num_partitions=32)
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-style sequence packing for training: lay docs end to end
     in doc_id order (weight = n_chars) and cut 4096-unit sequences —
@@ -1773,6 +1790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q_gopher_quality,
         "line_dedup": q_line_dedup,
         "substring_dedup": q_substring_dedup,
+        "pagerank": q_pagerank,
         "pack_sequences": q_pack_sequences,
         "url_dedup": q_url_dedup,
         "crawl_delta": q_crawl_delta,
@@ -2340,6 +2358,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(k.t) - coalesce(a.n_kept, 0) AS BIGINT)
                        AS n_removed
             FROM tok k LEFT JOIN agg a USING (doc_id)
+        """,
+        "pagerank": r"""
+            -- same seeded md5 edge derivation and integer micro-unit
+            -- arithmetic as the engine: r0 = 1e6, contribution
+            -- rank // deg, update 150000 + (85 * sum) // 100; three
+            -- supersteps unrolled (the k-means oracle pattern)
+            WITH e AS (
+                SELECT doc_id AS src,
+                       (('0x' || substr(md5(doc_id::VARCHAR || '-'
+                                            || o.o::VARCHAR), 1, 8))
+                            ::UBIGINT
+                        % (SELECT count(*) FROM documents))::BIGINT AS dst
+                FROM documents
+                CROSS JOIN (SELECT unnest(range(0, 3)) AS o) o
+            ), nd AS (
+                SELECT node, CAST(sum(one) AS BIGINT) AS deg FROM (
+                    SELECT src AS node, 1 AS one FROM e
+                    UNION ALL SELECT dst, 0 FROM e) GROUP BY node
+            ),
+            r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS rank_u
+                   FROM nd),
+            s1 AS (SELECT e.dst AS node,
+                          CAST(sum(r.rank_u // r.deg) AS BIGINT) AS s
+                   FROM e JOIN r0 r ON e.src = r.node
+                   WHERE r.deg > 0 GROUP BY e.dst),
+            r1 AS (SELECT nd.node, nd.deg,
+                          CAST(150000 + (85 * coalesce(s1.s, 0)) // 100
+                               AS BIGINT) AS rank_u
+                   FROM nd LEFT JOIN s1 USING (node)),
+            s2 AS (SELECT e.dst AS node,
+                          CAST(sum(r.rank_u // r.deg) AS BIGINT) AS s
+                   FROM e JOIN r1 r ON e.src = r.node
+                   WHERE r.deg > 0 GROUP BY e.dst),
+            r2 AS (SELECT nd.node, nd.deg,
+                          CAST(150000 + (85 * coalesce(s2.s, 0)) // 100
+                               AS BIGINT) AS rank_u
+                   FROM nd LEFT JOIN s2 USING (node)),
+            s3 AS (SELECT e.dst AS node,
+                          CAST(sum(r.rank_u // r.deg) AS BIGINT) AS s
+                   FROM e JOIN r2 r ON e.src = r.node
+                   WHERE r.deg > 0 GROUP BY e.dst),
+            r3 AS (SELECT nd.node, nd.deg,
+                          CAST(150000 + (85 * coalesce(s3.s, 0)) // 100
+                               AS BIGINT) AS rank_u
+                   FROM nd LEFT JOIN s3 USING (node))
+            SELECT node, rank_u FROM r3
         """,
         "gopher_quality": r"""
             -- same RE2 patterns as gopher_stats_batch; every rule an

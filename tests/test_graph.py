@@ -1,0 +1,76 @@
+"""PageRank over edge Datasets (stages/graph.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _pyref(E, nodes, iters=3):
+    import collections
+
+    deg = collections.Counter(u for u, _ in E)
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        s = collections.Counter()
+        for u, v in E:
+            if deg[u] > 0:
+                s[v] += r[u] // deg[u]
+        r = {n: 150_000 + (85 * s.get(n, 0)) // 100 for n in nodes}
+    return r
+
+
+def _run(ray, E, parts=3, iters=3, P=8):
+    from docling_ray.stages.graph import pagerank
+
+    t = pa.table({"src": pa.array([u for u, _ in E], pa.int64()),
+                  "dst": pa.array([v for _, v in E], pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(parts)
+    out = pagerank(ds, num_iters=iters, num_partitions=P)
+    return {r["node"]: r["rank_u"] for r in out.take_all()}
+
+
+def test_pagerank_matches_reference(ray_session):
+    import ray
+
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 3)]
+    got = _run(ray, E)
+    assert got == _pyref(E, {0, 1, 2, 3})
+
+
+def test_pagerank_random_graph_and_partition_invariance(ray_session):
+    import ray
+
+    rng = np.random.default_rng(7)
+    E = [(int(u), int(v))
+         for u, v in rng.integers(0, 50, size=(300, 2))]
+    nodes = {u for u, _ in E} | {v for _, v in E}
+    a = _run(ray, E, parts=1, P=4)
+    b = _run(ray, E, parts=7, P=16)
+    assert a == b == _pyref(E, nodes)
+
+
+def test_pagerank_dangling_and_sink_nodes(ray_session):
+    import ray
+
+    # node 9 has no out-edges (dangling: contributes nothing but is a
+    # node); node 5 appears only as src
+    E = [(5, 9), (5, 9)]
+    got = _run(ray, E, iters=2)
+    r = _pyref(E, {5, 9}, iters=2)
+    assert got == r
+    assert got[5] == 150_000  # nothing points at 5
+
+
+def test_seeded_doc_edges_deterministic(ray_session):
+    import ray
+
+    from docling_ray.stages.graph import seeded_doc_edges
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64())})
+    a = sorted((r["src"], r["dst"]) for r in
+               seeded_doc_edges(ray.data.from_arrow(t).repartition(2),
+                                n_nodes=4).take_all())
+    b = sorted((r["src"], r["dst"]) for r in
+               seeded_doc_edges(ray.data.from_arrow(t),
+                                n_nodes=4).take_all())
+    assert a == b and len(a) == 12
+    assert all(0 <= v < 4 for _, v in a)
