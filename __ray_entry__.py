@@ -796,6 +796,19 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, num_iters=3, num_partitions=32)
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build (the retrieval primitive): term → sorted
+    ``doc:tf`` posting list (fingerprinted by md5), document frequency
+    and total occurrences.  Combiner-first: the per-batch map emits
+    distinct (term, doc, tf) rows — shuffle volume is O(distinct pairs),
+    not token occurrences — and each term-complete partition builds its
+    postings vectorized (stages/index.py)."""
+    from docling_ray.stages.index import inverted_index
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return inverted_index(ds)
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-style sequence packing for training: lay docs end to end
     in doc_id order (weight = n_chars) and cut 4096-unit sequences —
@@ -1791,6 +1804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q_line_dedup,
         "substring_dedup": q_substring_dedup,
         "pagerank": q_pagerank,
+        "inverted_index": q_inverted_index,
         "pack_sequences": q_pack_sequences,
         "url_dedup": q_url_dedup,
         "crawl_delta": q_crawl_delta,
@@ -2358,6 +2372,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(k.t) - coalesce(a.n_kept, 0) AS BIGINT)
                        AS n_removed
             FROM tok k LEFT JOIN agg a USING (doc_id)
+        """,
+        "inverted_index": r"""
+            -- same RE2 \s+ tokenization; postings are "doc:tf" ordered
+            -- by doc_id and compared by md5 of the canonical string
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '\s+'),
+                                          x -> x <> '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY term, doc_id
+            )
+            SELECT term,
+                   CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS n_occurrences,
+                   md5(string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR,
+                                  ',' ORDER BY doc_id)) AS postings_md5
+            FROM tf GROUP BY term
         """,
         "pagerank": r"""
             -- same seeded md5 edge derivation and integer micro-unit

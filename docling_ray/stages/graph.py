@@ -7,13 +7,14 @@ original PageRank use).  This module implements the iterative rank
 propagation as Ray Data shuffles, in the same scale shape as the
 distributed connected components in stages/dedup.py:
 
-- each superstep is TWO hash-bucketed all-to-alls (Pregel's cost
-  model): a SCATTER that co-partitions edges with ranks on
-  ``hash(src) % P`` and emits per-edge contributions, and a GATHER
-  that co-partitions contributions with the static node-degree table
-  on ``hash(node) % P`` and emits the new ranks.  Every exchanged row
-  is a couple of int64s — never document payloads, never a broadcast,
-  nothing on the driver, so node and edge counts are unbounded;
+- each superstep is ONE hash-bucketed all-to-all: edge rows (keyed by
+  src), node-degree rows (keyed by node) and the previous step's
+  contribution rows (keyed by dst) all travel under the SAME node-id
+  key, so a partition folds its incoming mass and emits the next
+  step's contributions in a single vectorized pass (Pregel with the
+  gather and scatter fused).  Every exchanged row is a couple of
+  int64s — never document payloads, never a broadcast, nothing on the
+  driver, so node and edge counts are unbounded;
 - the tagged-union + ``groupby(part)`` form is used instead of
   ``Dataset.join`` (Ray 2.49's hash-join finalize rejects the
   empty-partition blocks aggregation outputs can produce — the
@@ -73,70 +74,74 @@ def seeded_doc_edges(ds, id_col: str = "doc_id", n_nodes: int | None = None,
     return ds.map_batches(edges_of, batch_format="pyarrow")
 
 
-_SCATTER_SCHEMA = pa.schema([
+# One canonical row schema carries all three message kinds through the
+# per-superstep shuffle: side 0 = edge (key=src, dst), side 1 = node
+# (key=node, deg), side 2 = contribution (key=dst node, c).
+_MSG_SCHEMA = pa.schema([
     ("key", pa.int64()), ("side", pa.int8()), ("dst", pa.int64()),
-    ("deg", pa.int64()), ("rank_u", pa.int64())])
-_CONTRIB_SCHEMA = pa.schema([("key", pa.int64()), ("side", pa.int8()),
-                             ("c", pa.int64()), ("deg", pa.int64())])
-_RANK_SCHEMA = pa.schema([("node", pa.int64()), ("deg", pa.int64()),
-                          ("rank_u", pa.int64())])
+    ("deg", pa.int64()), ("c", pa.int64()), ("part", pa.int64())])
+_RANK_SCHEMA = pa.schema([("node", pa.int64()), ("rank_u", pa.int64())])
 
 
-def _scatter_part(group: pa.Table) -> pa.Table:
-    """One src-complete partition of (rank rows ∪ edge rows) → per-edge
-    contribution rows ``(dst, rank_u // deg)``.  Vectorized pandas merge
-    for the src→(rank, deg) lookup."""
-    out_empty = pa.table({"dst": pa.array([], pa.int64()),
-                          "c": pa.array([], pa.int64())})
+def _superstep(group: pa.Table, first: bool, final: bool, base: int,
+               dpct: int, num_partitions: int) -> pa.Table:
+    """One node-complete partition, one superstep: fold incoming
+    contributions into new ranks (``r0 = 1e6`` on the first step), then
+    either emit the final rank rows or the NEXT step's messages —
+    edge/node rows pass through unchanged (their key, hence partition,
+    is stable) and fresh contribution rows go out keyed by dst."""
+    from docling_ray.stages.dedup import _part_of
+
     if group.num_rows == 0:
-        return out_empty
-    side = group["side"].to_numpy(zero_copy_only=False)
-    em = side == 0
-    rm = ~em
-    if not em.any() or not rm.any():
-        return out_empty
-    edges = pd.DataFrame({
-        "key": group["key"].to_numpy(zero_copy_only=False)[em],
-        "dst": group["dst"].to_numpy(zero_copy_only=False)[em]})
-    ranks = pd.DataFrame({
-        "key": group["key"].to_numpy(zero_copy_only=False)[rm],
-        "deg": group["deg"].to_numpy(zero_copy_only=False)[rm],
-        "rank_u": group["rank_u"].to_numpy(zero_copy_only=False)[rm]})
-    j = edges.merge(ranks, on="key", how="inner")
-    j = j[j["deg"].to_numpy() > 0]
-    if not len(j):
-        return out_empty
-    return pa.table({
-        "dst": pa.array(j["dst"].to_numpy().astype(np.int64)),
-        "c": pa.array(j["rank_u"].to_numpy() // j["deg"].to_numpy()),
-    })
-
-
-def _gather_part(group: pa.Table, base: int, dpct: int) -> pa.Table:
-    """One node-complete partition of (node-degree rows ∪ contribution
-    rows) → new rank rows.  Contribution sums via pandas groupby-sum
-    (C path), then the integer update."""
-    if group.num_rows == 0:
-        return _RANK_SCHEMA.empty_table()
+        return (_RANK_SCHEMA if final else _MSG_SCHEMA).empty_table()
     side = group["side"].to_numpy(zero_copy_only=False)
     nm = side == 1
     if not nm.any():
-        return _RANK_SCHEMA.empty_table()
+        return (_RANK_SCHEMA if final else _MSG_SCHEMA).empty_table()
     nodes = group["key"].to_numpy(zero_copy_only=False)[nm]
     degs = group["deg"].to_numpy(zero_copy_only=False)[nm]
-    cm = ~nm
-    if cm.any():
-        df = pd.DataFrame({
-            "k": group["key"].to_numpy(zero_copy_only=False)[cm],
-            "c": group["c"].to_numpy(zero_copy_only=False)[cm]})
-        sums = df.groupby("k", sort=False)["c"].sum()
-        s = sums.reindex(nodes).fillna(0).to_numpy().astype(np.int64)
+    if first:
+        rank = np.full(len(nodes), 1_000_000, np.int64)
     else:
-        s = np.zeros(len(nodes), np.int64)
-    rank = base + (dpct * s) // 100
-    return pa.table({"node": pa.array(nodes.astype(np.int64)),
-                     "deg": pa.array(degs.astype(np.int64)),
-                     "rank_u": pa.array(rank.astype(np.int64))})
+        cm = side == 2
+        if cm.any():
+            df = pd.DataFrame({
+                "k": group["key"].to_numpy(zero_copy_only=False)[cm],
+                "c": group["c"].to_numpy(zero_copy_only=False)[cm]})
+            sums = df.groupby("k", sort=False)["c"].sum()
+            s = sums.reindex(nodes).fillna(0).to_numpy().astype(np.int64)
+        else:
+            s = np.zeros(len(nodes), np.int64)
+        rank = base + (dpct * s) // 100
+    if final:
+        return pa.table({"node": pa.array(nodes.astype(np.int64)),
+                         "rank_u": pa.array(rank)}).cast(_RANK_SCHEMA)
+    # outgoing contributions: local edges looked up against local ranks
+    em = side == 0
+    parts = []
+    if em.any():
+        edges = pd.DataFrame({
+            "key": group["key"].to_numpy(zero_copy_only=False)[em],
+            "dst": group["dst"].to_numpy(zero_copy_only=False)[em]})
+        ranks = pd.DataFrame({"key": nodes, "deg": degs, "rank_u": rank})
+        j = edges.merge(ranks, on="key", how="inner")
+        j = j[j["deg"].to_numpy() > 0]
+        if len(j):
+            dst = pa.array(j["dst"].to_numpy().astype(np.int64))
+            n = len(j)
+            parts.append(pa.table({
+                "key": dst,
+                "side": pa.array(np.full(n, 2, np.int8)),
+                "dst": pa.nulls(n, pa.int64()),
+                "deg": pa.nulls(n, pa.int64()),
+                "c": pa.array(j["rank_u"].to_numpy()
+                              // j["deg"].to_numpy()),
+                "part": pa.array(_part_of(dst, num_partitions)),
+            }).cast(_MSG_SCHEMA))
+    passthru = group.filter(pa.array(side != 2)).select(
+        _MSG_SCHEMA.names).cast(_MSG_SCHEMA)
+    parts.append(passthru)
+    return pa.concat_tables(parts)
 
 
 def pagerank(edges, num_iters: int = 3, damping_pct: int = 85,
@@ -148,10 +153,13 @@ def pagerank(edges, num_iters: int = 3, damping_pct: int = 85,
     recurrence).  ``damping_pct`` is the damping factor in percent
     (integer, so the update stays exact).
 
-    The per-superstep rank table is materialized (it is (int64 ×3)
-    rows, one per NODE — a decision table, never the corpus payload);
-    without the pin Ray would re-execute the whole lineage from the
-    edge scan once per superstep consumer."""
+    ONE all-to-all per superstep: edge rows, node-degree rows and the
+    previous step's contribution rows all travel keyed by the same
+    node id, so each partition folds its incoming mass AND emits the
+    next step's contributions in a single vectorized pass.  Edges are
+    re-exchanged every superstep — the Dataset-native Pregel trade
+    (persisting them would need long-lived shard actors); each
+    superstep's exchange is O(V + 2E) rows of a few int64s."""
     import ray.data
 
     from docling_ray.stages.dedup import _part_of
@@ -173,81 +181,43 @@ def pagerank(edges, num_iters: int = 3, damping_pct: int = 85,
         })
 
     node_deg = edges.map_batches(_deg_rows, batch_format="pyarrow") \
-        .groupby("node").aggregate(Sum(on="one", alias_name="deg")) \
-        .materialize()
-
-    ranks = node_deg.map_batches(
-        lambda b: pa.table({
-            "node": b["node"],
-            "deg": pc.fill_null(b["deg"], 0),
-            "rank_u": pa.array(np.full(b.num_rows, 1_000_000, np.int64))}),
-        batch_format="pyarrow")
+        .groupby("node").aggregate(Sum(on="one", alias_name="deg"))
 
     def _tag_edges(b: pa.Table) -> pa.Table:
+        key = b[src_col].combine_chunks().cast(pa.int64())
         out = pa.table({
-            "key": b[src_col].combine_chunks().cast(pa.int64()),
+            "key": key,
             "side": pa.array(np.zeros(b.num_rows, np.int8)),
             "dst": b[dst_col].combine_chunks().cast(pa.int64()),
             "deg": pa.nulls(b.num_rows, pa.int64()),
-            "rank_u": pa.nulls(b.num_rows, pa.int64())}).cast(
-                _SCATTER_SCHEMA)
-        return out.append_column(
-            "part", pa.array(_part_of(out["key"], num_partitions)))
+            "c": pa.nulls(b.num_rows, pa.int64()),
+            "part": pa.array(_part_of(key, num_partitions))})
+        return out.cast(_MSG_SCHEMA)
 
-    def _tag_ranks(b: pa.Table) -> pa.Table:
+    def _tag_nodes(b: pa.Table) -> pa.Table:
         if b.num_columns == 0 or b.num_rows == 0:
-            return _SCATTER_SCHEMA.append(
-                pa.field("part", pa.int64())).empty_table()
+            return _MSG_SCHEMA.empty_table()
+        key = b["node"].combine_chunks().cast(pa.int64())
         out = pa.table({
-            "key": b["node"].combine_chunks().cast(pa.int64()),
+            "key": key,
             "side": pa.array(np.ones(b.num_rows, np.int8)),
             "dst": pa.nulls(b.num_rows, pa.int64()),
-            "deg": b["deg"],
-            "rank_u": b["rank_u"]}).cast(_SCATTER_SCHEMA)
-        return out.append_column(
-            "part", pa.array(_part_of(out["key"], num_partitions)))
-
-    def _tag_contrib(b: pa.Table) -> pa.Table:
-        if b.num_columns == 0 or b.num_rows == 0:
-            return _CONTRIB_SCHEMA.append(
-                pa.field("part", pa.int64())).empty_table()
-        out = pa.table({
-            "key": b["dst"],
-            "side": pa.array(np.zeros(b.num_rows, np.int8)),
-            "c": b["c"],
-            "deg": pa.nulls(b.num_rows, pa.int64())}).cast(_CONTRIB_SCHEMA)
-        return out.append_column(
-            "part", pa.array(_part_of(out["key"], num_partitions)))
-
-    def _tag_node_deg(b: pa.Table) -> pa.Table:
-        out = pa.table({
-            "key": b["node"].combine_chunks().cast(pa.int64()),
-            "side": pa.array(np.ones(b.num_rows, np.int8)),
+            "deg": pc.fill_null(b["deg"], 0),
             "c": pa.nulls(b.num_rows, pa.int64()),
-            "deg": pc.fill_null(b["deg"], 0)}).cast(_CONTRIB_SCHEMA)
-        return out.append_column(
-            "part", pa.array(_part_of(out["key"], num_partitions)))
+            "part": pa.array(_part_of(key, num_partitions))})
+        return out.cast(_MSG_SCHEMA)
 
-    for _ in range(num_iters):
-        scatter = edges.map_batches(_tag_edges, batch_format="pyarrow") \
-            .union(ranks.map_batches(_tag_ranks, batch_format="pyarrow")) \
-            .groupby("part").map_groups(_scatter_part,
-                                        batch_format="pyarrow")
-        ranks = scatter.map_batches(_tag_contrib, batch_format="pyarrow") \
-            .union(node_deg.map_batches(_tag_node_deg,
-                                        batch_format="pyarrow")) \
-            .groupby("part").map_groups(
-                lambda g: _gather_part(g, base, dpct),
-                batch_format="pyarrow") \
-            .materialize()
+    cur = edges.map_batches(_tag_edges, batch_format="pyarrow").union(
+        node_deg.map_batches(_tag_nodes, batch_format="pyarrow"))
+    # num_iters UPDATES need num_iters + 1 passes: step 0 scatters the
+    # r0 = 1e6 contributions, steps 1..num_iters-1 fold and re-scatter,
+    # the final pass only folds and emits the rank rows
+    for i in range(num_iters + 1):
+        first, final = i == 0, i == num_iters
+        cur = cur.groupby("part").map_groups(
+            lambda g, _f=first, _l=final: _superstep(
+                g, _f, _l, base, dpct, num_partitions),
+            batch_format="pyarrow")
 
-    import ray.data as rd
-
-    empty = rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
-                                    "rank_u": pa.array([], pa.int64())}))
-    return empty.union(ranks.map_batches(
-        lambda b: (b.drop_columns(["deg"])
-                   if b.num_columns else pa.table(
-                       {"node": pa.array([], pa.int64()),
-                        "rank_u": pa.array([], pa.int64())})),
-        batch_format="pyarrow"))
+    empty = ray.data.from_arrow(_RANK_SCHEMA.empty_table())
+    return empty.union(cur)
