@@ -162,6 +162,22 @@ def q_sessions(sf_dir: str):
     return sessionize(ds)
 
 
+def q_funnel(sf_dir: str):
+    """Per-user funnel depth for signup → click → purchase: the longest
+    prefix of the step list a user performed in (ts, event_id) order,
+    greedy earliest-match (optimal for subsequence existence).  ONE
+    hash(user) shuffle, len(steps) vectorized passes per partition
+    (stages/sessions.py)."""
+    import ray.data
+
+    from docling_ray.stages.sessions import funnel
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    return funnel(ds, ["signup", "click", "purchase"])
+
+
 def q_events_by_type(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -1805,6 +1821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": q_substring_dedup,
         "pagerank": q_pagerank,
         "inverted_index": q_inverted_index,
+        "funnel": q_funnel,
         "pack_sequences": q_pack_sequences,
         "url_dedup": q_url_dedup,
         "crawl_delta": q_crawl_delta,
@@ -2372,6 +2389,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(k.t) - coalesce(a.n_kept, 0) AS BIGINT)
                        AS n_removed
             FROM tok k LEFT JOIN agg a USING (doc_id)
+        """,
+        "funnel": r"""
+            -- greedy earliest-match funnel: p_k = first step-k event
+            -- strictly after p_{k-1} in (ts, event_id) order
+            WITH e AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS pos
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_id IS NOT NULL
+            ),
+            p1 AS (SELECT user_id, min(pos) AS p FROM e
+                   WHERE event_type = 'signup' GROUP BY user_id),
+            p2 AS (SELECT e.user_id, min(e.pos) AS p
+                   FROM e JOIN p1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.pos > p1.p
+                   GROUP BY e.user_id),
+            p3 AS (SELECT e.user_id, min(e.pos) AS p
+                   FROM e JOIN p2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.pos > p2.p
+                   GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CAST(CASE WHEN p3.p IS NOT NULL THEN 3
+                             WHEN p2.p IS NOT NULL THEN 2
+                             WHEN p1.p IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_depth
+            FROM (SELECT DISTINCT user_id FROM e) u
+            LEFT JOIN p1 USING (user_id)
+            LEFT JOIN p2 USING (user_id)
+            LEFT JOIN p3 USING (user_id)
         """,
         "inverted_index": r"""
             -- same RE2 \s+ tokenization; postings are "doc:tf" ordered

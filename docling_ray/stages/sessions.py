@@ -207,3 +207,112 @@ def sessionize(ds, user_column: str = "user_id", ts_column: str = "ts",
         "end_us": pa.array([], pa.int64()),
     }))
     return empty.union(sessions)
+
+
+# -- funnel analysis ----------------------------------------------------------
+
+
+def funnel_partition(part: pa.Table, steps: list, user_column: str,
+                     ts_column: str, type_column: str,
+                     order_column: str) -> pa.Table:
+    """One user-complete partition → ``(user_id, funnel_depth)``: the
+    longest prefix of ``steps`` that occurs as an ORDERED subsequence of
+    the user's events (strict order on ``(ts, order_column)``).  Greedy
+    earliest-match per step, each step one vectorized pandas
+    groupby-min — Python runs len(steps) times per partition, never per
+    user."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    user_type = part.schema.field(user_column).type
+    empty = pa.table({user_column: pa.array([], user_type),
+                      "funnel_depth": pa.array([], pa.int64())})
+    n = part.num_rows
+    if n == 0:
+        return empty
+    order = pc.sort_indices(part, sort_keys=[
+        (user_column, "ascending"), (ts_column, "ascending"),
+        (order_column, "ascending")])
+    g = part.take(order)
+    users = g[user_column].to_numpy(zero_copy_only=False)
+    types = g[type_column].to_numpy(zero_copy_only=False)
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = users[1:] != users[:-1]
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.append(starts, n))
+    # 0-based position within each user's time-ordered events: the
+    # strict-subsequence order both sides compare on
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    uniq_users = users[starts]
+    depth = np.zeros(len(uniq_users), np.int64)
+    # prev[u] = position of the step-k match; only users still "alive"
+    # (matched every step so far) advance
+    prev = pd.Series(np.full(len(uniq_users), -1, np.int64),
+                     index=pd.Index(uniq_users))
+    df = pd.DataFrame({"u": users, "pos": pos, "t": types})
+    for k, step in enumerate(steps):
+        cand = df[df["t"] == step]
+        if not len(cand):
+            break
+        lim = prev.reindex(cand["u"].to_numpy())
+        alive = lim.notna().to_numpy() & (cand["pos"].to_numpy()
+                                          > lim.fillna(np.inf).to_numpy())
+        cand = cand[alive]
+        if not len(cand):
+            break
+        found = cand.groupby("u", sort=False)["pos"].min()
+        depth[pd.Index(uniq_users).get_indexer(found.index)] = k + 1
+        prev = found
+    return pa.table({
+        user_column: g[user_column].take(pa.array(starts, pa.int64())),
+        "funnel_depth": pa.array(depth),
+    })
+
+
+def funnel(ds, steps: list, user_column: str = "user_id",
+           ts_column: str = "ts", type_column: str = "event_type",
+           order_column: str = "event_id", num_partitions: int = 64):
+    """Per-user funnel depth: the longest prefix of ``steps`` (event
+    types) a user performed in order, matching greedily at the earliest
+    opportunity (greedy earliest-match is optimal for subsequence
+    existence).  Events are totally ordered by ``(ts, order_column)``
+    so timestamp ties resolve deterministically.
+
+    Shape: ONE hash(user) shuffle of (user, ts, order, type) rows, then
+    len(steps) vectorized passes per partition.  Rows with a null user,
+    ts or order are dropped (the sessionize null contract)."""
+    import pyarrow.compute as pc
+
+    def prep(batch: pa.Table) -> pa.Table:
+        col = batch[ts_column]
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us")).cast(pa.int64())
+        out = pa.table({
+            user_column: batch[user_column],
+            ts_column: col,
+            order_column: batch[order_column],
+            type_column: batch[type_column],
+        })
+        valid = pc.and_(pc.and_(pc.is_valid(out[user_column]),
+                                pc.is_valid(out[ts_column])),
+                        pc.is_valid(out[order_column]))
+        out = out.filter(valid)
+        return out.append_column(
+            "_part", pa.array(_part_of(out[user_column], num_partitions),
+                              pa.int64()))
+
+    sch = ds.schema()
+    user_type = dict(zip(sch.names, sch.types))[user_column]
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("_part").map_groups(
+            lambda p: funnel_partition(p.drop_columns(["_part"]), steps,
+                                       user_column, ts_column,
+                                       type_column, order_column),
+            batch_format="pyarrow")
+    import ray.data
+
+    empty = ray.data.from_arrow(pa.table({
+        user_column: pa.array([], user_type),
+        "funnel_depth": pa.array([], pa.int64())}))
+    return empty.union(out)

@@ -73,7 +73,8 @@ def _rand_events(rng: np.random.Generator, n: int) -> pa.Table:
         "ts": pa.array(ts).cast(pa.timestamp("us")),
         "user_id": pa.array(rng.integers(0, 6, size=n), pa.int64()),
         "event_type": pa.array(
-            [["click", "view", "error"][int(rng.integers(0, 3))]
+            [["click", "view", "error", "signup", "purchase"][
+                int(rng.integers(0, 5))]
              for _ in range(n)], pa.string()),
         "value": pa.array(rng.uniform(-5, 5, size=n), pa.float64()),
         "props": pa.array(props, pa.string()),
@@ -126,7 +127,7 @@ DOC_QUERIES = ["gopher_repetition", "dup_windows", "quantiles",
                "crawl_delta", "pagerank", "inverted_index"]
 EVENT_QUERIES = ["json_field_stats", "running_totals", "sessions",
                  "events_windowed", "events_by_type", "asof_join",
-                 "range_join"]
+                 "range_join", "funnel"]
 # the seeded-permutation / seeded-plane families: oracles embed the same
 # seeds, so they must agree on ANY table — including texts shorter than
 # the shingle k and planted near-identical vectors
