@@ -1204,6 +1204,22 @@ def q_extract_corpus(sf_dir: str):
     return out.select_columns(["url", "doc_id", "status", "n_items"])
 
 
+def q_outlinks(sf_dir: str):
+    """Outlink extraction over the deterministic synthetic corpus: every
+    <a href> in document order with whitespace-collapsed anchor text,
+    skipping script/style/hidden boilerplate — the crawl-graph edge half
+    of extraction (stages/graph.py::extract_outlinks over the engine's
+    own DOM).  TRUE golden: the generator records each hyperlink run
+    while emitting (sources/webpages.py), never by parsing."""
+    import ray.data
+
+    from docling_ray.sources.webpages import make_table
+    from docling_ray.stages.graph import extract_outlinks
+
+    web = ray.data.from_arrow(make_table(120, seed=42))
+    return extract_outlinks(web)
+
+
 def _lsh_bucketed_oracle_sql(num_bands: int = 8,
                              planes_per_band: int = 3) -> str:
     """DuckDB mirror of ``lsh_bucketed_pairs``: the SAME hyperplanes (seeded
@@ -1837,6 +1853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
         "extract_corpus": q_extract_corpus,
+        "outlinks": q_outlinks,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
@@ -2667,6 +2684,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_corpus": f"""
             SELECT url, doc_id, status, n_items
             FROM read_parquet('{_GOLDEN_DIR}/golden_extract.parquet')
+        """,
+        "outlinks": f"""
+            SELECT url, link_idx, href, anchor_text
+            FROM read_parquet('{_GOLDEN_DIR}/golden_outlinks.parquet')
         """,
         "chunks": f"""
             SELECT url, chunk_id, n_tokens, kind

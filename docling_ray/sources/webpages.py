@@ -65,8 +65,11 @@ def _inline_run(rng: random.Random) -> tuple[str, tuple]:
     return words, ("plain",)
 
 
-def _paragraph(rng: random.Random) -> tuple[str, int, list]:
-    """Returns (html, expected item count, chunk events list).  A paragraph
+def _paragraph(rng: random.Random) -> tuple[str, int, list, list]:
+    """Returns (html, expected item count, chunk events list, outlinks
+    list — the ``(href, anchor_text)`` of every hyperlink run, in
+    document order, derived from the SAME run draws so the rng call
+    sequence is untouched).  A paragraph
     without formatting elements is ONE text item; with any formatting it
     becomes an inline group + one item per merged run: the run sequence is
     [lead sentence(plain)] + runs + [trailing '.'(plain)], whitespace
@@ -100,9 +103,10 @@ def _paragraph(rng: random.Random) -> tuple[str, int, list]:
     # STARTS a merge group keeps it) and they count as enrichable items
     events = [("code" if key == ("code",) else "text", tok)
               for key, tok in groups]
+    links = [(k[1], _run_words(h, k)) for h, k in runs if k[0] == "a"]
     if len(groups) == 1:
-        return html, 1, events    # no formatting: single text item
-    return html, 1 + len(groups), events   # inline group + merged runs
+        return html, 1, events, links   # no formatting: single text item
+    return html, 1 + len(groups), events, links  # group + merged runs
 
 
 def _run_words(html_run: str, key: tuple) -> str:
@@ -190,9 +194,9 @@ def _noise(rng: random.Random) -> str:
 
 
 def make_html(rng: random.Random, doc_idx: int,
-              n_sections: int) -> tuple[str, int, list, int]:
+              n_sections: int) -> tuple[str, int, list, int, list]:
     """Returns (html, expected item count, expected chunk rows,
-    expected enrichable-item count).
+    expected enrichable-item count, expected outlinks).
 
     Both expectations are derived WHILE EMITTING each construct — never by
     running the extractor — so they are pipeline-independent TRUE goldens.
@@ -224,9 +228,11 @@ def make_html(rng: random.Random, doc_idx: int,
     def snap() -> tuple:
         return tuple(text for _, text in path)
 
-    lead_html, lead_count, lead_events = _paragraph(rng)
+    links: list[tuple[str, str]] = []
+    lead_html, lead_count, lead_events, lead_links = _paragraph(rng)
     parts.append(lead_html)
     events += [(snap(), k, t) for k, t in lead_events]
+    links += lead_links
     n_items = 2 + lead_count   # title + h1 (cur 0 -> 1) + lead paragraph
     cur = 1
     level = 2
@@ -245,10 +251,11 @@ def make_html(rng: random.Random, doc_idx: int,
         for _ in range(rng.randint(1, 4)):
             roll = rng.random()
             if roll < 0.45:
-                p_html, p_count, p_events = _paragraph(rng)
+                p_html, p_count, p_events, p_links = _paragraph(rng)
                 parts.append(p_html)
                 n_items += p_count
                 events += [(snap(), k, t) for k, t in p_events]
+                links += p_links
             elif roll < 0.6:
                 sub_html, sub_count, sub_tokens = _list(
                     rng, ordered=rng.random() < 0.5, nested=True)
@@ -294,7 +301,7 @@ def make_html(rng: random.Random, doc_idx: int,
         else:
             chunks.append([p, k, t])
     return ("".join(parts), n_items, [(k, t) for _, k, t in chunks],
-            n_enrichable)
+            n_enrichable, links)
 
 
 def make_rows(start: int, count: int, seed: int = 42,
@@ -311,12 +318,14 @@ def make_rows(start: int, count: int, seed: int = 42,
     expected: list[int] = []
     expected_chunks: list[list] = []
     expected_enrich: list[int] = []
+    expected_links: list[list] = []
     for i in range(start, start + count):
         rng = random.Random((seed << 20) ^ i)
         n_sections = rng.randint(1, 4)
         if skew_every and i and i % skew_every == 0:
             n_sections *= rng.randint(10, 50)  # long-tail giant documents
-        html, n_items, chunks, n_enrichable = make_html(rng, i, n_sections)
+        html, n_items, chunks, n_enrichable, links = make_html(
+            rng, i, n_sections)
         lang = LANGS[i % len(LANGS)]
         urls.append(f"https://synthetic-{seed}.example.org/{lang}/doc-{i}")
         tss.append(t0 + timedelta(seconds=17 * i))
@@ -326,10 +335,12 @@ def make_rows(start: int, count: int, seed: int = 42,
         expected.append(n_items)
         expected_chunks.append(chunks)
         expected_enrich.append(n_enrichable)
+        expected_links.append(links)
     data = {"url": urls, "warc_ts": tss, "html": htmls, "text": texts,
             "lang": langs}
     if with_expected:
-        return data, expected, expected_chunks, expected_enrich
+        return data, expected, expected_chunks, expected_enrich, \
+            expected_links
     return data
 
 
@@ -355,7 +366,7 @@ def make_expected_table(n: int, seed: int = 42, start: int = 0,
     from the input alone, never from running the extractor."""
     import hashlib
 
-    data, expected, _, _ = make_rows(start, n, seed=seed,
+    data, expected, _, _, _ = make_rows(start, n, seed=seed,
                                      skew_every=skew_every,
                                      with_expected=True)
     doc_ids = [hashlib.sha256(h).hexdigest() for h in data["html"]]
@@ -376,7 +387,7 @@ def make_expected_corpus_chunks_table(n: int, seed: int = 42, start: int = 0,
     Planted duplicates (same bytes under a later-sorting url) are dropped
     upstream by exact dedup, so they are simply absent here — the caller
     plants them in the INPUT only."""
-    data, _, expected_chunks, _ = make_rows(start, n, seed=seed,
+    data, _, expected_chunks, _, _ = make_rows(start, n, seed=seed,
                                             skew_every=skew_every,
                                             with_expected=True)
     urls, ids, toks, kinds = [], [], [], []
@@ -472,7 +483,7 @@ def make_expected_chunks_table(n: int, seed: int = 42, start: int = 0,
     ``(url, chunk_id, n_tokens, kind)`` rows simulated from the generative
     structure under the chunker contract (see ``make_html``) — never by
     running the extractor or chunker."""
-    data, _, expected_chunks, _ = make_rows(start, n, seed=seed,
+    data, _, expected_chunks, _, _ = make_rows(start, n, seed=seed,
                                             skew_every=skew_every,
                                             with_expected=True)
     urls, ids, toks, kinds = [], [], [], []
@@ -522,10 +533,34 @@ def make_expected_enrich_table(n: int, seed: int = 42, start: int = 0,
     pictures, one stub annotation each under the default model pair
     (``stages/enrich.DEFAULT_ENRICHMENT_MODELS``) — derived from the
     construct stream, never by running the pipeline."""
-    data, _, _, expected_enrich = make_rows(start, n, seed=seed,
+    data, _, _, expected_enrich, _ = make_rows(start, n, seed=seed,
                                             skew_every=skew_every,
                                             with_expected=True)
     return pa.table({
         "url": pa.array(data["url"], pa.string()),
         "n_enriched": pa.array(expected_enrich, pa.int32()),
+    })
+
+
+def make_expected_outlinks_table(n: int, seed: int = 42, start: int = 0,
+                                 skew_every: int = 50) -> pa.Table:
+    """Generator-side TRUE golden for outlink extraction:
+    ``(url, link_idx, href, anchor_text)`` — one row per hyperlink run
+    in document order, derived from the construct stream while emitting
+    (never by parsing the html)."""
+    data, _, _, _, expected_links = make_rows(start, n, seed=seed,
+                                              skew_every=skew_every,
+                                              with_expected=True)
+    urls, idxs, hrefs, texts = [], [], [], []
+    for u, links in zip(data["url"], expected_links):
+        for j, (href, text) in enumerate(links):
+            urls.append(u)
+            idxs.append(j)
+            hrefs.append(href)
+            texts.append(text)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "link_idx": pa.array(idxs, pa.int64()),
+        "href": pa.array(hrefs, pa.string()),
+        "anchor_text": pa.array(texts, pa.string()),
     })

@@ -221,3 +221,34 @@ def pagerank(edges, num_iters: int = 3, damping_pct: int = 85,
 
     empty = ray.data.from_arrow(_RANK_SCHEMA.empty_table())
     return empty.union(cur)
+
+
+def extract_outlinks(ds, html_col: str = "html", url_col: str = "url"):
+    """Explode a web-pages Dataset into its outlink rows ``(url,
+    link_idx, href, anchor_text)`` — the edge-extraction half of crawl
+    graph construction (kernels/outlinks.py; per-document DOM parse is
+    the same cost class as the content extraction itself).  Stateless
+    map, streams at any scale; feed the result to ``pagerank`` after
+    resolving hrefs to node ids."""
+    from docling_ray.kernels.outlinks import outlinks_of
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls, idxs, hrefs, texts = [], [], [], []
+        raw = batch[html_col].to_pylist()
+        us = batch[url_col].to_pylist()
+        for u, h in zip(us, raw):
+            if h is None:
+                continue
+            for j, (href, text) in enumerate(outlinks_of(h)):
+                urls.append(u)
+                idxs.append(j)
+                hrefs.append(href)
+                texts.append(text)
+        return pa.table({
+            url_col: pa.array(urls, pa.string()),
+            "link_idx": pa.array(idxs, pa.int64()),
+            "href": pa.array(hrefs, pa.string()),
+            "anchor_text": pa.array(texts, pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")

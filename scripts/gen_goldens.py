@@ -99,6 +99,14 @@ def main() -> None:
 
     pq.write_table(make_expected_enrich_table(60, seed=42),
                    os.path.join(out_dir, "golden_enrich.parquet"))
+
+    # -- outlinks: TRUE golden — (url, link_idx, href, anchor_text) of
+    #    every hyperlink run, recorded by the generator while emitting,
+    #    never by parsing the html
+    from docling_ray.sources.webpages import make_expected_outlinks_table
+
+    pq.write_table(make_expected_outlinks_table(120, seed=42),
+                   os.path.join(out_dir, "golden_outlinks.parquet"))
     print("goldens written to", out_dir)
 
 

@@ -74,3 +74,40 @@ def test_seeded_doc_edges_deterministic(ray_session):
                                 n_nodes=4).take_all())
     assert a == b and len(a) == 12
     assert all(0 <= v < 4 for _, v in a)
+
+
+# -- outlink extraction -------------------------------------------------------
+
+
+def test_outlinks_kernel_rules():
+    from docling_ray.kernels.outlinks import outlinks_of
+
+    html = (b"<html><body>"
+            b'<p>see <a href="/a">first  link</a> and '
+            b'<a href="https://x.example/b"><b>bold</b> text</a></p>'
+            b'<a>no href</a>'
+            b'<script>var a = "<a href=\'/fake\'>x</a>";</script>'
+            b'<div hidden><a href="/hidden">nope</a></div>'
+            b'<nav hidden><a href="/nav">nope</a></nav>'
+            b"</body></html>")
+    got = outlinks_of(html)
+    assert got == [("/a", "first link"),
+                   ("https://x.example/b", "bold text")]
+
+
+def test_outlinks_match_generator_true_golden(ray_session):
+    import ray
+
+    from docling_ray.sources.webpages import (make_expected_outlinks_table,
+                                              make_table)
+    from docling_ray.stages.graph import extract_outlinks
+
+    web = ray.data.from_arrow(make_table(60, seed=42)).repartition(4)
+    got = sorted(
+        (r["url"], r["link_idx"], r["href"], r["anchor_text"])
+        for r in extract_outlinks(web).take_all())
+    exp = sorted(zip(*[make_expected_outlinks_table(60, seed=42)[c]
+                       .to_pylist()
+                       for c in ("url", "link_idx", "href",
+                                 "anchor_text")]))
+    assert got == exp and len(got) > 0
