@@ -1220,6 +1220,25 @@ def q_outlinks(sf_dir: str):
     return extract_outlinks(web)
 
 
+def q_crawl_rank(sf_dir: str):
+    """The composed crawl-graph chain end-to-end: HTML → outlink
+    extraction (engine DOM) → root-relative href resolution → md5 node
+    ids → 3 supersteps of integer-exact PageRank, all as streaming Ray
+    stages (stages/graph.py).  TRUE golden: the generator simulates the
+    same chain in pure python from its recorded hyperlink runs
+    (scripts/gen_goldens.py) — extraction, resolution and the rank
+    recurrence are all verified in one composed result."""
+    import ray.data
+
+    from docling_ray.sources.webpages import make_table
+    from docling_ray.stages.graph import (extract_outlinks, pagerank,
+                                          resolve_link_edges)
+
+    web = ray.data.from_arrow(make_table(120, seed=42))
+    edges = resolve_link_edges(extract_outlinks(web))
+    return pagerank(edges, num_iters=3, num_partitions=32)
+
+
 def _lsh_bucketed_oracle_sql(num_bands: int = 8,
                              planes_per_band: int = 3) -> str:
     """DuckDB mirror of ``lsh_bucketed_pairs``: the SAME hyperplanes (seeded
@@ -1854,6 +1873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         "extract_corpus": q_extract_corpus,
         "outlinks": q_outlinks,
+        "crawl_rank": q_crawl_rank,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
@@ -2688,6 +2708,10 @@ def oracle_sql() -> dict[str, str]:
         "outlinks": f"""
             SELECT url, link_idx, href, anchor_text
             FROM read_parquet('{_GOLDEN_DIR}/golden_outlinks.parquet')
+        """,
+        "crawl_rank": f"""
+            SELECT node, rank_u
+            FROM read_parquet('{_GOLDEN_DIR}/golden_crawl_rank.parquet')
         """,
         "chunks": f"""
             SELECT url, chunk_id, n_tokens, kind

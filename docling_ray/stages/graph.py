@@ -98,16 +98,24 @@ def _superstep(group: pa.Table, first: bool, final: bool, base: int,
     nm = side == 1
     if not nm.any():
         return (_RANK_SCHEMA if final else _MSG_SCHEMA).empty_table()
-    nodes = group["key"].to_numpy(zero_copy_only=False)[nm]
-    degs = group["deg"].to_numpy(zero_copy_only=False)[nm]
+    # CRITICAL: filter rows FIRST, extract columns SECOND.  The mixed
+    # message table carries nulls in every payload column (an edge row's
+    # deg, a node row's dst, ...), and to_numpy on an int64 column WITH
+    # nulls comes back float64 — which silently corrupts 64-bit node
+    # ids beyond 2^53 (md5-hash ids always are).  Filtering to the rows
+    # of one side drops the nulls, so the columns materialize int64.
+    nodes_t = group.filter(pa.array(nm))
+    nodes = nodes_t["key"].to_numpy(zero_copy_only=False)
+    degs = nodes_t["deg"].to_numpy(zero_copy_only=False)
     if first:
         rank = np.full(len(nodes), 1_000_000, np.int64)
     else:
         cm = side == 2
         if cm.any():
+            c_t = group.filter(pa.array(cm))
             df = pd.DataFrame({
-                "k": group["key"].to_numpy(zero_copy_only=False)[cm],
-                "c": group["c"].to_numpy(zero_copy_only=False)[cm]})
+                "k": c_t["key"].to_numpy(zero_copy_only=False),
+                "c": c_t["c"].to_numpy(zero_copy_only=False)})
             sums = df.groupby("k", sort=False)["c"].sum()
             s = sums.reindex(nodes).fillna(0).to_numpy().astype(np.int64)
         else:
@@ -120,9 +128,10 @@ def _superstep(group: pa.Table, first: bool, final: bool, base: int,
     em = side == 0
     parts = []
     if em.any():
+        e_t = group.filter(pa.array(em))
         edges = pd.DataFrame({
-            "key": group["key"].to_numpy(zero_copy_only=False)[em],
-            "dst": group["dst"].to_numpy(zero_copy_only=False)[em]})
+            "key": e_t["key"].to_numpy(zero_copy_only=False),
+            "dst": e_t["dst"].to_numpy(zero_copy_only=False)})
         ranks = pd.DataFrame({"key": nodes, "deg": degs, "rank_u": rank})
         j = edges.merge(ranks, on="key", how="inner")
         j = j[j["deg"].to_numpy() > 0]
@@ -252,3 +261,43 @@ def extract_outlinks(ds, html_col: str = "html", url_col: str = "url"):
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _node_id_of(url: str) -> int:
+    """Stable int64 node id of a url: first 8 bytes of md5, big-endian,
+    two's-complement into int64 (the generator-side golden uses the
+    same formula)."""
+    import hashlib
+
+    v = int.from_bytes(hashlib.md5(url.encode("utf-8")).digest()[:8],
+                       "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def resolve_link_edges(links, url_col: str = "url",
+                       href_col: str = "href"):
+    """Outlink rows → int64 graph edges ``(src, dst)``: root-relative
+    hrefs ("/...") resolve against the source url's origin
+    (scheme://host), absolute http(s) hrefs pass through, anything else
+    (fragments, mailto, protocol-relative) is dropped.  Node ids are
+    md5-prefix int64s of the resolved url (`_node_id_of`) — url strings
+    never enter the PageRank shuffles."""
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for u, h in zip(batch[url_col].to_pylist(),
+                        batch[href_col].to_pylist()):
+            if u is None or not h:
+                continue
+            if h.startswith("http://") or h.startswith("https://"):
+                target = h
+            elif h.startswith("/") and not h.startswith("//"):
+                target = "/".join(u.split("/", 3)[:3]) + h
+            else:
+                continue
+            srcs.append(_node_id_of(u))
+            dsts.append(_node_id_of(target))
+        return pa.table({"src": pa.array(srcs, pa.int64()),
+                         "dst": pa.array(dsts, pa.int64())})
+
+    return links.map_batches(to_edges, batch_format="pyarrow")

@@ -107,6 +107,41 @@ def main() -> None:
 
     pq.write_table(make_expected_outlinks_table(120, seed=42),
                    os.path.join(out_dir, "golden_outlinks.parquet"))
+
+    # -- crawl_rank: TRUE golden — the composed extract→graph→PageRank
+    #    chain simulated in pure python from the generator's recorded
+    #    hyperlink runs (resolution, node hashing and the integer
+    #    recurrence re-derived here, independent of stages/graph.py)
+    from collections import Counter
+
+    from docling_ray.sources.webpages import make_rows
+
+    data, _, _, _, expected_links = make_rows(0, 120, seed=42,
+                                              with_expected=True)
+
+    def node_of(url: str) -> int:
+        v = int.from_bytes(hashlib.md5(url.encode()).digest()[:8], "big")
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    E = []
+    for u, links in zip(data["url"], expected_links):
+        origin = "/".join(u.split("/", 3)[:3])
+        for href, _text in links:
+            E.append((node_of(u), node_of(origin + href)))
+    deg = Counter(s for s, _ in E)
+    nodes = {s for s, _ in E} | {d for _, d in E}
+    r = {v: 1_000_000 for v in nodes}
+    for _ in range(3):
+        acc: Counter = Counter()
+        for s, d in E:
+            if deg[s] > 0:
+                acc[d] += r[s] // deg[s]
+        r = {v: 150_000 + (85 * acc.get(v, 0)) // 100 for v in nodes}
+    ns = sorted(r)
+    pq.write_table(pa.table({
+        "node": pa.array(ns, pa.int64()),
+        "rank_u": pa.array([r[v] for v in ns], pa.int64()),
+    }), os.path.join(out_dir, "golden_crawl_rank.parquet"))
     print("goldens written to", out_dir)
 
 

@@ -111,3 +111,17 @@ def test_outlinks_match_generator_true_golden(ray_session):
                        for c in ("url", "link_idx", "href",
                                  "anchor_text")]))
     assert got == exp and len(got) > 0
+
+
+def test_pagerank_huge_ids_beyond_float53(ray_session):
+    import ray
+
+    # md5-style node ids exceed 2^53: any int64→float64 round-trip in
+    # the message-table extraction corrupts them (the nullable-column
+    # to_numpy trap) — this is the regression guard
+    A, B, C = 4856848096376015040, -4465223803114542807, \
+        -8788520022508386332
+    E = [(A, B), (C, B), (C, A + 1)]
+    got = _run(ray, E, parts=2, iters=3, P=8)
+    assert got == _pyref(E, {A, B, C, A + 1})
+    assert got[B] > 150_000 and got[A + 1] > 150_000
