@@ -825,6 +825,17 @@ def q_inverted_index(sf_dir: str):
     return inverted_index(ds)
 
 
+def q_bow_search(sf_dir: str):
+    """Bag-of-words retrieval top-20: integer-exact tf×idf-shaped
+    scores (Σ (1e6·tf)//df over the query terms), global ranking via
+    Ray's distributed sort + limit over (score, doc) pairs — the corpus
+    never sorts, only the per-doc score rows (stages/index.py)."""
+    from docling_ray.stages.index import bow_search
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    return bow_search(ds, ["join", "sort", "fast"], k=20)
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-style sequence packing for training: lay docs end to end
     in doc_id order (weight = n_chars) and cut 4096-unit sequences —
@@ -1856,6 +1867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": q_substring_dedup,
         "pagerank": q_pagerank,
         "inverted_index": q_inverted_index,
+        "bow_search": q_bow_search,
         "funnel": q_funnel,
         "pack_sequences": q_pack_sequences,
         "url_dedup": q_url_dedup,
@@ -2426,6 +2438,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(k.t) - coalesce(a.n_kept, 0) AS BIGINT)
                        AS n_removed
             FROM tok k LEFT JOIN agg a USING (doc_id)
+        """,
+        "bow_search": r"""
+            -- same integer score: sum of (1e6 * tf) // df over query
+            -- terms; deterministic tiebreak (score DESC, doc_id ASC)
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '\s+'),
+                                          x -> x <> '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+                FROM tok WHERE term IN ('join', 'sort', 'fast')
+                GROUP BY term, doc_id
+            ), d AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term
+            ), s AS (
+                SELECT tf.doc_id,
+                       CAST(sum((1000000 * tf.tf) // d.df) AS BIGINT)
+                           AS score_u
+                FROM tf JOIN d USING (term) GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score_u FROM s
+            ORDER BY score_u DESC, doc_id ASC LIMIT 20
         """,
         "funnel": r"""
             -- greedy earliest-match funnel: p_k = first step-k event

@@ -129,3 +129,67 @@ def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
         "n_occurrences": pa.array([], pa.int64()),
         "postings_md5": pa.array([], pa.string())}))
     return empty.union(out)
+
+
+def bow_search(ds, terms: list, k: int = 20, text_col: str = "text",
+               id_col: str = "doc_id", num_partitions: int = 64):
+    """Bag-of-words retrieval: score every document against a fixed
+    term list and return the top ``k`` as ``(doc_id, score_u)``.
+
+    Score is integer-exact: ``Σ_t (1_000_000 * tf(t, d)) // df(t)`` —
+    a tf×idf-shaped weight whose floor division commutes with any
+    partitioning, so ranking is deterministic and SQL-mirrorable.  Ties
+    break by ascending doc_id.
+
+    Shape: the combiner pass emits only rows whose term is IN the query
+    (a tiny broadcast-as-closure set — no shuffle carries non-query
+    terms), df comes from one ``groupby(term)`` over that filtered
+    stream, broadcasts back (|terms| rows), scores aggregate per doc
+    with a native Sum, and the global top-k is ``sort + limit`` — Ray's
+    distributed sort over (score, doc) pairs, never the corpus."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    query_terms = pa.array(sorted(set(terms)), pa.string())
+
+    def query_tf(batch: pa.Table) -> pa.Table:
+        t = _term_doc_tf(batch, text_col, id_col, num_partitions)
+        mask = pc.is_in(t["term"], value_set=query_terms)
+        return t.filter(mask).drop_columns(["part"])
+
+    rows = ds.map_batches(query_tf, batch_format="pyarrow")
+    # df = number of DISTINCT docs per query term; rows are per-doc
+    # distinct already, so a Count is exact — |terms| result rows,
+    # safe to collect + broadcast
+    df_tbl = rows.groupby("term").aggregate(Count(alias_name="df"))
+    df_map = {r["term"]: r["df"]
+              for b in df_tbl.iter_batches(batch_format="pyarrow")
+              for r in b.to_pylist()}
+    df_ref = ray.put(df_map)
+
+    class ScoreStage:
+        def __init__(self, ref):
+            self.df = ray.get(ref) if not isinstance(ref, dict) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            tf = batch["tf"].to_numpy(zero_copy_only=False)
+            dfv = np.array([self.df[t] for t in
+                            batch["term"].to_pylist()], np.int64)
+            return pa.table({
+                id_col: batch[id_col],
+                "w": pa.array((1_000_000 * tf) // dfv),
+            })
+
+    scored = rows.map_batches(
+        ScoreStage, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": df_ref}) \
+        .groupby(id_col).aggregate(Sum(on="w", alias_name="score_u"))
+    out = scored.sort(["score_u", id_col],
+                      descending=[True, False]).limit(k)
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    empty = ray.data.from_arrow(pa.table({
+        id_col: pa.array([], id_type),
+        "score_u": pa.array([], pa.int64())}))
+    return empty.union(out)

@@ -124,7 +124,7 @@ DOC_QUERIES = ["gopher_repetition", "dup_windows", "quantiles",
                "dedup_exact", "hash_sample", "domain_cap",
                "lang_metrics", "gopher_quality", "line_dedup",
                "substring_dedup", "pack_sequences", "url_dedup",
-               "crawl_delta", "pagerank", "inverted_index"]
+               "crawl_delta", "pagerank", "inverted_index", "bow_search"]
 EVENT_QUERIES = ["json_field_stats", "running_totals", "sessions",
                  "events_windowed", "events_by_type", "asof_join",
                  "range_join", "funnel"]
@@ -155,6 +155,8 @@ def _run_differential(name: str, seed: int, tmp_path) -> None:
         con.execute(f"CREATE VIEW {t} AS "
                     f"SELECT * FROM '{sf}/{t}.parquet'")
     exp = _canon(con.execute(entrymod.oracle_sql()[name]).df())
+    if len(got) == 0 and len(exp) == 0:
+        return   # Ray 2.49 to_pandas drops the schema on 0-row datasets
     assert list(got.columns) == list(exp.columns)
     assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
     pd.testing.assert_frame_equal(got, exp, check_dtype=False,

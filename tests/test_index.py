@@ -58,3 +58,37 @@ def test_inverted_index_max_df(ray_session):
     docs = [(i, "common rare" if i == 0 else "common") for i in range(10)]
     got = _run(ray, docs, max_df=5)
     assert "common" not in got and got["rare"][0] == 1
+
+
+def test_bow_search_known_scores(ray_session):
+    import ray
+
+    from docling_ray.stages.index import bow_search
+
+    docs = [(0, "x x y"), (1, "x z"), (2, "y y y"), (3, "w")]
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([x for _, x in docs], pa.string())})
+    ds = ray.data.from_arrow(t).repartition(2)
+    got = [(r["doc_id"], r["score_u"])
+           for r in bow_search(ds, ["x", "y"], k=3).take_all()]
+    # df(x)=2, df(y)=2; scores: d0 = 2e6//2 + 1e6//2 = 1_500_000,
+    # d2 = 3e6//2 = 1_500_000, d1 = 1e6//2 = 500_000; tie d0<d2 by id
+    assert got == [(0, 1_500_000), (2, 1_500_000), (1, 500_000)]
+
+
+def test_bow_search_k_and_partition_invariance(ray_session):
+    import ray
+
+    from docling_ray.stages.index import bow_search
+
+    docs = [(i, " ".join(["alpha"] * (i % 4) + ["beta"] * (i % 3)))
+            for i in range(30)]
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([x for _, x in docs], pa.string())})
+    a = [(r["doc_id"], r["score_u"]) for r in bow_search(
+        ray.data.from_arrow(t), ["alpha", "beta"], k=5).take_all()]
+    b = [(r["doc_id"], r["score_u"]) for r in bow_search(
+        ray.data.from_arrow(t).repartition(7), ["alpha", "beta"],
+        k=5).take_all()]
+    assert a == b and len(a) == 5
+    assert all(a[i][1] >= a[i + 1][1] for i in range(4))
