@@ -1250,6 +1250,21 @@ def q_crawl_rank(sf_dir: str):
     return pagerank(edges, num_iters=3, num_partitions=32)
 
 
+def q_anchor_text(sf_dir: str):
+    """Anchor-text index: per resolved link target, anchor count and
+    the md5 of the canonical sorted "src>text" description list — the
+    external-description ranking signal (stages/graph.py).  TRUE
+    golden: simulated by the corpus generator from its recorded
+    hyperlink runs."""
+    import ray.data
+
+    from docling_ray.sources.webpages import make_table
+    from docling_ray.stages.graph import anchor_text_index, extract_outlinks
+
+    web = ray.data.from_arrow(make_table(120, seed=42))
+    return anchor_text_index(extract_outlinks(web))
+
+
 def _lsh_bucketed_oracle_sql(num_bands: int = 8,
                              planes_per_band: int = 3) -> str:
     """DuckDB mirror of ``lsh_bucketed_pairs``: the SAME hyperplanes (seeded
@@ -1886,6 +1901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_corpus": q_extract_corpus,
         "outlinks": q_outlinks,
         "crawl_rank": q_crawl_rank,
+        "anchor_text": q_anchor_text,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
@@ -2749,6 +2765,10 @@ def oracle_sql() -> dict[str, str]:
         "crawl_rank": f"""
             SELECT node, rank_u
             FROM read_parquet('{_GOLDEN_DIR}/golden_crawl_rank.parquet')
+        """,
+        "anchor_text": f"""
+            SELECT target, n_anchors, anchors_md5
+            FROM read_parquet('{_GOLDEN_DIR}/golden_anchor_text.parquet')
         """,
         "chunks": f"""
             SELECT url, chunk_id, n_tokens, kind

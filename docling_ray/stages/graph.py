@@ -301,3 +301,94 @@ def resolve_link_edges(links, url_col: str = "url",
                          "dst": pa.array(dsts, pa.int64())})
 
     return links.map_batches(to_edges, batch_format="pyarrow")
+
+
+def anchor_text_index(links, url_col: str = "url", href_col: str = "href",
+                      text_col: str = "anchor_text",
+                      num_partitions: int = 64):
+    """Anchor-text index over outlink rows: per resolved TARGET url,
+    how many anchors point at it and the md5 of the canonical
+    ``"src>text"`` list sorted by (src, text) — the aggregated external
+    description of a page that search ranking uses (anchor text often
+    describes a target better than its own content).  Root-relative
+    hrefs resolve against the source origin, absolute http(s) pass
+    through, everything else drops (the `resolve_link_edges` rules).
+
+    Shape: ONE ``hash(target) % P`` shuffle of (target, src, text)
+    rows; each target-complete partition packs vectorized (sort + run
+    boundaries + ListArray + binary_join) — Python runs P times, never
+    per target."""
+    import hashlib
+
+    from docling_ray.stages.dedup import _part_of
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        tgts, srcs, txts = [], [], []
+        for u, h, t in zip(batch[url_col].to_pylist(),
+                           batch[href_col].to_pylist(),
+                           batch[text_col].to_pylist()):
+            if u is None or not h:
+                continue
+            if h.startswith("http://") or h.startswith("https://"):
+                target = h
+            elif h.startswith("/") and not h.startswith("//"):
+                target = "/".join(u.split("/", 3)[:3]) + h
+            else:
+                continue
+            tgts.append(target)
+            srcs.append(u)
+            txts.append(t or "")
+        tgt = pa.array(tgts, pa.string())
+        return pa.table({
+            "target": tgt,
+            "src": pa.array(srcs, pa.string()),
+            "atext": pa.array(txts, pa.string()),
+            "part": pa.array(_part_of(tgt, num_partitions)
+                             if len(tgts) else
+                             np.empty(0, np.int64)),
+        })
+
+    def pack(group: pa.Table) -> pa.Table:
+        empty = pa.table({"target": pa.array([], pa.string()),
+                          "n_anchors": pa.array([], pa.int64()),
+                          "anchors_md5": pa.array([], pa.string())})
+        if group.num_rows == 0:
+            return empty
+        order = pc.sort_indices(group, sort_keys=[
+            ("target", "ascending"), ("src", "ascending"),
+            ("atext", "ascending")])
+        g = group.take(order)
+        tgts = g["target"].to_numpy(zero_copy_only=False)
+        n = len(tgts)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = tgts[1:] != tgts[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, n)).astype(np.int64)
+        entry = pc.binary_join_element_wise(g["src"].combine_chunks(),
+                                            g["atext"].combine_chunks(),
+                                            ">")
+        offsets = np.append(starts, n).astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                      entry.combine_chunks()
+                                      if isinstance(entry,
+                                                    pa.ChunkedArray)
+                                      else entry)
+        joined = pc.binary_join(la, ",").to_pylist()
+        md5s = [hashlib.md5(s.encode("utf-8")).hexdigest()
+                for s in joined]
+        return pa.table({
+            "target": g["target"].take(pa.array(starts, pa.int64())),
+            "n_anchors": pa.array(counts),
+            "anchors_md5": pa.array(md5s, pa.string()),
+        })
+
+    import ray.data
+
+    out = links.map_batches(resolve, batch_format="pyarrow") \
+        .groupby("part").map_groups(pack, batch_format="pyarrow")
+    empty = ray.data.from_arrow(pa.table({
+        "target": pa.array([], pa.string()),
+        "n_anchors": pa.array([], pa.int64()),
+        "anchors_md5": pa.array([], pa.string())}))
+    return empty.union(out)

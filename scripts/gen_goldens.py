@@ -142,6 +142,26 @@ def main() -> None:
         "node": pa.array(ns, pa.int64()),
         "rank_u": pa.array([r[v] for v in ns], pa.int64()),
     }), os.path.join(out_dir, "golden_crawl_rank.parquet"))
+
+    # -- anchor_text: TRUE golden — per resolved target, anchor count +
+    #    md5 of the canonical "src>text" list sorted by (src, text),
+    #    simulated from the generator's recorded hyperlink runs
+    by_target: dict = {}
+    for u, links in zip(data["url"], expected_links):
+        origin = "/".join(u.split("/", 3)[:3])
+        for href, text in links:
+            by_target.setdefault(origin + href, []).append((u, text))
+    tgts = sorted(by_target)
+    pq.write_table(pa.table({
+        "target": pa.array(tgts, pa.string()),
+        "n_anchors": pa.array([len(by_target[t]) for t in tgts],
+                              pa.int64()),
+        "anchors_md5": pa.array(
+            [hashlib.md5(",".join(
+                f"{s}>{x}" for s, x in sorted(by_target[t]))
+                .encode("utf-8")).hexdigest() for t in tgts],
+            pa.string()),
+    }), os.path.join(out_dir, "golden_anchor_text.parquet"))
     print("goldens written to", out_dir)
 
 

@@ -125,3 +125,24 @@ def test_pagerank_huge_ids_beyond_float53(ray_session):
     got = _run(ray, E, parts=2, iters=3, P=8)
     assert got == _pyref(E, {A, B, C, A + 1})
     assert got[B] > 150_000 and got[A + 1] > 150_000
+
+
+def test_anchor_text_index_matches_golden(ray_session):
+    import ray
+
+    from docling_ray.sources.webpages import make_table
+    from docling_ray.stages.graph import anchor_text_index, extract_outlinks
+    import pyarrow.parquet as pq
+    import os
+
+    web = ray.data.from_arrow(make_table(120, seed=42)).repartition(4)
+    got = sorted((r["target"], r["n_anchors"], r["anchors_md5"])
+                 for r in anchor_text_index(
+                     extract_outlinks(web)).take_all())
+    gold = pq.read_table(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data",
+        "golden_anchor_text.parquet"))
+    exp = sorted(zip(gold["target"].to_pylist(),
+                     gold["n_anchors"].to_pylist(),
+                     gold["anchors_md5"].to_pylist()))
+    assert got == exp and len(got) > 0
