@@ -111,15 +111,20 @@ def _superstep(group: pa.Table, first: bool, final: bool, base: int,
         rank = np.full(len(nodes), 1_000_000, np.int64)
     else:
         cm = side == 2
+        s = np.zeros(len(nodes), np.int64)
         if cm.any():
             c_t = group.filter(pa.array(cm))
             df = pd.DataFrame({
                 "k": c_t["key"].to_numpy(zero_copy_only=False),
                 "c": c_t["c"].to_numpy(zero_copy_only=False)})
             sums = df.groupby("k", sort=False)["c"].sum()
-            s = sums.reindex(nodes).fillna(0).to_numpy().astype(np.int64)
-        else:
-            s = np.zeros(len(nodes), np.int64)
+            # get_indexer + masked assign, NOT reindex().fillna(): a
+            # reindex with any miss converts the sums to float64, which
+            # rounds accumulated mass above 2^53 — the same precision
+            # trap as the node-id extraction above
+            idx = sums.index.get_indexer(nodes)
+            hit = idx >= 0
+            s[hit] = sums.to_numpy()[idx[hit]]
         rank = base + (dpct * s) // 100
     if final:
         return pa.table({"node": pa.array(nodes.astype(np.int64)),
@@ -263,6 +268,22 @@ def extract_outlinks(ds, html_col: str = "html", url_col: str = "url"):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def _resolve_href(url: str, href: str):
+    """THE href-resolution policy, shared by `resolve_link_edges` and
+    `anchor_text_index` so the two halves of the crawl graph can never
+    diverge: absolute http(s) passes through, root-relative ("/...")
+    resolves against the source origin (scheme://host), everything else
+    (fragments, mailto, protocol-relative, path-relative) returns
+    None."""
+    if not url or not href:
+        return None
+    if href.startswith("http://") or href.startswith("https://"):
+        return href
+    if href.startswith("/") and not href.startswith("//"):
+        return "/".join(url.split("/", 3)[:3]) + href
+    return None
+
+
 def _node_id_of(url: str) -> int:
     """Stable int64 node id of a url: first 8 bytes of md5, big-endian,
     two's-complement into int64 (the generator-side golden uses the
@@ -287,13 +308,8 @@ def resolve_link_edges(links, url_col: str = "url",
         srcs, dsts = [], []
         for u, h in zip(batch[url_col].to_pylist(),
                         batch[href_col].to_pylist()):
-            if u is None or not h:
-                continue
-            if h.startswith("http://") or h.startswith("https://"):
-                target = h
-            elif h.startswith("/") and not h.startswith("//"):
-                target = "/".join(u.split("/", 3)[:3]) + h
-            else:
+            target = _resolve_href(u, h)
+            if target is None:
                 continue
             srcs.append(_node_id_of(u))
             dsts.append(_node_id_of(target))
@@ -327,13 +343,8 @@ def anchor_text_index(links, url_col: str = "url", href_col: str = "href",
         for u, h, t in zip(batch[url_col].to_pylist(),
                            batch[href_col].to_pylist(),
                            batch[text_col].to_pylist()):
-            if u is None or not h:
-                continue
-            if h.startswith("http://") or h.startswith("https://"):
-                target = h
-            elif h.startswith("/") and not h.startswith("//"):
-                target = "/".join(u.split("/", 3)[:3]) + h
-            else:
+            target = _resolve_href(u, h)
+            if target is None:
                 continue
             tgts.append(target)
             srcs.append(u)

@@ -158,7 +158,10 @@ def bow_search(ds, terms: list, k: int = 20, text_col: str = "text",
         mask = pc.is_in(t["term"], value_set=query_terms)
         return t.filter(mask).drop_columns(["part"])
 
-    rows = ds.map_batches(query_tf, batch_format="pyarrow")
+    # materialize the FILTERED rows (query-term hits only — tiny): the
+    # df pass and the scoring pass both consume them, and without the
+    # pin each would re-execute the full corpus read + tokenize
+    rows = ds.map_batches(query_tf, batch_format="pyarrow").materialize()
     # df = number of DISTINCT docs per query term; rows are per-doc
     # distinct already, so a Count is exact — |terms| result rows,
     # safe to collect + broadcast

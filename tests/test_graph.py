@@ -146,3 +146,21 @@ def test_anchor_text_index_matches_golden(ray_session):
                      gold["n_anchors"].to_pylist(),
                      gold["anchors_md5"].to_pylist()))
     assert got == exp and len(got) > 0
+
+
+def test_outlinks_nested_and_hidden_anchor_text():
+    from docling_ray.kernels.outlinks import outlinks_of
+
+    # this DOM does NOT auto-close <a>, so nested anchors exist in
+    # crawl HTML with unclosed tags: both links must be found, the
+    # outer text including the inner (what the DOM renders)
+    got = outlinks_of(b'<a href="/x">one <a href="/y">two</a></a>')
+    assert got == [("/x", "one two"), ("/y", "two")]
+    # an href-less anchor still descends to its nested link
+    assert outlinks_of(b'<a>outer<a href="/in">inner</a></a>') == [
+        ("/in", "inner")]
+    # hidden/script content inside an anchor must not leak into the
+    # ranking signal
+    assert outlinks_of(
+        b'<a href="/x">go<span hidden>secret</span>'
+        b"<script>var z;</script> on</a>") == [("/x", "go on")]
