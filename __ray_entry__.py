@@ -836,6 +836,60 @@ def q_bow_search(sf_dir: str):
     return bow_search(ds, ["join", "sort", "fast"], k=20)
 
 
+def q_robots_filter(sf_dir: str):
+    """Robots.txt-style URL-prefix filtering with longest-prefix-match
+    semantics (allow overrides inside a denied tree — the real robots
+    precedence rule): one C starts_with pass per rule, no shuffle
+    (stages/urls.py).  The corpus has no url column, so both sides
+    synthesize one deterministically from doc_id with paths that
+    exercise deny, nested allow-override, whole-host deny and
+    default-allow."""
+    import pyarrow.compute as pc
+
+    from docling_ray.stages.urls import robots_filter_batch
+
+    ds = _documents(sf_dir, columns=["doc_id"])
+    rules = [("https://site0.com/private/pub/", True),
+             ("https://site0.com/private/", False),
+             ("https://site1.com/", False)]
+
+    def augment(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        dn = (batch["doc_id"].combine_chunks()
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        host = pc.cast(pa.array(dn % 4), pa.string())
+        m3 = dn % 3
+        path = pa.array(np.where(m3 == 0, "/private/x",
+                                 np.where(m3 == 1, "/private/pub/x",
+                                          "/page/x")))
+        url = pc.binary_join_element_wise(
+            pa.scalar("https://site"), host, pa.scalar(".com"), path,
+            pc.cast(batch["doc_id"], pa.string()), pa.scalar(""))
+        return pa.table({"doc_id": batch["doc_id"], "url": url})
+
+    out = ds.map_batches(augment, batch_format="pyarrow").map_batches(
+        lambda b: robots_filter_batch(b, rules, "url"),
+        batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"], "url": b["url"],
+            "allowed": pc.cast(b["allowed"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_fetch_schedule(sf_dir: str):
+    """Per-domain crawl politeness schedule: fetches within one domain
+    serialize 200 ms apart (slot = rank within domain ordered by
+    doc_id).  ONE hash(domain) shuffle + vectorized run-rank per
+    partition (stages/urls.py)."""
+    from docling_ray.stages.urls import fetch_schedule
+
+    ds = _documents(sf_dir, columns=["doc_id", "source"])
+    return fetch_schedule(ds, domain_col="source", order_col="doc_id",
+                          delay_ms=200)
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-style sequence packing for training: lay docs end to end
     in doc_id order (weight = n_chars) and cut 4096-unit sequences —
@@ -1883,6 +1937,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "inverted_index": q_inverted_index,
         "bow_search": q_bow_search,
+        "robots_filter": q_robots_filter,
+        "fetch_schedule": q_fetch_schedule,
         "funnel": q_funnel,
         "pack_sequences": q_pack_sequences,
         "url_dedup": q_url_dedup,
@@ -2454,6 +2510,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(k.t) - coalesce(a.n_kept, 0) AS BIGINT)
                        AS n_removed
             FROM tok k LEFT JOIN agg a USING (doc_id)
+        """,
+        "robots_filter": r"""
+            -- same synthesized urls; CASE ordered by prefix length
+            -- descending = longest-prefix-match on both sides
+            WITH u AS (
+                SELECT doc_id,
+                       'https://site' || (doc_id % 4)::VARCHAR || '.com'
+                       || CASE doc_id % 3
+                              WHEN 0 THEN '/private/x'
+                              WHEN 1 THEN '/private/pub/x'
+                              ELSE '/page/x' END
+                       || doc_id::VARCHAR AS url
+                FROM documents
+            )
+            SELECT doc_id, url,
+                   CAST(CASE
+                        WHEN starts_with(url,
+                             'https://site0.com/private/pub/') THEN 1
+                        WHEN starts_with(url,
+                             'https://site0.com/private/') THEN 0
+                        WHEN starts_with(url,
+                             'https://site1.com/') THEN 0
+                        ELSE 1 END AS BIGINT) AS allowed
+            FROM u
+        """,
+        "fetch_schedule": r"""
+            SELECT source, doc_id,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY doc_id) - 1
+                        AS BIGINT) AS slot,
+                   CAST((row_number() OVER (PARTITION BY source
+                                            ORDER BY doc_id) - 1) * 200
+                        AS BIGINT) AS start_ms
+            FROM documents
+            WHERE source IS NOT NULL AND doc_id IS NOT NULL
         """,
         "bow_search": r"""
             -- same integer score: sum of (1e6 * tf) // df over query

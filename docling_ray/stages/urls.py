@@ -52,3 +52,122 @@ def canonical_url_batch(batch: pa.Table,
         scheme, pa.scalar("://"), host, rest, pa.scalar(""))
     canon = pc.if_else(ok, canon, col)
     return batch.append_column("canon_url", canon)
+
+
+# -- robots-style URL filtering ----------------------------------------------
+
+
+def robots_filter_batch(batch: pa.Table, rules: list,
+                        url_col: str = "canon_url") -> pa.Table:
+    """Append ``allowed: bool`` under robots.txt longest-prefix-match
+    semantics over URL-PREFIX rules ``(prefix, allow: bool)``: the rule
+    with the LONGEST matching prefix decides (ties break to the first
+    rule in the given order); no match ⇒ allowed.  Vectorized: one C
+    ``starts_with`` pass per rule (rule sets are tiny), no per-row
+    Python.  The SQL mirror is a CASE over the same rules sorted by
+    prefix length descending — first match IS the longest match on both
+    sides."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(batch[url_col].combine_chunks(), "")
+    n = len(col)
+    allowed = np.ones(n, dtype=bool)
+    # stable sort by length descending preserves given order on ties,
+    # then FIRST match per row wins = longest match, tie → rule order
+    order = sorted(range(len(rules)), key=lambda i: -len(rules[i][0]))
+    decided = np.zeros(n, dtype=bool)
+    for i in order:
+        prefix, allow = rules[i]
+        m = pc.starts_with(col, prefix).to_numpy(zero_copy_only=False)
+        take = m & ~decided
+        allowed[take] = allow
+        decided |= take
+    return batch.append_column("allowed", pa.array(allowed))
+
+
+def robots_filter(ds, rules: list, url_col: str = "canon_url",
+                  keep_only: bool = False):
+    """Dataset form of `robots_filter_batch`; with ``keep_only`` the
+    disallowed rows are dropped instead of flagged."""
+    out = ds.map_batches(
+        lambda b: robots_filter_batch(b, rules, url_col),
+        batch_format="pyarrow")
+    if keep_only:
+        import pyarrow.compute as pc
+
+        return out.map_batches(
+            lambda b: b.filter(pc.equal(b["allowed"], True))
+                       .drop_columns(["allowed"]),
+            batch_format="pyarrow")
+    return out
+
+
+# -- per-domain politeness scheduling ----------------------------------------
+
+
+def fetch_schedule(ds, domain_col: str = "source",
+                   order_col: str = "doc_id", delay_ms: int = 200,
+                   num_partitions: int = 64):
+    """Crawl politeness scheduler: per domain, fetches are serialized
+    ``delay_ms`` apart — returns the input keys plus ``slot`` (0-based
+    rank within the domain, ordered by ``order_col``) and ``start_ms =
+    slot * delay_ms``.  The sessionize shape: ONE ``hash(domain) % P``
+    shuffle, vectorized sort + run-rank per partition, Python runs P
+    times.  Rows with a null domain or order are dropped (the
+    sessionize null contract)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    from docling_ray.stages.dedup import _part_of
+
+    def prep(batch: pa.Table) -> pa.Table:
+        out = pa.table({domain_col: batch[domain_col],
+                        order_col: batch[order_col]})
+        valid = pc.and_(pc.is_valid(out[domain_col]),
+                        pc.is_valid(out[order_col]))
+        out = out.filter(valid)
+        return out.append_column(
+            "_part", pa.array(_part_of(out[domain_col], num_partitions),
+                              pa.int64()))
+
+    def rank_part(part: pa.Table) -> pa.Table:
+        dom_type = part.schema.field(domain_col).type
+        ord_type = part.schema.field(order_col).type
+        empty = pa.table({domain_col: pa.array([], dom_type),
+                          order_col: pa.array([], ord_type),
+                          "slot": pa.array([], pa.int64()),
+                          "start_ms": pa.array([], pa.int64())})
+        n = part.num_rows
+        if n == 0:
+            return empty
+        order = pc.sort_indices(part, sort_keys=[
+            (domain_col, "ascending"), (order_col, "ascending")])
+        g = part.take(order)
+        doms = g[domain_col].to_numpy(zero_copy_only=False)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = doms[1:] != doms[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, n))
+        slot = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        return pa.table({
+            domain_col: g[domain_col],
+            order_col: g[order_col],
+            "slot": pa.array(slot),
+            "start_ms": pa.array(slot * int(delay_ms)),
+        })
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("_part").map_groups(
+            lambda p: rank_part(p.drop_columns(["_part"])),
+            batch_format="pyarrow")
+    empty = ray.data.from_arrow(pa.table({
+        domain_col: pa.array([], types[domain_col]),
+        order_col: pa.array([], types[order_col]),
+        "slot": pa.array([], pa.int64()),
+        "start_ms": pa.array([], pa.int64())}))
+    return empty.union(out)

@@ -164,3 +164,41 @@ def test_outlinks_nested_and_hidden_anchor_text():
     assert outlinks_of(
         b'<a href="/x">go<span hidden>secret</span>'
         b"<script>var z;</script> on</a>") == [("/x", "go on")]
+
+
+# -- crawl-side url operators (stages/urls.py additions) ----------------------
+
+
+def test_robots_filter_longest_prefix_wins():
+    import pyarrow as pa
+
+    from docling_ray.stages.urls import robots_filter_batch
+
+    rules = [("https://a.com/private/pub/", True),
+             ("https://a.com/private/", False),
+             ("https://b.com/", False)]
+    t = pa.table({"url": pa.array([
+        "https://a.com/private/secret",       # denied
+        "https://a.com/private/pub/ok",       # allow overrides (longer)
+        "https://a.com/open",                 # default allow
+        "https://b.com/anything",             # host-denied
+        None,                                 # null → no match → allow
+    ])})
+    got = robots_filter_batch(t, rules, "url")["allowed"].to_pylist()
+    assert got == [False, True, True, False, True]
+
+
+def test_fetch_schedule_ranks(ray_session):
+    import ray
+    import pyarrow as pa
+
+    from docling_ray.stages.urls import fetch_schedule
+
+    t = pa.table({"doc_id": pa.array([5, 3, 9, 1, 7], pa.int64()),
+                  "source": pa.array(["a", "a", "b", "a", None])})
+    out = fetch_schedule(ray.data.from_arrow(t).repartition(2),
+                         delay_ms=100)
+    got = sorted((r["source"], r["doc_id"], r["slot"], r["start_ms"])
+                 for r in out.take_all())
+    assert got == [("a", 1, 0, 0), ("a", 3, 1, 100), ("a", 5, 2, 200),
+                   ("b", 9, 0, 0)]
