@@ -1319,6 +1319,34 @@ def q_anchor_text(sf_dir: str):
     return anchor_text_index(extract_outlinks(web))
 
 
+def q_warc_extract(sf_dir: str):
+    """WARC container ingestion: gzip-per-record WARC/1.0 chunks split
+    by the Content-Length record walk, warcinfo records skipped, HTTP
+    headers stripped to the HTML body (sources/warc.py +
+    stages/scan.py::warc_explode).  TRUE golden: the generator framed
+    its OWN url/html rows into the container, so the reader must
+    reproduce them byte-exactly."""
+    import hashlib
+
+    import ray.data
+
+    from docling_ray.sources.warc import make_warc_table
+    from docling_ray.stages.scan import warc_explode
+
+    ds = ray.data.from_arrow(make_warc_table(120, seed=42,
+                                             records_per_chunk=16))
+    rows = warc_explode(ds)
+
+    def project(batch: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(v.as_py()).hexdigest()
+                for v in batch["html"]]
+        return pa.table({"url": batch["url"],
+                         "n_bytes": batch["n_bytes"],
+                         "html_md5": pa.array(md5s, pa.string())})
+
+    return rows.map_batches(project, batch_format="pyarrow")
+
+
 def _lsh_bucketed_oracle_sql(num_bands: int = 8,
                              planes_per_band: int = 3) -> str:
     """DuckDB mirror of ``lsh_bucketed_pairs``: the SAME hyperplanes (seeded
@@ -1958,6 +1986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlinks": q_outlinks,
         "crawl_rank": q_crawl_rank,
         "anchor_text": q_anchor_text,
+        "warc_extract": q_warc_extract,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
@@ -2860,6 +2889,10 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text": f"""
             SELECT target, n_anchors, anchors_md5
             FROM read_parquet('{_GOLDEN_DIR}/golden_anchor_text.parquet')
+        """,
+        "warc_extract": f"""
+            SELECT url, n_bytes, html_md5
+            FROM read_parquet('{_GOLDEN_DIR}/golden_warc.parquet')
         """,
         "chunks": f"""
             SELECT url, chunk_id, n_tokens, kind

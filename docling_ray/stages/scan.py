@@ -122,3 +122,33 @@ def pack_sequences(ds, budget: int, order_col: str = "doc_id",
         return out.append_column("seq_offset", pos)
 
     return scanned.map_batches(cut, batch_format="pyarrow")
+
+
+def warc_explode(ds, warc_col: str = "warc"):
+    """WARC chunk Dataset → page rows ``(url, warc_date, html,
+    n_bytes)``: each chunk's records split by the Content-Length walk
+    (sources/warc.py), response payloads stripped to the HTML body.
+    Stateless flat map — a 100 TB crawl parallelizes by WARC chunk
+    without pre-exploding the container."""
+    import pyarrow as pa
+
+    from docling_ray.sources.warc import parse_warc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls, dates, htmls, sizes = [], [], [], []
+        for raw in batch[warc_col].to_pylist():
+            if raw is None:
+                continue
+            for rec in parse_warc(raw):
+                urls.append(rec["url"])
+                dates.append(rec["warc_date"])
+                htmls.append(rec["html"])
+                sizes.append(len(rec["html"]))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_date": pa.array(dates, pa.string()),
+            "html": pa.array(htmls, pa.large_binary()),
+            "n_bytes": pa.array(sizes, pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -162,6 +162,15 @@ def main() -> None:
                 .encode("utf-8")).hexdigest() for t in tgts],
             pa.string()),
     }), os.path.join(out_dir, "golden_anchor_text.parquet"))
+    # -- warc: TRUE golden — the WARC reader must reproduce exactly the
+    #    url/html rows the corpus generator framed into the container
+    #    (derived here from make_rows directly, never by parsing WARC)
+    pq.write_table(pa.table({
+        "url": pa.array(data["url"], pa.string()),
+        "n_bytes": pa.array([len(h) for h in data["html"]], pa.int64()),
+        "html_md5": pa.array([hashlib.md5(h).hexdigest()
+                              for h in data["html"]], pa.string()),
+    }), os.path.join(out_dir, "golden_warc.parquet"))
     print("goldens written to", out_dir)
 
 

@@ -1,0 +1,52 @@
+"""WARC reader (sources/warc.py + stages/scan.py::warc_explode)."""
+
+import hashlib
+
+import pyarrow as pa
+
+from docling_ray.sources.warc import (_frame_record, make_warc_table,
+                                      parse_warc)
+
+
+def test_parse_warc_roundtrip_plain_and_gzip():
+    html = b"<html><body>hi \xe2\x80\x94 there</body></html>"
+    for gz in (False, True):
+        raw = _frame_record("https://x.example/a", "2024-01-01T00:00:00Z",
+                            html, gz)
+        recs = parse_warc(raw)
+        assert len(recs) == 1
+        assert recs[0]["url"] == "https://x.example/a"
+        assert recs[0]["html"] == html
+
+
+def test_parse_warc_skips_warcinfo_and_handles_binary_payload():
+    # payload containing CRLFCRLF and fake WARC/ header bytes must not
+    # confuse the Content-Length-driven walk
+    tricky = b"x\r\n\r\nWARC/1.0\r\n\r\ny" * 3
+    raw = (_frame_record("u1", "d", tricky, False)
+           + _frame_record("u2", "d", b"ok", False))
+    recs = parse_warc(raw)
+    assert [r["url"] for r in recs] == ["u1", "u2"]
+    assert recs[0]["html"] == tricky
+
+
+def test_parse_warc_malformed_tail_is_data_not_exception():
+    good = _frame_record("u", "d", b"body", False)
+    recs = parse_warc(good + b"GARBAGE NOT A RECORD")
+    assert len(recs) == 1 and recs[0]["html"] == b"body"
+
+
+def test_warc_explode_matches_generator(ray_session):
+    import ray
+
+    from docling_ray.sources.webpages import make_rows
+    from docling_ray.stages.scan import warc_explode
+
+    t = make_warc_table(40, seed=42, records_per_chunk=7)
+    got = {r["url"]: hashlib.md5(r["html"]).hexdigest()
+           for r in warc_explode(
+               ray.data.from_arrow(t).repartition(3)).take_all()}
+    data = make_rows(0, 40, seed=42)
+    exp = {u: hashlib.md5(h).hexdigest()
+           for u, h in zip(data["url"], data["html"])}
+    assert got == exp
