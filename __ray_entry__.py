@@ -1347,6 +1347,24 @@ def q_warc_extract(sf_dir: str):
     return rows.map_batches(project, batch_format="pyarrow")
 
 
+def q_warc_pipeline(sf_dir: str):
+    """The crawl ingestion chain end-to-end: WARC chunks → record
+    explode (container split inside the pipeline) → the flagship HTML
+    extraction.  Oracled against the SAME generator TRUE golden as
+    `extract_corpus` — passing proves the WARC framing+parsing path is
+    lossless (identical sha-256 doc ids and item counts)."""
+    import ray.data
+
+    from docling_ray.pipelines.extract_pipeline import extract_dataset
+    from docling_ray.sources.warc import make_warc_table
+    from docling_ray.stages.scan import warc_explode
+
+    ds = ray.data.from_arrow(make_warc_table(120, seed=42))
+    pages = warc_explode(ds)
+    out = extract_dataset(pages)
+    return out.select_columns(["url", "doc_id", "status", "n_items"])
+
+
 def _lsh_bucketed_oracle_sql(num_bands: int = 8,
                              planes_per_band: int = 3) -> str:
     """DuckDB mirror of ``lsh_bucketed_pairs``: the SAME hyperplanes (seeded
@@ -1987,6 +2005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_rank": q_crawl_rank,
         "anchor_text": q_anchor_text,
         "warc_extract": q_warc_extract,
+        "warc_pipeline": q_warc_pipeline,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
@@ -2893,6 +2912,10 @@ def oracle_sql() -> dict[str, str]:
         "warc_extract": f"""
             SELECT url, n_bytes, html_md5
             FROM read_parquet('{_GOLDEN_DIR}/golden_warc.parquet')
+        """,
+        "warc_pipeline": f"""
+            SELECT url, doc_id, status, n_items
+            FROM read_parquet('{_GOLDEN_DIR}/golden_extract.parquet')
         """,
         "chunks": f"""
             SELECT url, chunk_id, n_tokens, kind
