@@ -39,7 +39,10 @@ def _gunzip_members(raw: bytes) -> bytes:
     pos = 0
     while pos < len(raw):
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(raw[pos:]))
+        try:
+            out.append(d.decompress(raw[pos:]))
+        except zlib.error:
+            break        # corrupt member / trailing junk: errors are data
         consumed = len(raw) - pos - len(d.unused_data)
         if consumed <= 0:
             break
@@ -73,6 +76,8 @@ def parse_warc(raw: bytes) -> list[dict]:
             clen = int(headers.get("content-length", ""))
         except ValueError:
             break
+        if clen < 0:
+            break       # adversarial negative length would walk BACKWARD
         body = data[head_end + 4:head_end + 4 + clen]
         pos = head_end + 4 + clen
         if headers.get("warc-type") != "response":

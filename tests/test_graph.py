@@ -202,3 +202,25 @@ def test_fetch_schedule_ranks(ray_session):
                  for r in out.take_all())
     assert got == [("a", 1, 0, 0), ("a", 3, 1, 100), ("a", 5, 2, 200),
                    ("b", 9, 0, 0)]
+
+
+def test_robots_filter_dataset_keep_only(ray_session):
+    import ray
+    import pyarrow as pa
+
+    from docling_ray.stages.urls import robots_filter
+
+    t = pa.table({"url": pa.array(
+        ["https://a.com/private/x", "https://a.com/ok",
+         "https://b.com/y"])})
+    rules = [("https://a.com/private/", False)]
+    flagged = {r["url"]: r["allowed"] for r in robots_filter(
+        ray.data.from_arrow(t).repartition(2), rules,
+        url_col="url").take_all()}
+    assert flagged == {"https://a.com/private/x": False,
+                       "https://a.com/ok": True,
+                       "https://b.com/y": True}
+    kept = sorted(r["url"] for r in robots_filter(
+        ray.data.from_arrow(t), rules, url_col="url",
+        keep_only=True).take_all())
+    assert kept == ["https://a.com/ok", "https://b.com/y"]

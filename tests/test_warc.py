@@ -50,3 +50,18 @@ def test_warc_explode_matches_generator(ray_session):
     exp = {u: hashlib.md5(h).hexdigest()
            for u, h in zip(data["url"], data["html"])}
     assert got == exp
+
+
+def test_parse_warc_adversarial_negative_length_and_corrupt_gzip():
+    from docling_ray.sources.warc import parse_warc, _frame_record
+
+    # negative Content-Length must not walk backwards (infinite loop)
+    evil = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: u\r\nContent-Length: -38\r\n\r\n")
+    assert parse_warc(_frame_record("ok", "d", b"x", False) + evil) \
+        and len(parse_warc(evil)) == 0
+    # a valid gzip member followed by corrupt bytes yields the good
+    # records and stops — never raises
+    good = _frame_record("u", "d", b"body", True)
+    recs = parse_warc(good + b"GARBAGE-NOT-GZIP")
+    assert len(recs) == 1 and recs[0]["html"] == b"body"
