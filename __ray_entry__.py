@@ -1939,7 +1939,37 @@ def _kmeans_fit_oracle_sql(k: int = 8, dim: int = 64,
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Order matters: the driver walks this dict in insertion order and may
+    # budget a fixed number of queries per round.  Queries that have never
+    # (or not recently) received a driver correctness row go FIRST so the
+    # next CORRECTNESS_r{N}.json covers them; long-green veterans rotate to
+    # the tail (each still covered by pytest + scripts/verify_queries.py).
     return {
+        # --- never / not recently driver-verified (r4 gap) ---
+        "range_join": q_range_join,
+        "orders_customer_join": q_orders_customer_join,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "top_k_tokens": q_top_k_tokens,
+        "stratified_sample": q_stratified_sample,
+        "hll_distinct": q_hll_distinct,
+        "domain_cap": q_domain_cap,
+        "decontaminate": q_decontaminate,
+        "hash_sample": q_hash_sample,
+        "extract_corpus": q_extract_corpus,
+        "outlinks": q_outlinks,
+        "crawl_rank": q_crawl_rank,
+        "anchor_text": q_anchor_text,
+        "warc_extract": q_warc_extract,
+        "warc_pipeline": q_warc_pipeline,
+        "corpus_pipeline": q_corpus_pipeline,
+        "mets_gbs": q_mets_gbs,
+        "multimodal_pages": q_multimodal_pages,
+        "enrich": q_enrich,
+        "inverted_index": q_inverted_index,
+        "bow_search": q_bow_search,
+        "funnel": q_funnel,
+        # --- driver-green in r4, rotated to the tail ---
         "lang_metrics": q_lang_metrics,
         "dedup_exact": q_dedup_exact,
         "token_quality": q_token_quality,
@@ -1981,35 +2011,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q_line_dedup,
         "substring_dedup": q_substring_dedup,
         "pagerank": q_pagerank,
-        "inverted_index": q_inverted_index,
-        "bow_search": q_bow_search,
         "robots_filter": q_robots_filter,
         "fetch_schedule": q_fetch_schedule,
-        "funnel": q_funnel,
         "pack_sequences": q_pack_sequences,
         "url_dedup": q_url_dedup,
         "crawl_delta": q_crawl_delta,
         "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "orders_customer_join": q_orders_customer_join,
-        "join_semi": q_join_semi,
-        "join_anti": q_join_anti,
-        "top_k_tokens": q_top_k_tokens,
-        "stratified_sample": q_stratified_sample,
-        "hll_distinct": q_hll_distinct,
-        "domain_cap": q_domain_cap,
-        "decontaminate": q_decontaminate,
-        "hash_sample": q_hash_sample,
-        "extract_corpus": q_extract_corpus,
-        "outlinks": q_outlinks,
-        "crawl_rank": q_crawl_rank,
-        "anchor_text": q_anchor_text,
-        "warc_extract": q_warc_extract,
-        "warc_pipeline": q_warc_pipeline,
-        "corpus_pipeline": q_corpus_pipeline,
-        "mets_gbs": q_mets_gbs,
-        "multimodal_pages": q_multimodal_pages,
-        "enrich": q_enrich,
     }
 
 
