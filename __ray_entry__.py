@@ -2439,16 +2439,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        CASE WHEN ok THEN
                            lower(s.scheme) || '://'
-                           || regexp_replace(lower(s.host),
-                                             ':(80|443)$', '')
-                           || regexp_replace(regexp_replace(regexp_replace(
-                                  regexp_replace(s.rest,
-                                      '&utm_[^&]*', '', 'g'),
-                                  '\?utm_[^&]*&', '?', 'g'),
-                                  '\?utm_[^&]*$', '', 'g'),
+                           -- scheme-aware default-port strip
+                           || CASE WHEN lower(s.scheme) = 'http'
+                                   THEN regexp_replace(lower(s.host),
+                                                       ':80$', '')
+                                   WHEN lower(s.scheme) = 'https'
+                                   THEN regexp_replace(lower(s.host),
+                                                       ':443$', '')
+                                   ELSE lower(s.host) END
+                           -- trailing-slash collapse on the PATH only
+                           || regexp_replace(
+                                  regexp_extract(r2, '(?s)^[^?]*'),
                                   '/+$', '', 'g')
+                           || regexp_replace(
+                                  r2, '(?s)^[^?]*', '', '')
                        ELSE u END AS canon_url
-                FROM p
+                FROM (
+                    SELECT doc_id, u, s, ok,
+                           regexp_replace(regexp_replace(regexp_replace(
+                               s.rest, '&utm_[^&]*', '', 'g'),
+                               '\?utm_[^&]*&', '?', 'g'),
+                               '\?utm_[^&]*$', '', 'g') AS r2
+                    FROM p
+                )
             )
             SELECT canon_url,
                    min(doc_id) AS url_winner,
@@ -2740,8 +2753,16 @@ def oracle_sql() -> dict[str, str]:
                        CAST(len(regexp_extract_all(
                                 t, '[^\s]*[A-Za-z][^\s]*')) AS BIGINT)
                            AS n_alpha_tokens,
-                       CAST(len(regexp_extract_all(
-                                t, '\b(the|be|to|of|and|that|have|with)\b'))
+                       -- distinct stop words present (Rae et al. A1.1.2:
+                       -- "at least two OF the following words")
+                       CAST(  CASE WHEN regexp_matches(t, '\bthe\b') THEN 1 ELSE 0 END
+                            + CASE WHEN regexp_matches(t, '\bbe\b') THEN 1 ELSE 0 END
+                            + CASE WHEN regexp_matches(t, '\bto\b') THEN 1 ELSE 0 END
+                            + CASE WHEN regexp_matches(t, '\bof\b') THEN 1 ELSE 0 END
+                            + CASE WHEN regexp_matches(t, '\band\b') THEN 1 ELSE 0 END
+                            + CASE WHEN regexp_matches(t, '\bthat\b') THEN 1 ELSE 0 END
+                            + CASE WHEN regexp_matches(t, '\bhave\b') THEN 1 ELSE 0 END
+                            + CASE WHEN regexp_matches(t, '\bwith\b') THEN 1 ELSE 0 END
                             AS BIGINT) AS n_stopwords,
                        CAST(len(regexp_extract_all(t, '#'))
                             + len(regexp_extract_all(t, '\.\.\.'))

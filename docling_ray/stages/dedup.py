@@ -28,6 +28,7 @@ import re
 from typing import Iterable
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 logger = logging.getLogger(__name__)
@@ -1415,10 +1416,10 @@ def jaccard_near_dups_inline(ds, threshold: float = 0.5, shingle_k: int = 3,
 # never enters it; the drop set (bounded by the duplicate-LINE count, a
 # small fraction of lines in real crawls) is broadcast once and applied
 # in a stateless map over the ORIGINAL dataset, so the payload never
-# shuffles at all.  At extreme duplicate rates route the drop rows
-# through `stages.joins.shuffle_join(how="left_anti")` on the exploded
-# line rows instead of the broadcast (the run_corpus drop-set threshold
-# rule, pipelines/corpus.py).
+# shuffles at all.  At extreme duplicate rates pass ``backend="join"``:
+# the drop rows are resolved with one tagged-union hash shuffle on
+# doc_id (the substring_dedup join shape) and no driver- or
+# actor-resident copy of the drop set ever exists.
 
 
 def _line_rows(batch: pa.Table, text_col: str, id_col: str,
@@ -1493,12 +1494,48 @@ def _line_losers(group: pa.Table, id_col: str) -> pa.Table:
                      "pos": g["pos"].filter(keep)})
 
 
+def _rebuild_lines(batch: pa.Table, text_col: str,
+                   drop_pos_per_row: list) -> pa.Table:
+    """Vectorized line-drop reconstruction: split every doc on ``\\n``
+    once (C kernel), knock out the 1-based positions listed for each
+    row, re-join survivors with ``\\n``.  The only Python loop is over
+    AFFECTED rows (setting mask bits), never over lines or characters.
+    Appends ``text_clean`` and ``n_lines_dropped``."""
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(batch[text_col].combine_chunks(), "")
+    lists = pc.split_pattern(col, "\n")
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    keep = np.ones(total, dtype=bool)
+    n_drop = np.zeros(batch.num_rows, dtype=np.int64)
+    for i, drops in enumerate(drop_pos_per_row):
+        if drops is None or not len(drops):
+            continue
+        dead = np.asarray(list(drops), dtype=np.int64) - 1  # 1-based → 0
+        keep[starts[i] + dead] = False
+        n_drop[i] = len(dead)
+    kept_counts = counts - n_drop
+    offsets64 = np.concatenate([[0], np.cumsum(kept_counts,
+                                               dtype=np.int64)])
+    if offsets64[-1] >= 2 ** 31:  # int32 offsets would wrap silently
+        raise ValueError(
+            f"batch holds {offsets64[-1]} kept lines >= 2^31; shrink "
+            "batch_size for this stage (offsets are int32 ListArray)")
+    la = pa.ListArray.from_arrays(
+        pa.array(offsets64.astype(np.int32), pa.int32()),
+        lists.values.filter(pa.array(keep)))
+    out = batch.append_column("text_clean", pc.binary_join(la, "\n"))
+    return out.append_column("n_lines_dropped", pa.array(n_drop))
+
+
 class DropLinesStage:
     """Reconstruction actor: fetches the broadcast drop table ONCE in
-    ``__init__`` (doc_id → sorted drop positions), then per batch splits
-    only the AFFECTED docs, drops their positions and re-joins — docs
-    with no dropped line pass through untouched (C-level ``is_in``
-    mask).  Appends ``text_clean`` and ``n_lines_dropped``."""
+    ``__init__`` (doc_id → drop-position array), then per batch rebuilds
+    via `_rebuild_lines` — docs with no dropped line take the no-op
+    mask path.  Appends ``text_clean`` and ``n_lines_dropped``."""
 
     def __init__(self, drop_ref, text_col: str = "text",
                  id_col: str = "doc_id"):
@@ -1507,50 +1544,113 @@ class DropLinesStage:
         tbl = (drop_ref if isinstance(drop_ref, pa.Table)
                else ray.get(drop_ref))
         self.text_col, self.id_col = text_col, id_col
-        self.drops: dict = {}
-        for did, p in zip(tbl[id_col].to_pylist(), tbl["pos"].to_pylist()):
-            self.drops.setdefault(did, set()).add(p)
+        df = pd.DataFrame({"d": tbl[id_col].to_numpy(zero_copy_only=False),
+                           "p": tbl["pos"].to_numpy(zero_copy_only=False)})
+        self.drops = {d: g.to_numpy()
+                      for d, g in df.groupby("d", sort=False)["p"]}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        per_row = [self.drops.get(d)
+                   for d in batch[self.id_col].to_pylist()]
+        return _rebuild_lines(batch, self.text_col, per_row)
 
-        col = pc.fill_null(batch[self.text_col].combine_chunks(), "")
-        ids = batch[self.id_col].to_pylist()
-        affected = [i for i, d in enumerate(ids) if d in self.drops]
-        texts = col.to_pylist()
-        n_drop = np.zeros(batch.num_rows, dtype=np.int64)
-        for i in affected:
-            dead = self.drops[ids[i]]
-            lines = texts[i].split("\n")
-            kept = [ln for p, ln in enumerate(lines, start=1)
-                    if p not in dead]
-            n_drop[i] = len(lines) - len(kept)
-            texts[i] = "\n".join(kept)
-        out = batch.append_column("text_clean", pa.array(texts, pa.string()))
-        return out.append_column("n_lines_dropped", pa.array(n_drop))
+
+def _apply_line_drops_part(group: pa.Table, text_col: str, id_col: str,
+                           orig_cols: list,
+                           out_schema: pa.Schema) -> pa.Table:
+    """One doc-complete partition of the tagged union: split doc rows
+    (``_side`` 0) from drop rows (``_side`` 1), gather each doc's drop
+    positions with a pandas C groupby, rebuild vectorized."""
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    side = group["_side"].to_numpy(zero_copy_only=False)
+    docs = group.filter(pa.array(side == 0)).select(orig_cols)
+    if docs.num_rows == 0:
+        return out_schema.empty_table()
+    rm = group.filter(pa.array(side == 1))
+    if rm.num_rows:
+        df = pd.DataFrame(
+            {"d": rm[id_col].to_numpy(zero_copy_only=False),
+             "p": rm["_pos"].to_numpy(zero_copy_only=False)})
+        m = {d: g.to_numpy() for d, g in df.groupby("d", sort=False)["p"]}
+    else:
+        m = {}
+    per_row = [m.get(d) for d in docs[id_col].to_pylist()]
+    return _rebuild_lines(docs, text_col, per_row).cast(out_schema)
 
 
 def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-               num_partitions: int = 64, concurrency: int = 4):
+               num_partitions: int = 64, concurrency: int = 4,
+               backend: str = "broadcast"):
     """Corpus-wide duplicate-line removal (see module comment above).
     Returns the input dataset with ``text_clean`` (surviving lines
     re-joined with \\n; '' if every line was a duplicate) and
     ``n_lines_dropped`` appended.  Consumes the source twice (decision +
     reconstruction) — the documented two-pass trade of
     ``jaccard_near_dups``; at scale the decision pass reads a pruned
-    (id, text) projection."""
+    (id, text) projection.
+
+    ``backend="broadcast"`` (default): the drop table — bounded by the
+    duplicate-LINE occurrence count — is ``ray.put`` once and applied
+    statelessly; the payload never shuffles.  ``backend="join"``: docs
+    and drop rows are tagged onto ONE canonical schema, pre-bucketed on
+    ``hash(doc_id) % P``, and each doc-complete partition rebuilds
+    vectorized — one payload shuffle, but no materialized copy of the
+    drop set anywhere (driver or actor): the shape for adversarial
+    duplicate rates.  Both backends are pytest-proven row-identical
+    (`tests/test_line_dedup.py`)."""
     import ray
+    import ray.data
 
     drops_ds = ds.map_batches(
         lambda b: _line_rows(b, text_col, id_col, num_partitions),
         batch_format="pyarrow") \
         .groupby("part").map_groups(
             lambda g: _line_losers(g, id_col), batch_format="pyarrow")
-    # bounded by the duplicate-line count; see module comment for the
-    # anti-join escape hatch at extreme duplicate rates
-    drop_batches = list(drops_ds.iter_batches(batch_format="pyarrow"))
     sch = ds.schema()
     id_type = dict(zip(sch.names, sch.types))[id_col]
+    if backend == "join":
+        orig_schema = pa.schema(list(zip(sch.names, sch.types)))
+        orig_cols = list(sch.names)
+        canon = pa.schema(list(orig_schema)
+                          + [pa.field("_side", pa.int8()),
+                             pa.field("_pos", pa.int64())])
+        out_schema = pa.schema(list(orig_schema)
+                               + [pa.field("text_clean", pa.string()),
+                                  pa.field("n_lines_dropped", pa.int64())])
+
+        def _tag_docs(b: pa.Table) -> pa.Table:
+            cols = {c: b[c] for c in orig_cols}
+            cols["_side"] = pa.array(np.zeros(b.num_rows, np.int8))
+            cols["_pos"] = pa.nulls(b.num_rows, pa.int64())
+            out = pa.table(cols).cast(canon)
+            return out.append_column(
+                "_part", pa.array(_part_of(out[id_col], num_partitions)))
+
+        def _tag_rm(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0 or b.num_rows == 0:
+                return canon.append(
+                    pa.field("_part", pa.int64())).empty_table()
+            cols = {c: (b[id_col] if c == id_col
+                        else pa.nulls(b.num_rows,
+                                      orig_schema.field(c).type))
+                    for c in orig_cols}
+            cols["_side"] = pa.array(np.ones(b.num_rows, np.int8))
+            cols["_pos"] = b["pos"]
+            out = pa.table(cols).cast(canon)
+            return out.append_column(
+                "_part", pa.array(_part_of(out[id_col], num_partitions)))
+
+        tagged = ds.map_batches(_tag_docs, batch_format="pyarrow").union(
+            drops_ds.map_batches(_tag_rm, batch_format="pyarrow"))
+        empty = ray.data.from_arrow(out_schema.empty_table())
+        return empty.union(tagged.groupby("_part").map_groups(
+            lambda g: _apply_line_drops_part(g, text_col, id_col,
+                                             orig_cols, out_schema),
+            batch_format="pyarrow"))
+    # broadcast: bounded by the duplicate-line count; backend="join"
+    # above is the escape hatch at extreme duplicate rates
+    drop_batches = list(drops_ds.iter_batches(batch_format="pyarrow"))
     drop_tbl = (pa.concat_tables(drop_batches) if drop_batches
                 else pa.table({id_col: pa.array([], id_type),
                                "pos": pa.array([], pa.int64())}))

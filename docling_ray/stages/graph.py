@@ -379,6 +379,11 @@ def anchor_text_index(links, url_col: str = "url", href_col: str = "href",
         entry = pc.binary_join_element_wise(g["src"].combine_chunks(),
                                             g["atext"].combine_chunks(),
                                             ">")
+        if n >= 2 ** 31:  # int32 ListArray offsets would wrap silently
+            raise ValueError(
+                f"anchor partition has {n} rows >= 2^31; a hot target key "
+                "needs salting or a LargeListArray path before this is "
+                "safe")
         offsets = np.append(starts, n).astype(np.int32)
         la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
                                       entry.combine_chunks()

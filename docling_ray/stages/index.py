@@ -92,6 +92,10 @@ def _build_postings(group: pa.Table, id_col: str,
     entry = pc.binary_join_element_wise(
         pc.cast(g[id_col], pa.string()),
         pc.cast(g["tf"], pa.string()), ":")
+    if n >= 2 ** 31:  # int32 ListArray offsets would wrap silently
+        raise ValueError(
+            f"posting partition has {n} rows >= 2^31; a hot term key "
+            "needs salting or a LargeListArray path before this is safe")
     offsets = np.append(starts, n).astype(np.int32)
     la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
                                   entry.combine_chunks())

@@ -338,7 +338,12 @@ def _rebuild_clean(batch: pa.Table, w: int, column: str,
         covered = (np.asarray(rms, dtype=np.int64)[:, None] + span).ravel()
         keep[starts[i] + covered] = False
     kept_counts = np.bincount(row_idx[keep], minlength=len(batch))
-    offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32)
+    offsets64 = np.concatenate([[0], np.cumsum(kept_counts, dtype=np.int64)])
+    if offsets64[-1] >= 2 ** 31:  # int32 offsets would wrap silently
+        raise ValueError(
+            f"batch holds {offsets64[-1]} kept tokens >= 2^31; shrink "
+            "batch_size for this stage (offsets are int32 ListArray)")
+    offsets = offsets64.astype(np.int32)
     la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
                                   toks.filter(pa.array(keep)))
     out = batch.append_column("text_clean", pc.binary_join(la, " "))

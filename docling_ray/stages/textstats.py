@@ -285,7 +285,7 @@ def top_k_tokens(ds, k: int = 50, column: str = "text") -> pa.Table:
 
 # -- Gopher quality rules ----------------------------------------------------
 
-_GOPHER_STOPWORDS_RE = (r"\b(the|be|to|of|and|that|have|with)\b")
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _GOPHER_ALPHA_TOKEN_RE = r"[^\s]*[A-Za-z][^\s]*"
 _GOPHER_BULLET_LINE_RE = r"(?m)^\s*[-*•]"
 _GOPHER_ELLIPSIS_LINE_RE = r"(?m)(\.\.\.|…)$"
@@ -299,7 +299,10 @@ def gopher_stats_batch(batch: pa.Table, column: str = "text",
     mean-word-length band [3, 10], symbol-to-word ratio (# and ellipsis)
     < 0.1, >= 80% of tokens contain an alphabetic char, >= 2 of the 8
     canonical English stop words, < 90% bullet-started lines, < 30%
-    ellipsis-ended lines.
+    ellipsis-ended lines.  ``n_stopwords`` is the number of DISTINCT stop
+    words present (0..8), matching Rae et al.'s "contains at least two of
+    the following English words" — not total occurrences ('the the' alone
+    must NOT pass).
 
     Everything is an Arrow C RE2 kernel and every RULE is an
     integer cross-multiplication (``10 * n_sym < n_tokens`` instead of a
@@ -321,7 +324,11 @@ def gopher_stats_batch(batch: pa.Table, column: str = "text",
     n_tokens = cnt(r"[^\s]+")
     n_space = cnt(r"\s")
     n_alpha_tok = cnt(_GOPHER_ALPHA_TOKEN_RE)
-    n_stop = cnt(_GOPHER_STOPWORDS_RE)
+    # Distinct stop words present: one RE2 presence flag per word, summed.
+    n_stop = np.zeros(len(col), np.int64)
+    for w in _GOPHER_STOPWORDS:
+        n_stop += pc.match_substring_regex(col, rf"\b{w}\b") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
     n_sym = cnt(r"#") + cnt(r"\.\.\.") + cnt("…")
     n_newline = cnt(r"\n")
     n_lines = n_newline + (n_chars > 0).astype(np.int64)

@@ -6,12 +6,16 @@ mirror is byte-identical by construction — the pii_redact pattern):
 1. split ``scheme://host rest`` with one ``extract_regex`` (the fragment
    is never captured: ``rest`` stops at ``#``);
 2. lowercase scheme and host;
-3. strip default ports ``:80`` / ``:443`` from the host;
+3. strip the scheme's OWN default port from the host — ``:80`` only for
+   ``http``, ``:443`` only for ``https`` (``https://h:80`` is a
+   non-default port and is kept);
 4. strip ``utm_*`` tracking params in three fixed passes
    (``&utm_…``, ``?utm_…&`` → ``?``, ``?utm_…$``) — RE2 has no
    lookahead, and three leftmost-nonoverlapping passes resolve every
    arrangement identically in Arrow and DuckDB;
-5. collapse trailing ``/``.
+5. collapse trailing ``/`` from the PATH component only (the part of
+   ``rest`` before the first ``?``) — a query string ending in ``/`` is
+   data, not a path separator.
 
 Rows that don't match ``scheme://`` pass through unchanged (relative or
 garbage inputs are not guessed at).  Everything is a C kernel over the
@@ -42,14 +46,24 @@ def canonical_url_batch(batch: pa.Table,
     scheme = pc.utf8_lower(pc.fill_null(pc.struct_field(parts, "scheme"),
                                         ""))
     host = pc.utf8_lower(pc.fill_null(pc.struct_field(parts, "host"), ""))
-    host = pc.replace_substring_regex(host, r":(80|443)$", "")
+    host = pc.if_else(
+        pc.equal(scheme, "http"),
+        pc.replace_substring_regex(host, r":80$", ""),
+        pc.if_else(pc.equal(scheme, "https"),
+                   pc.replace_substring_regex(host, r":443$", ""),
+                   host))
     rest = pc.fill_null(pc.struct_field(parts, "rest"), "")
     rest = pc.replace_substring_regex(rest, r"&utm_[^&]*", "")
     rest = pc.replace_substring_regex(rest, r"\?utm_[^&]*&", "?")
     rest = pc.replace_substring_regex(rest, r"\?utm_[^&]*$", "")
-    rest = pc.replace_substring_regex(rest, r"/+$", "")
+    # trailing-slash collapse applies to the path only: split rest at the
+    # first '?' (RE2 [^?]* is leftmost-greedy, identical in DuckDB)
+    rparts = pc.extract_regex(rest, r"(?s)^(?P<path>[^?]*)(?P<query>.*)$")
+    path = pc.fill_null(pc.struct_field(rparts, "path"), "")
+    query = pc.fill_null(pc.struct_field(rparts, "query"), "")
+    path = pc.replace_substring_regex(path, r"/+$", "")
     canon = pc.binary_join_element_wise(
-        scheme, pa.scalar("://"), host, rest, pa.scalar(""))
+        scheme, pa.scalar("://"), host, path, query, pa.scalar(""))
     canon = pc.if_else(ok, canon, col)
     return batch.append_column("canon_url", canon)
 

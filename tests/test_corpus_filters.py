@@ -238,6 +238,10 @@ def test_gopher_stats_each_rule_fires():
                    "111 222 be with that",                       # alpha < .8
         "no_stopwords": "quick brown foxes jumped gleefully over "
                         "lazy dogs during autumn morning walks",  # stop < 2
+        # one stop word repeated: distinct count is 1, must fail (Rae et
+        # al. require >= 2 OF the listed words, not 2 occurrences)
+        "one_stopword": "the quick brown foxes jumped gleefully over "
+                        "lazy dogs during the autumn morning walks",
         "bullets": "\n".join("- item the with that be of" for _ in range(10)),
         "ellipses": "\n".join("the end with that be of..."
                               for _ in range(10)),
@@ -263,15 +267,22 @@ def test_canonical_url_rules():
     from docling_ray.stages.urls import canonical_url_batch
 
     cases = {
-        # case-fold scheme+host, keep path case, strip :443, utm, #frag
+        # case-fold scheme+host, keep path case, strip :443, utm, #frag;
+        # trailing path slash collapses even when a query follows
         "HTTPS://WWW.Ex.COM:443/Path/?utm_s=1&id=2&utm_c=3#frag":
-            "https://www.ex.com/Path/?id=2",
+            "https://www.ex.com/Path?id=2",
         "http://a.b:80/x/": "http://a.b/x",
         "http://a.b/x": "http://a.b/x",
         "https://Q.com/?utm_a=1&utm_b=2": "https://q.com",
         "https://q.com": "https://q.com",
         # :8080 is NOT a default port — kept
         "http://h.io:8080/y": "http://h.io:8080/y",
+        # default-port strip is scheme-aware: :80 on https (and :443 on
+        # http) are NON-default ports and must be kept
+        "https://a.com:80/x": "https://a.com:80/x",
+        "http://a.com:443/x": "http://a.com:443/x",
+        # a query string ending in '/' is data, not a path separator
+        "https://a.com/p?q=x/": "https://a.com/p?q=x/",
         # non-urls pass through unchanged, null -> ''
         "not a url": "not a url",
         None: "",

@@ -539,3 +539,35 @@ def test_line_dedup_within_doc_and_ids(ray_session):
                                num_partitions=4).take_all()}
     # keep-first orders by doc_id ASC: "a" wins the shared line "x"
     assert out == {"a": ("x\nz", 0), "b": ("y", 3)}
+
+
+def test_line_dedup_join_backend_identical(ray_session):
+    """backend='join' (anti-join shape, no driver/actor drop-set copy)
+    is row-identical to the broadcast default on a corpus with
+    cross-doc dups, within-doc dups, empty lines and null text."""
+    import ray
+
+    from docling_ray.stages.dedup import line_dedup
+
+    texts = []
+    for i in range(40):
+        lines = [f"unique line {i}-{j}" for j in range(3)]
+        if i % 2 == 0:
+            lines.insert(1, "shared footer")       # cross-doc dup
+        if i % 5 == 0:
+            lines += ["repeat me", "repeat me"]    # within-doc dup
+        if i % 7 == 0:
+            lines.insert(0, "")                    # structural empty
+        texts.append("\n".join(lines))
+    texts[13] = None
+    t = pa.table({"doc_id": pa.array(list(range(40)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    def run(backend):
+        ds = ray.data.from_arrow(t).repartition(5)
+        rows = line_dedup(ds, num_partitions=8,
+                          backend=backend).take_all()
+        return sorted(((r["doc_id"], r["text_clean"],
+                        r["n_lines_dropped"]) for r in rows))
+
+    assert run("broadcast") == run("join")
