@@ -295,6 +295,51 @@ def _node_id_of(url: str) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _resolve_href_column(url_arr, href_arr):
+    """Vectorized `_resolve_href` over whole columns — every rule an
+    Arrow C kernel, no per-row Python.  Returns ``(valid, target)``
+    boolean/string arrays aligned to the input; ``target`` is only
+    meaningful where ``valid``.  Byte-identical to the scalar policy
+    (`test_graph.py` proves both agree case by case)."""
+    import hashlib  # noqa: F401  (kept for symmetry with _node_id_of)
+
+    if isinstance(url_arr, pa.ChunkedArray):
+        url_arr = url_arr.combine_chunks()
+    if isinstance(href_arr, pa.ChunkedArray):
+        href_arr = href_arr.combine_chunks()
+    u = pc.fill_null(url_arr, "")
+    h = pc.fill_null(href_arr, "")
+    nonempty = pc.and_(pc.greater(pc.utf8_length(u), 0),
+                       pc.greater(pc.utf8_length(h), 0))
+    abs_m = pc.or_(pc.starts_with(h, "http://"),
+                   pc.starts_with(h, "https://"))
+    root_m = pc.and_(pc.starts_with(h, "/"),
+                     pc.invert(pc.starts_with(h, "//")))
+    # "/".join(url.split("/", 3)[:3]) as C kernels
+    origin = pc.binary_join(
+        pc.list_slice(pc.split_pattern(u, "/", max_splits=3), 0, 3), "/")
+    target = pc.if_else(
+        abs_m, h, pc.binary_join_element_wise(origin, h, ""))
+    valid = pc.and_(nonempty, pc.or_(abs_m, root_m))
+    return valid, target
+
+
+def _node_ids_column(urls: "np.ndarray") -> "np.ndarray":
+    """`_node_id_of` over a string ndarray: md5 runs once per DISTINCT
+    url (repeated targets hash once — the `_line_rows` shape), the
+    two's-complement fold is a zero-copy uint64→int64 view."""
+    import hashlib
+
+    if not len(urls):
+        return np.empty(0, np.int64)
+    uniq, inv = np.unique(urls, return_inverse=True)
+    ids = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8],
+                        "big") for s in uniq),
+        dtype=np.uint64, count=len(uniq))
+    return ids[inv].view(np.int64)
+
+
 def resolve_link_edges(links, url_col: str = "url",
                        href_col: str = "href"):
     """Outlink rows → int64 graph edges ``(src, dst)``: root-relative
@@ -305,16 +350,16 @@ def resolve_link_edges(links, url_col: str = "url",
     never enter the PageRank shuffles."""
 
     def to_edges(batch: pa.Table) -> pa.Table:
-        srcs, dsts = [], []
-        for u, h in zip(batch[url_col].to_pylist(),
-                        batch[href_col].to_pylist()):
-            target = _resolve_href(u, h)
-            if target is None:
-                continue
-            srcs.append(_node_id_of(u))
-            dsts.append(_node_id_of(target))
-        return pa.table({"src": pa.array(srcs, pa.int64()),
-                         "dst": pa.array(dsts, pa.int64())})
+        valid, target = _resolve_href_column(batch[url_col],
+                                             batch[href_col])
+        u = pc.fill_null(batch[url_col].combine_chunks(), "") \
+            .filter(valid)
+        t = target.filter(valid)
+        return pa.table({
+            "src": pa.array(_node_ids_column(
+                u.to_numpy(zero_copy_only=False)), pa.int64()),
+            "dst": pa.array(_node_ids_column(
+                t.to_numpy(zero_copy_only=False)), pa.int64())})
 
     return links.map_batches(to_edges, batch_format="pyarrow")
 
@@ -339,23 +384,19 @@ def anchor_text_index(links, url_col: str = "url", href_col: str = "href",
     from docling_ray.stages.dedup import _part_of
 
     def resolve(batch: pa.Table) -> pa.Table:
-        tgts, srcs, txts = [], [], []
-        for u, h, t in zip(batch[url_col].to_pylist(),
-                           batch[href_col].to_pylist(),
-                           batch[text_col].to_pylist()):
-            target = _resolve_href(u, h)
-            if target is None:
-                continue
-            tgts.append(target)
-            srcs.append(u)
-            txts.append(t or "")
-        tgt = pa.array(tgts, pa.string())
+        valid, target = _resolve_href_column(batch[url_col],
+                                             batch[href_col])
+        tgt = target.filter(valid)
+        src = pc.fill_null(batch[url_col].combine_chunks(), "") \
+            .filter(valid)
+        txt = pc.fill_null(batch[text_col].combine_chunks(), "") \
+            .filter(valid)
         return pa.table({
             "target": tgt,
-            "src": pa.array(srcs, pa.string()),
-            "atext": pa.array(txts, pa.string()),
+            "src": src,
+            "atext": txt,
             "part": pa.array(_part_of(tgt, num_partitions)
-                             if len(tgts) else
+                             if len(tgt) else
                              np.empty(0, np.int64)),
         })
 

@@ -175,33 +175,45 @@ def _range_count_partition(part: pa.Table, on: str, ts_col: str,
     count of right rows of the same key with
     ``left.ts + lo_us <= right.ts <= left.ts + hi_us`` (inclusive).
 
-    Fully C: per-key cumulative right count (groupby.cumcount), then two
-    ``pd.merge_asof(by=key)`` probes at the window bounds — the count is
-    the difference (count ≤ hi) − (count ≤ lo−1).  Integer-microsecond
-    arithmetic throughout, so the −1 lower-bound shift is exact."""
+    Fully C, Arrow-first (the `_asof_partition` shape): the partition is
+    pruned to (dictionary-encoded key, int64 ts, side) before any pandas
+    object exists — payload columns never convert, they are attached at
+    the end with ONE ``take`` on the original Arrow table.  Counting is
+    per-key cumulative right count + two ``pd.merge_asof(by=key)``
+    probes at the window bounds — the count is the difference
+    (count ≤ hi) − (count ≤ lo−1).  Integer-microsecond arithmetic
+    throughout, so the −1 lower-bound shift is exact."""
     import pandas as pd
 
     if part.num_rows == 0:
         return out_schema.empty_table()
-    df = part.to_pandas()
-    ts_us = pa.compute.cast(part[ts_col], pa.int64()).to_numpy(
+    ts_us = pc.cast(part[ts_col], pa.int64()).to_numpy(
         zero_copy_only=False)
-    df["_us"] = ts_us
-    left = df[df["_side"] == 1].sort_values("_us", kind="mergesort")
-    right = df[df["_side"] == 0].sort_values("_us", kind="mergesort")
-    right = right[[on, "_us"]].copy()
-    right["_cum"] = right.groupby(on, sort=False).cumcount() + 1
+    side = part["_side"].to_numpy(zero_copy_only=False)
+    # one dictionary encode makes the merge key a fixed-width int no
+    # matter the key's logical type (string domains stay Arrow-side)
+    codes = pc.dictionary_encode(part[on].combine_chunks()) \
+        .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.arange(part.num_rows, dtype=np.int64)
+    lmask = side == 1
+    lpos, lts, lcode = pos[lmask], ts_us[lmask], codes[lmask]
+    lorder = np.argsort(lts, kind="stable")
+    lpos, lts, lcode = lpos[lorder], lts[lorder], lcode[lorder]
+    rmask = ~lmask
+    rts, rcode = ts_us[rmask], codes[rmask]
+    rorder = np.argsort(rts, kind="stable")
+    rts, rcode = rts[rorder], rcode[rorder]
+    right = pd.DataFrame({"_k": rcode, "_us": rts})
+    right["_cum"] = right.groupby("_k", sort=False).cumcount() + 1
 
     def probe(bound_us):
-        probe_left = left[[on]].copy()
-        probe_left["_bound"] = bound_us
+        probe_left = pd.DataFrame({"_k": lcode, "_bound": bound_us})
         m = pd.merge_asof(probe_left, right, left_on="_bound",
-                          right_on="_us", by=on, direction="backward")
+                          right_on="_us", by="_k", direction="backward")
         return m["_cum"].fillna(0).to_numpy(dtype=np.int64)
 
-    n = probe(left["_us"].to_numpy() + hi_us) \
-        - probe(left["_us"].to_numpy() + lo_us - 1)
-    out = pa.Table.from_pandas(left[left_cols], preserve_index=False)
+    n = probe(lts + hi_us) - probe(lts + lo_us - 1)
+    out = part.select(left_cols).take(pa.array(lpos))
     out = out.append_column("n_in_window", pa.array(n, pa.int64()))
     return out.cast(out_schema)
 

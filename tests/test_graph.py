@@ -224,3 +224,44 @@ def test_robots_filter_dataset_keep_only(ray_session):
         ray.data.from_arrow(t), rules, url_col="url",
         keep_only=True).take_all())
     assert kept == ["https://a.com/ok", "https://b.com/y"]
+
+
+def test_resolve_href_column_agrees_with_scalar_policy():
+    """The vectorized column resolver is byte-identical to the scalar
+    `_resolve_href` policy on every rule branch and edge case."""
+    import pyarrow as pa
+
+    from docling_ray.stages.graph import (_node_id_of, _node_ids_column,
+                                          _resolve_href, 
+                                          _resolve_href_column)
+
+    cases = [
+        ("http://a.com/p", "https://b.com/x"),   # absolute passes
+        ("http://a.com/p", "http://c.com"),
+        ("http://a.com/p/q", "/root/rel"),       # root-relative joins
+        ("https://h.io", "/x"),
+        ("http://a.com", "//proto.rel/x"),       # protocol-relative drops
+        ("http://a.com", "rel/path"),            # path-relative drops
+        ("http://a.com", "#frag"),
+        ("http://a.com", "mailto:x@y.z"),
+        ("", "/x"),                              # empty url drops
+        (None, "/x"),
+        ("http://a.com", ""),                    # empty href drops
+        ("http://a.com", None),
+        ("not a url", "/x"),                     # degenerate origin rule
+    ]
+    urls = pa.array([u for u, _ in cases], pa.string())
+    hrefs = pa.array([h for _, h in cases], pa.string())
+    valid, target = _resolve_href_column(urls, hrefs)
+    got = [(bool(v), t if bool(v) else None)
+           for v, t in zip(valid.to_pylist(), target.to_pylist())]
+    want = []
+    for u, h in cases:
+        r = _resolve_href(u, h)
+        want.append((r is not None, r))
+    assert got == want
+
+    import numpy as np
+    tgts = np.array([t for ok, t in want if ok])
+    ids = _node_ids_column(tgts)
+    assert ids.tolist() == [_node_id_of(t) for t in tgts]
