@@ -1365,6 +1365,33 @@ def q_warc_pipeline(sf_dir: str):
     return out.select_columns(["url", "doc_id", "status", "n_items"])
 
 
+def q_warc_stats(sf_dir: str):
+    """WARC truncation-as-data: deterministically corrupted chunks
+    (member-boundary cut + appended garbage — good-prefix length known
+    BY CONSTRUCTION) run through `warc_chunk_stats`, whose counters
+    make malformed input visible instead of silently shortening the
+    page stream.  Oracle: the arithmetic expectation (8 chunks of 16
+    records + warcinfo; chunk 3 cut after 4 responses, chunk 5 intact
+    with trailing garbage, chunk 7 short by corpus size)."""
+    import ray.data
+
+    from docling_ray.sources.warc import make_warc_members
+    from docling_ray.stages.scan import warc_chunk_stats
+
+    members = make_warc_members(120, seed=42, records_per_chunk=16)
+    chunks = []
+    for cid, mem in enumerate(members):
+        if cid == 3:      # keep warcinfo + 4 responses, then garbage
+            chunks.append(b"".join(mem[:5]) + b"GARBAGE-NOT-GZIP")
+        elif cid == 5:    # every member intact, trailing junk
+            chunks.append(b"".join(mem) + b"NOT-A-GZIP-MEMBER")
+        else:
+            chunks.append(b"".join(mem))
+    t = pa.table({"chunk_id": pa.array(range(len(chunks)), pa.int64()),
+                  "warc": pa.array(chunks, pa.large_binary())})
+    return warc_chunk_stats(ray.data.from_arrow(t).repartition(3))
+
+
 def _lsh_bucketed_oracle_sql(num_bands: int = 8,
                              planes_per_band: int = 3) -> str:
     """DuckDB mirror of ``lsh_bucketed_pairs``: the SAME hyperplanes (seeded
@@ -1962,6 +1989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text": q_anchor_text,
         "warc_extract": q_warc_extract,
         "warc_pipeline": q_warc_pipeline,
+        "warc_stats": q_warc_stats,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
@@ -2944,6 +2972,23 @@ def oracle_sql() -> dict[str, str]:
         "warc_pipeline": f"""
             SELECT url, doc_id, status, n_items
             FROM read_parquet('{_GOLDEN_DIR}/golden_extract.parquet')
+        """,
+        "warc_stats": """
+            -- arithmetic TRUE golden: 120 docs at 16/chunk = 8 chunks,
+            -- each led by a warcinfo record; chunk 3 cut at a member
+            -- boundary after 4 responses (+garbage), chunk 5 intact
+            -- with trailing garbage, chunk 7 holds the 8 leftover docs
+            SELECT * FROM (VALUES
+                (CAST(0 AS BIGINT), CAST(17 AS BIGINT),
+                 CAST(16 AS BIGINT), CAST(0 AS BIGINT)),
+                (1, 17, 16, 0),
+                (2, 17, 16, 0),
+                (3,  5,  4, 1),
+                (4, 17, 16, 0),
+                (5, 17, 16, 1),
+                (6, 17, 16, 0),
+                (7,  9,  8, 0)
+            ) AS t(chunk_id, n_records, n_responses, n_truncated)
         """,
         "chunks": f"""
             SELECT url, chunk_id, n_tokens, kind

@@ -30,32 +30,44 @@ import pyarrow as pa
 _CRLF2 = b"\r\n\r\n"
 
 
-def _gunzip_members(raw: bytes) -> bytes:
+def _gunzip_members(raw: bytes) -> tuple[bytes, int]:
     """Decompress concatenated gzip members (the WARC convention); plain
-    bytes pass through untouched."""
+    bytes pass through untouched.  Returns ``(data, truncated)`` where
+    ``truncated`` is 1 when a corrupt member ended decompression early
+    (the good prefix is still returned — errors are DATA, never an
+    exception, but never silent either)."""
     if not raw.startswith(b"\x1f\x8b"):
-        return raw
+        return raw, 0
     out = []
     pos = 0
+    truncated = 0
     while pos < len(raw):
         d = zlib.decompressobj(wbits=31)
         try:
             out.append(d.decompress(raw[pos:]))
         except zlib.error:
-            break        # corrupt member / trailing junk: errors are data
+            truncated = 1   # corrupt member / trailing junk
+            break
         consumed = len(raw) - pos - len(d.unused_data)
         if consumed <= 0:
+            truncated = 1   # decoder made no progress: malformed stream
             break
         pos += consumed
-    return b"".join(out)
+    return b"".join(out), truncated
 
 
-def parse_warc(raw: bytes) -> list[dict]:
-    """One WARC chunk → list of ``{url, warc_date, html}`` for every
-    ``response`` record.  Content-Length-driven record walk; malformed
-    trailing bytes end the walk (never raise — errors are data)."""
-    data = _gunzip_members(raw)
+def parse_warc_stats(raw: bytes) -> tuple[list[dict], dict]:
+    """One WARC chunk → ``(records, stats)``: the ``{url, warc_date,
+    html}`` rows of every well-formed ``response`` record, plus
+    counters so malformed input is VISIBLE data rather than a silent
+    shorter output — ``n_records`` (records fully walked, any type),
+    ``n_responses`` (emitted rows) and ``n_truncated`` (1 when the walk
+    ended early: corrupt gzip member, non-WARC bytes mid-chunk, bad or
+    negative Content-Length, or a body cut short by the chunk
+    boundary).  Content-Length-driven record walk; never raises."""
+    data, truncated = _gunzip_members(raw)
     out: list[dict] = []
+    n_records = 0
     pos = 0
     n = len(data)
     while pos < n:
@@ -66,6 +78,7 @@ def parse_warc(raw: bytes) -> list[dict]:
             break
         head_end = data.find(_CRLF2, pos)
         if head_end < 0 or not data[pos:pos + 5] == b"WARC/":
+            truncated = 1
             break
         headers = {}
         for line in data[pos:head_end].decode(
@@ -75,11 +88,17 @@ def parse_warc(raw: bytes) -> list[dict]:
         try:
             clen = int(headers.get("content-length", ""))
         except ValueError:
+            truncated = 1
             break
         if clen < 0:
-            break       # adversarial negative length would walk BACKWARD
+            truncated = 1   # negative length would walk BACKWARD
+            break
+        if head_end + 4 + clen > n:
+            truncated = 1   # body cut short by the chunk boundary:
+            break           # never emit a partial payload as a page
         body = data[head_end + 4:head_end + 4 + clen]
         pos = head_end + 4 + clen
+        n_records += 1
         if headers.get("warc-type") != "response":
             continue
         http_end = body.find(_CRLF2)
@@ -89,7 +108,15 @@ def parse_warc(raw: bytes) -> list[dict]:
             "warc_date": headers.get("warc-date", ""),
             "html": payload,
         })
-    return out
+    return out, {"n_records": n_records, "n_responses": len(out),
+                 "n_truncated": truncated}
+
+
+def parse_warc(raw: bytes) -> list[dict]:
+    """One WARC chunk → list of ``{url, warc_date, html}`` for every
+    ``response`` record (see `parse_warc_stats` for the counter-bearing
+    form; this is the rows-only view)."""
+    return parse_warc_stats(raw)[0]
 
 
 def _frame_record(url: str, date_iso: str, html: bytes,
@@ -108,16 +135,20 @@ def _frame_record(url: str, date_iso: str, html: bytes,
     return rec
 
 
-def make_warc_table(n: int, seed: int = 42, records_per_chunk: int = 20,
-                    gzip_members: bool = True) -> pa.Table:
-    """Deterministic WARC corpus: the webpages rows framed as WARC
-    response records (one optional gzip member each), ``records_per_chunk``
-    records concatenated per chunk row — ``(chunk_id, warc:binary)``.
-    A ``warcinfo`` record leads each chunk (readers must skip it)."""
+def make_warc_members(n: int, seed: int = 42,
+                      records_per_chunk: int = 20,
+                      gzip_members: bool = True) -> list[list[bytes]]:
+    """The member-level view of `make_warc_table`: one list per chunk,
+    each element a single framed record (gzip member when
+    ``gzip_members``) — a leading ``warcinfo`` record then
+    ``records_per_chunk`` responses.  Exposing the boundaries lets
+    tests and the ``warc_stats`` query build DETERMINISTICALLY
+    corrupted chunks whose good-prefix length is known by construction
+    (a TRUE golden for the truncation counters)."""
     from docling_ray.sources.webpages import make_rows
 
     data = make_rows(0, n, seed=seed)
-    chunks, ids = [], []
+    chunks: list[list[bytes]] = []
     cur: list[bytes] = []
     for i, (u, ts, html) in enumerate(zip(data["url"], data["warc_ts"],
                                           data["html"])):
@@ -131,11 +162,20 @@ def make_warc_table(n: int, seed: int = 42, records_per_chunk: int = 20,
         cur.append(_frame_record(u, ts.isoformat() + "Z", html,
                                  gzip_members))
         if (i + 1) % records_per_chunk == 0:
-            ids.append(len(ids))
-            chunks.append(b"".join(cur))
+            chunks.append(cur)
             cur = []
     if cur:
-        ids.append(len(ids))
-        chunks.append(b"".join(cur))
-    return pa.table({"chunk_id": pa.array(ids, pa.int64()),
+        chunks.append(cur)
+    return chunks
+
+
+def make_warc_table(n: int, seed: int = 42, records_per_chunk: int = 20,
+                    gzip_members: bool = True) -> pa.Table:
+    """Deterministic WARC corpus: the webpages rows framed as WARC
+    response records (one optional gzip member each), ``records_per_chunk``
+    records concatenated per chunk row — ``(chunk_id, warc:binary)``.
+    A ``warcinfo`` record leads each chunk (readers must skip it)."""
+    chunks = [b"".join(members) for members in
+              make_warc_members(n, seed, records_per_chunk, gzip_members)]
+    return pa.table({"chunk_id": pa.array(range(len(chunks)), pa.int64()),
                      "warc": pa.array(chunks, pa.large_binary())})

@@ -152,3 +152,38 @@ def warc_explode(ds, warc_col: str = "warc"):
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def warc_chunk_stats(ds, warc_col: str = "warc",
+                     id_col: str = "chunk_id"):
+    """Per-chunk WARC parse health — ``(chunk_id, n_records,
+    n_responses, n_truncated)`` from `parse_warc_stats`.  Truncation is
+    DATA here: a chunk whose record walk ended early (corrupt gzip,
+    garbage mid-chunk, body cut at the chunk boundary) reports
+    ``n_truncated = 1`` alongside however many good-prefix rows
+    `warc_explode` emitted, instead of just producing silently fewer
+    pages.  A 100 TB ingest sums this column to audit crawl shards;
+    zero rows are dropped invisibly."""
+    import pyarrow as pa
+
+    from docling_ray.sources.warc import parse_warc_stats
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids, nrec, nresp, ntr = [], [], [], []
+        for cid, raw in zip(batch[id_col].to_pylist(),
+                            batch[warc_col].to_pylist()):
+            s = (parse_warc_stats(raw)[1] if raw is not None
+                 else {"n_records": 0, "n_responses": 0,
+                       "n_truncated": 1})
+            ids.append(cid)
+            nrec.append(s["n_records"])
+            nresp.append(s["n_responses"])
+            ntr.append(s["n_truncated"])
+        return pa.table({
+            id_col: pa.array(ids, batch.schema.field(id_col).type),
+            "n_records": pa.array(nrec, pa.int64()),
+            "n_responses": pa.array(nresp, pa.int64()),
+            "n_truncated": pa.array(ntr, pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")

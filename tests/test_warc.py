@@ -65,3 +65,59 @@ def test_parse_warc_adversarial_negative_length_and_corrupt_gzip():
     good = _frame_record("u", "d", b"body", True)
     recs = parse_warc(good + b"GARBAGE-NOT-GZIP")
     assert len(recs) == 1 and recs[0]["html"] == b"body"
+
+
+def test_parse_warc_stats_truncation_is_visible_data():
+    """A corrupt mid-chunk record yields the good-prefix rows PLUS a
+    visible truncation count — never a silently shorter output."""
+    from docling_ray.sources.warc import parse_warc_stats
+
+    g1 = _frame_record("u1", "d", b"one", False)
+    g2 = _frame_record("u2", "d", b"two", False)
+
+    # clean chunk: zero truncation, records counted incl. non-response
+    recs, s = parse_warc_stats(g1 + g2)
+    assert [r["url"] for r in recs] == ["u1", "u2"]
+    assert s == {"n_records": 2, "n_responses": 2, "n_truncated": 0}
+
+    # garbage between two good records: good prefix + truncated flag
+    recs, s = parse_warc_stats(g1 + b"GARBAGE NOT A RECORD" + g2)
+    assert [r["url"] for r in recs] == ["u1"]
+    assert s == {"n_records": 1, "n_responses": 1, "n_truncated": 1}
+
+    # body cut short by the chunk boundary: the partial payload is NOT
+    # emitted as a page and the cut is flagged
+    recs, s = parse_warc_stats(g1 + g2[:-10])
+    assert [r["url"] for r in recs] == ["u1"]
+    assert s["n_truncated"] == 1 and s["n_responses"] == 1
+
+    # corrupt gzip member after a good one
+    gz = _frame_record("u", "d", b"body", True)
+    recs, s = parse_warc_stats(gz + b"GARBAGE-NOT-GZIP")
+    assert len(recs) == 1 and s["n_truncated"] == 1
+
+    # negative Content-Length
+    evil = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: u\r\nContent-Length: -38\r\n\r\n")
+    recs, s = parse_warc_stats(evil)
+    assert recs == [] and s["n_truncated"] == 1
+
+
+def test_warc_chunk_stats_stage(ray_session):
+    import ray
+
+    from docling_ray.stages.scan import warc_chunk_stats
+
+    g1 = _frame_record("u1", "d", b"one", False)
+    g2 = _frame_record("u2", "d", b"two", False)
+    t = pa.table({
+        "chunk_id": pa.array([0, 1, 2], pa.int64()),
+        "warc": pa.array([g1 + g2,                      # clean
+                          g1 + b"XX" + g2,              # mid-chunk junk
+                          None],                        # null chunk
+                         pa.large_binary())})
+    got = {r["chunk_id"]: (r["n_records"], r["n_responses"],
+                           r["n_truncated"])
+           for r in warc_chunk_stats(
+               ray.data.from_arrow(t).repartition(2)).take_all()}
+    assert got == {0: (2, 2, 0), 1: (1, 1, 1), 2: (0, 0, 1)}
