@@ -131,10 +131,25 @@ class DecontaminateStage:
 
     The gram set is fetched once per ACTOR from the object store
     (zero-copy of the serialized set; the BroadcastLookupJoin shape,
-    stages/joins.py)."""
+    stages/joins.py).
+
+    Probe path (exactness preserved, hot loop vectorized): tokens are
+    siphashed once per batch (``pd.util.hash_array``, deterministic
+    across processes), every window's gram hash is a Horner fold of its
+    ``n`` token hashes (pure uint64 numpy, no joined strings), and a
+    per-actor Bloom bit array built from the SAME fold over the
+    benchmark grams prefilters the windows.  Only Bloom-POSITIVE
+    windows materialize their joined string for the exact set confirm,
+    so false positives (Bloom or 64-bit fold collisions) are killed and
+    false negatives are impossible — identical token sequences fold
+    identically on both sides."""
+
+    _HORNER_C = np.uint64(0x9E3779B97F4A7C15)   # odd ⇒ bijective step
+    _K_HASHES = 4
 
     def __init__(self, bench_ref, n: int = 4, text_col: str = "text",
                  invert: bool = False):
+        import pandas as pd
         import ray
 
         self.bench = (bench_ref if isinstance(bench_ref, (set, frozenset))
@@ -142,19 +157,73 @@ class DecontaminateStage:
         self.n = n
         self.text_col = text_col
         self.invert = invert
+        # Bloom over the Horner-folded gram hashes: ~16 bits/gram, k=4
+        # → ≈0.24% false-positive rate, each killed by the set confirm
+        grams = [g for g in self.bench if g.count(" ") == n - 1]
+        m = 1 << max(10, int(np.ceil(np.log2(max(1, 16 * len(grams))))))
+        self.m_bits = np.uint64(m)
+        self.bits = np.zeros(m, dtype=bool)
+        if grams:
+            toks = [t for g in grams for t in g.split(" ")]
+            th = pd.util.hash_array(np.asarray(toks, dtype=object))
+            gh = np.zeros(len(grams), dtype=np.uint64)
+            view = th.reshape(len(grams), n)
+            with np.errstate(over="ignore"):
+                for j in range(n):
+                    gh = gh * self._HORNER_C + view[:, j]
+            for pos in self._positions(gh):
+                self.bits[pos] = True
+
+    def _positions(self, gh: "np.ndarray"):
+        """k Bloom bit positions per hash: double hashing with an odd
+        second step, everything uint64 wraparound arithmetic."""
+        with np.errstate(over="ignore"):
+            h2 = (gh >> np.uint64(33)) | np.uint64(1)
+            for i in range(self._K_HASHES):
+                yield ((gh + np.uint64(i) * h2) % self.m_bits) \
+                    .astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         n = self.n
-        bench = self.bench
-        token_lists = pc.split_pattern_regex(
-            pc.fill_null(batch[self.text_col].combine_chunks(), ""),
-            r"\s+").to_pylist()
-        keep = np.empty(len(token_lists), dtype=bool)
-        for i, raw in enumerate(token_lists):
-            toks = [t for t in raw if t]
-            hit = any(" ".join(toks[j:j + n]) in bench
-                      for j in range(len(toks) - n + 1))
-            keep[i] = hit if self.invert else not hit
+        rows = batch.num_rows
+        col = pc.fill_null(batch[self.text_col].combine_chunks(), "")
+        lists = pc.split_pattern_regex(col, r"\s+")
+        flat = lists.values
+        counts = np.diff(np.asarray(lists.offsets))
+        row_idx = np.repeat(np.arange(rows, dtype=np.int64), counts)
+        nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        row_idx = row_idx[nonempty]
+        toks_arr = flat.filter(pa.array(nonempty))
+        n_tok = np.bincount(row_idx, minlength=rows).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+        hit = np.zeros(rows, dtype=bool)
+        n_win_per_row = np.maximum(n_tok - n + 1, 0)
+        total_win = int(n_win_per_row.sum())
+        if total_win:
+            toks_np = toks_arr.to_numpy(zero_copy_only=False)
+            th = pd.util.hash_array(toks_np)
+            win_row = np.repeat(np.arange(rows, dtype=np.int64),
+                                n_win_per_row)
+            win_starts = np.arange(total_win, dtype=np.int64) \
+                - np.concatenate(
+                    [[0], np.cumsum(n_win_per_row)[:-1]])[win_row] \
+                + starts[win_row]
+            gh = np.zeros(total_win, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(n):
+                    gh = gh * self._HORNER_C + th[win_starts + j]
+            maybe = np.ones(total_win, dtype=bool)
+            for pos in self._positions(gh):
+                maybe &= self.bits[pos]
+            # exact confirm: joined strings exist ONLY for Bloom
+            # positives (collision kills), typically a tiny fraction
+            for w in np.flatnonzero(maybe):
+                s = int(win_starts[w])
+                if " ".join(toks_np[s:s + n]) in self.bench:
+                    hit[win_row[w]] = True
+        keep = hit if self.invert else ~hit
         return batch.filter(pa.array(keep))
 
 
