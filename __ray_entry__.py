@@ -812,6 +812,22 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, num_iters=3, num_partitions=32)
 
 
+def q_pagerank_persisted(sf_dir: str):
+    """Same graph/recurrence as ``pagerank`` but on the PERSISTED-edge
+    backend: edges load once into shard actors and every superstep
+    exchanges only contribution rows — O(V + E_msgs) instead of
+    O(V + 2E) per step (stages/graph.py::pagerank_persisted; removes
+    the edge re-exchange trade the exchange backend documents).  Same
+    oracle as ``pagerank``, so the two backends are driver-proven
+    hash-identical."""
+    from docling_ray.stages.graph import pagerank_persisted, \
+        seeded_doc_edges
+
+    ds = _documents(sf_dir, columns=["doc_id"])
+    edges = seeded_doc_edges(ds, fanout=3)
+    return pagerank_persisted(edges, num_iters=3, num_partitions=16)
+
+
 def q_inverted_index(sf_dir: str):
     """Inverted-index build (the retrieval primitive): term → sorted
     ``doc:tf`` posting list (fingerprinted by md5), document frequency
@@ -1990,6 +2006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": q_warc_extract,
         "warc_pipeline": q_warc_pipeline,
         "warc_stats": q_warc_stats,
+        "pagerank_persisted": q_pagerank_persisted,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
@@ -2048,7 +2065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "lang_metrics": """
             SELECT lang,
@@ -3016,3 +3033,11 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_GOLDEN_DIR}/golden_enrich.parquet')
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    """The dict above plus aliases: backends that must agree bit-for-bit
+    share ONE oracle (pagerank_persisted ≡ pagerank's recurrence)."""
+    d = _oracle_sql_base()
+    d["pagerank_persisted"] = d["pagerank"]
+    return d

@@ -158,6 +158,189 @@ def _superstep(group: pa.Table, first: bool, final: bool, base: int,
     return pa.concat_tables(parts)
 
 
+class _PageRankShard:
+    """One hash partition of the graph, pinned in an actor for the whole
+    PageRank run (the `state/dedup_index.py` shard pattern): edges and
+    node degrees load ONCE, every superstep exchanges only contribution
+    rows — O(V + E_msgs) small ints over the wire instead of re-shipping
+    the edge set each step (the Dataset-native `pagerank` trade this
+    backend removes).  All arithmetic is the same integer micro-unit
+    recurrence, so results are bit-identical to the exchange backend."""
+
+    def __init__(self, part_id: int, num_partitions: int, base: int,
+                 dpct: int):
+        self.part_id = part_id
+        self.P = num_partitions
+        self.base = base
+        self.dpct = dpct
+        self._edge_tbls: list = []
+        self._node_tbls: list = []
+
+    def load_edges(self, tbl) -> int:
+        self._edge_tbls.append(tbl)
+        return tbl.num_rows
+
+    def load_nodes(self, tbl) -> int:
+        self._node_tbls.append(tbl)
+        return tbl.num_rows
+
+    def finalize(self) -> int:
+        """Index the shard: sorted node array (searchsorted lookups),
+        per-edge src index, edges pre-sorted by destination partition so
+        every scatter is pure slicing + integer arithmetic."""
+        from docling_ray.stages.dedup import _part_of
+
+        if self._node_tbls:
+            nt = pa.concat_tables(self._node_tbls)
+            nodes = nt["node"].to_numpy(zero_copy_only=False)
+            deg = nt["deg"].to_numpy(zero_copy_only=False)
+        else:
+            nodes = np.empty(0, np.int64)
+            deg = np.empty(0, np.int64)
+        order = np.argsort(nodes, kind="stable")
+        self.nodes = nodes[order].astype(np.int64)
+        self.deg = deg[order].astype(np.int64)
+        self.rank = np.full(len(self.nodes), 1_000_000, np.int64)
+        if self._edge_tbls:
+            et = pa.concat_tables(self._edge_tbls)
+            src = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            src = np.empty(0, np.int64)
+            dst = np.empty(0, np.int64)
+        dpart = _part_of(pa.array(dst, pa.int64()), self.P)
+        eorder = np.argsort(dpart, kind="stable")
+        self.esrc_idx = np.searchsorted(self.nodes, src[eorder])
+        self.edst = dst[eorder]
+        bounds = np.searchsorted(dpart[eorder], np.arange(self.P + 1))
+        self.seg = [(int(bounds[p]), int(bounds[p + 1]))
+                    for p in range(self.P)]
+        self._edge_tbls = self._node_tbls = None
+        return len(self.nodes)
+
+    def scatter(self):
+        """Contribution rows for every target partition, from LOCAL
+        edges and LOCAL ranks — nothing but (dst, c) leaves the shard."""
+        c = self.rank[self.esrc_idx] // self.deg[self.esrc_idx]
+        out = []
+        for lo, hi in self.seg:
+            out.append(pa.table({
+                "dst": pa.array(self.edst[lo:hi], pa.int64()),
+                "c": pa.array(c[lo:hi], pa.int64())}))
+        return out if self.P > 1 else out[0]
+
+    def gather(self, *tables) -> int:
+        """Fold incoming contribution tables into the next rank vector
+        (``rank = base + dpct * s // 100``, exact integer arithmetic)."""
+        s = np.zeros(len(self.nodes), np.int64)
+        for t in tables:
+            if t.num_rows == 0:
+                continue
+            idx = np.searchsorted(
+                self.nodes, t["dst"].to_numpy(zero_copy_only=False))
+            np.add.at(s, idx, t["c"].to_numpy(zero_copy_only=False))
+        self.rank = self.base + (self.dpct * s) // 100
+        return len(self.nodes)
+
+    def ranks(self):
+        return pa.table({"node": pa.array(self.nodes, pa.int64()),
+                         "rank_u": pa.array(self.rank, pa.int64())})
+
+
+def pagerank_persisted(edges, num_iters: int = 3, damping_pct: int = 85,
+                       src_col: str = "src", dst_col: str = "dst",
+                       num_partitions: int = 16):
+    """PageRank with PERSISTED edge partitions: one decision shuffle
+    co-locates edges/degrees onto ``num_partitions`` shard actors, then
+    each superstep moves ONLY contribution rows (O(V + E_msgs)), never
+    the edge set — the scale path when iterations × edges dominate (the
+    trade `pagerank`'s docstring names).  The contribution exchange is
+    pure object-store ref passing (scatter returns per-target tables,
+    gathers consume them directly); the driver never holds graph data.
+    Bit-identical to `pagerank` (same integer recurrence, pytest-proven
+    on random graphs, dangling nodes and >2^53 md5 node ids)."""
+    import ray
+    import ray.data
+
+    from docling_ray.stages.dedup import _part_of
+
+    P = int(num_partitions)
+    base = int(round((100 - damping_pct) / 100 * 1_000_000))
+    dpct = int(damping_pct)
+    Shard = ray.remote(_PageRankShard)
+    shards = [Shard.remote(p, P, base, dpct) for p in range(P)]
+
+    def _deg_rows(b: pa.Table) -> pa.Table:
+        s = b[src_col].combine_chunks()
+        d = b[dst_col].combine_chunks()
+        n = len(s)
+        return pa.table({
+            "node": pa.concat_arrays([s.cast(pa.int64()),
+                                      d.cast(pa.int64())]),
+            "one": pa.array(np.r_[np.ones(n, np.int64),
+                                  np.zeros(n, np.int64)]),
+        })
+
+    node_deg = edges.map_batches(_deg_rows, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum(on="one", alias_name="deg"))
+
+    def _push(kind: str):
+        def push(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return pa.table({"n": pa.array([], pa.int64())})
+            p = int(group["_part"][0].as_py())
+            tbl = group.drop_columns(["_part"])
+            ref = (shards[p].load_edges.remote(tbl) if kind == "edges"
+                   else shards[p].load_nodes.remote(tbl))
+            return pa.table({"n": pa.array([ray.get(ref)], pa.int64())})
+        return push
+
+    def _tag_edges(b: pa.Table) -> pa.Table:
+        src = b[src_col].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "src": src,
+            "dst": b[dst_col].combine_chunks().cast(pa.int64()),
+            "_part": pa.array(_part_of(src, P))})
+
+    def _tag_nodes(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.schema([("node", pa.int64()), ("deg", pa.int64()),
+                              ("_part", pa.int64())]).empty_table()
+        key = b["node"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "node": key,
+            "deg": pc.fill_null(b["deg"], 0).combine_chunks()
+                .cast(pa.int64()),
+            "_part": pa.array(_part_of(key, P))})
+
+    # one-time decision shuffles; .count() drives the pushes to finish
+    edges.map_batches(_tag_edges, batch_format="pyarrow") \
+        .groupby("_part").map_groups(_push("edges"),
+                                     batch_format="pyarrow").count()
+    node_deg.map_batches(_tag_nodes, batch_format="pyarrow") \
+        .groupby("_part").map_groups(_push("nodes"),
+                                     batch_format="pyarrow").count()
+    ray.get([s.finalize.remote() for s in shards])
+
+    for _ in range(num_iters):
+        if P > 1:
+            outs = [s.scatter.options(num_returns=P).remote()
+                    for s in shards]
+            gathers = [shards[j].gather.remote(
+                *[outs[i][j] for i in range(P)]) for j in range(P)]
+        else:
+            outs = [s.scatter.remote() for s in shards]
+            gathers = [shards[0].gather.remote(*outs)]
+        ray.get(gathers)
+
+    rank_refs = [s.ranks.remote() for s in shards]
+    ray.wait(rank_refs, num_returns=len(rank_refs))
+    ds = ray.data.from_arrow_refs(rank_refs)
+    for s in shards:
+        ray.kill(s)
+    return ds
+
+
 def pagerank(edges, num_iters: int = 3, damping_pct: int = 85,
              src_col: str = "src", dst_col: str = "dst",
              num_partitions: int = 32):
@@ -171,9 +354,11 @@ def pagerank(edges, num_iters: int = 3, damping_pct: int = 85,
     previous step's contribution rows all travel keyed by the same
     node id, so each partition folds its incoming mass AND emits the
     next step's contributions in a single vectorized pass.  Edges are
-    re-exchanged every superstep — the Dataset-native Pregel trade
-    (persisting them would need long-lived shard actors); each
-    superstep's exchange is O(V + 2E) rows of a few int64s."""
+    re-exchanged every superstep — the Dataset-native Pregel trade;
+    each superstep's exchange is O(V + 2E) rows of a few int64s.  When
+    iterations × edges dominate, use `pagerank_persisted`: edges pin in
+    shard actors once and each superstep moves only O(V + E_msgs)
+    contribution rows (bit-identical results)."""
     import ray.data
 
     from docling_ray.stages.dedup import _part_of

@@ -265,3 +265,31 @@ def test_resolve_href_column_agrees_with_scalar_policy():
     tgts = np.array([t for ok, t in want if ok])
     ids = _node_ids_column(tgts)
     assert ids.tolist() == [_node_id_of(t) for t in tgts]
+
+
+def test_pagerank_persisted_identical_to_exchange(ray_session):
+    """The persisted-edge shard-actor backend is bit-identical to the
+    Dataset-native exchange backend: random graph, dangling nodes,
+    >2^53 md5 node ids, and P=1 degenerate sharding."""
+    import ray
+
+    from docling_ray.stages.graph import pagerank_persisted
+
+    def run_p(E, parts=3, iters=3, P=4):
+        t = pa.table({"src": pa.array([u for u, _ in E], pa.int64()),
+                      "dst": pa.array([v for _, v in E], pa.int64())})
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = pagerank_persisted(ds, num_iters=iters, num_partitions=P)
+        return {r["node"]: r["rank_u"] for r in out.take_all()}
+
+    rng = np.random.default_rng(11)
+    E = [(int(u), int(v))
+         for u, v in rng.integers(0, 40, size=(200, 2))]
+    nodes = {u for u, _ in E} | {v for _, v in E}
+    assert run_p(E) == _pyref(E, nodes) == _run(ray, E)
+
+    A, B, C = 4856848096376015040, -4465223803114542807, \
+        -8788520022508386332
+    E2 = [(A, B), (C, B), (C, A + 1), (B, B)]
+    assert run_p(E2, P=3) == run_p(E2, P=1) \
+        == _pyref(E2, {A, B, C, A + 1})
