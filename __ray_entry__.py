@@ -812,6 +812,37 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, num_iters=3, num_partitions=32)
 
 
+def q_template_extract(sf_dir: str):
+    """DocumentExtractor surface over the synthetic corpus
+    (docling_ray/extractor.py — the extract_all analog of
+    ``document_extractor.py:88-326``): template {"title":"",
+    "n_tokens":0} filled per document by the deterministic NuExtract
+    stub tier through the actor-pool Dataset form, extracted fields
+    projected to columns.  The stub's fill rules (RE2 \\s tokens,
+    32-char snippet + md5 salt, token count) are SQL-expressible, so
+    this is a full value-hash oracle, not just a golden."""
+    import json as _json
+
+    from docling_ray.extractor import extract_dataset_templated
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    out = extract_dataset_templated(ds, {"title": "", "n_tokens": 0})
+
+    def project(batch: pa.Table) -> pa.Table:
+        titles, ns = [], []
+        for s in batch["extracted_json"].to_pylist():
+            d = _json.loads(s)
+            titles.append(d["title"])
+            ns.append(int(d["n_tokens"]))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "title_extracted": pa.array(titles, pa.string()),
+            "n_tokens_extracted": pa.array(ns, pa.int64()),
+            "status": batch["status"]})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_pagerank_persisted(sf_dir: str):
     """Same graph/recurrence as ``pagerank`` but on the PERSISTED-edge
     backend: edges load once into shard actors and every superstep
@@ -2007,6 +2038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_pipeline": q_warc_pipeline,
         "warc_stats": q_warc_stats,
         "pagerank_persisted": q_pagerank_persisted,
+        "template_extract": q_template_extract,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
@@ -2989,6 +3021,28 @@ def _oracle_sql_base() -> dict[str, str]:
         "warc_pipeline": f"""
             SELECT url, doc_id, status, n_items
             FROM read_parquet('{_GOLDEN_DIR}/golden_extract.parquet')
+        """,
+        "template_extract": r"""
+            -- the NuExtract stub's fill rules verbatim: RE2 \s+ tokens,
+            -- title = first 32 chars of the re-joined tokens + '|' +
+            -- md5('')[:4] (the template leaf is ''), n_tokens = count;
+            -- empty docs yield title '' (the stub's no-snippet branch)
+            WITH c AS (
+                SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ), tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(t, '\s+'),
+                                   x -> x <> '') AS toks
+                FROM c
+            )
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN ''
+                        ELSE substr(array_to_string(toks, ' '), 1, 32)
+                             || '|' || substr(md5(''), 1, 4) END
+                       AS title_extracted,
+                   CAST(len(toks) AS BIGINT) AS n_tokens_extracted,
+                   'success' AS status
+            FROM tok
         """,
         "warc_stats": """
             -- arithmetic TRUE golden: 120 docs at 16/chunk = 8 chunks,
