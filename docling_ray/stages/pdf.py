@@ -100,6 +100,49 @@ class LayoutHeuristicStage:
                                    pa.array(out_clusters, cluster_type))
 
 
+class LayoutLearnedStage(LayoutHeuristicStage):
+    """The learned tier of the layout slot: REAL weight tensors
+    (`kernels/layout_model.py`'s trained logistic classifier) load from
+    disk ONCE per actor in ``__init__`` and relabel each heuristic
+    cluster by the model's majority heading vote — the exact actor
+    contract an RT-DETR drop-in uses (load once, vectorized batch
+    predict, `postprocess_layout` rules after).  Emits
+    ``n_batches_since_load`` so tests and benches can PROVE actor
+    reuse: with per-batch model loading every batch would report 1;
+    with the actor contract the counter climbs across batches."""
+
+    def __init__(self, weights_path: str, line_gap: float = 6.0,
+                 heading_label: str = "section_header"):
+        from docling_ray.kernels.layout_model import NumpyLayoutModel
+
+        super().__init__(line_gap=line_gap)
+        self.model = NumpyLayoutModel(weights_path)   # once per ACTOR
+        self.n_batches_since_load = 0
+        self.heading_label = heading_label
+        self._page_h = 792.0
+
+    def _predict(self, cells, width: float):
+        import numpy as np
+
+        from docling_ray.kernels.layout_model import cell_features
+
+        clusters = super()._predict(cells, width)
+        for cl in clusters:
+            feats = cell_features(cl.cells, width, self._page_h)
+            if len(feats) and np.mean(
+                    self.model.predict_heading(feats)) > 0.5:
+                cl.label = self.heading_label
+        return clusters
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self.n_batches_since_load += 1
+        out = super().__call__(batch)
+        return out.append_column(
+            "n_batches_since_load",
+            pa.array([self.n_batches_since_load] * out.num_rows,
+                     pa.int64()))
+
+
 ELEMENT_STRUCT = pa.struct([
     ("cid", pa.int32()), ("label", pa.string()),
     ("l", pa.float64()), ("t", pa.float64()),
