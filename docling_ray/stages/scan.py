@@ -124,19 +124,31 @@ def pack_sequences(ds, budget: int, order_col: str = "doc_id",
     return scanned.map_batches(cut, batch_format="pyarrow")
 
 
-def warc_explode(ds, warc_col: str = "warc"):
-    """WARC chunk Dataset → page rows ``(url, warc_date, html,
-    n_bytes)``: each chunk's records split by the Content-Length walk
-    (sources/warc.py), response payloads stripped to the HTML body.
-    Stateless flat map — a 100 TB crawl parallelizes by WARC chunk
-    without pre-exploding the container."""
-    import pyarrow as pa
+class WarcExplodeStage:
+    """Generator actor stage behind `warc_explode` — see its docstring
+    for the memory/fusion rationale."""
 
-    from docling_ray.sources.warc import parse_warc
+    def __init__(self, warc_col: str = "warc", out_batch_rows: int = 256):
+        self.warc_col = warc_col
+        self.out_batch_rows = out_batch_rows
 
-    def explode(batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table):
+        from docling_ray.sources.warc import parse_warc
+
         urls, dates, htmls, sizes = [], [], [], []
-        for raw in batch[warc_col].to_pylist():
+
+        def flush():
+            out = pa.table({
+                "url": pa.array(urls, pa.string()),
+                "warc_date": pa.array(dates, pa.string()),
+                "html": pa.array(htmls, pa.large_binary()),
+                "n_bytes": pa.array(sizes, pa.int64()),
+            })
+            urls.clear(), dates.clear(), htmls.clear(), sizes.clear()
+            return out
+
+        yielded = False
+        for raw in batch[self.warc_col].to_pylist():
             if raw is None:
                 continue
             for rec in parse_warc(raw):
@@ -144,14 +156,37 @@ def warc_explode(ds, warc_col: str = "warc"):
                 dates.append(rec["warc_date"])
                 htmls.append(rec["html"])
                 sizes.append(len(rec["html"]))
-        return pa.table({
-            "url": pa.array(urls, pa.string()),
-            "warc_date": pa.array(dates, pa.string()),
-            "html": pa.array(htmls, pa.large_binary()),
-            "n_bytes": pa.array(sizes, pa.int64()),
-        })
+                if len(urls) >= self.out_batch_rows:
+                    yielded = True
+                    yield flush()
+        if urls or not yielded:
+            yield flush()
 
-    return ds.map_batches(explode, batch_format="pyarrow")
+
+def warc_explode(ds, warc_col: str = "warc", out_batch_rows: int = 256,
+                 concurrency: int = 8):
+    """WARC chunk Dataset → page rows ``(url, warc_date, html,
+    n_bytes)``: each chunk's records split by the Content-Length walk
+    (sources/warc.py), response payloads stripped to the HTML body —
+    a 100 TB crawl parallelizes by WARC chunk without pre-exploding the
+    container.
+
+    Two memory/parallelism rules, both measured (BASELINE.md --warc):
+
+    - the UDF is a GENERATOR yielding ``out_batch_rows``-page batches
+      with ``batch_size=1``: a real Common-Crawl chunk explodes to tens
+      of thousands of pages, and a task never holds more than one
+      multi-MB container plus one small output batch;
+    - the stage is an ACTOR POOL, which blocks operator fusion with the
+      downstream task-pool extraction.  Fused, the downstream
+      ``batch_size`` makes Ray bundle ALL chunk rows into one task
+      (measured: the whole 20k-page corpus ran as 1 task, 42 s; unfused
+      it streams at full width, 15.6 s end-to-end at 16 cpus)."""
+    return ds.map_batches(
+        WarcExplodeStage, batch_format="pyarrow", batch_size=1,
+        concurrency=(1, concurrency),
+        fn_constructor_kwargs={"warc_col": warc_col,
+                               "out_batch_rows": out_batch_rows})
 
 
 def warc_chunk_stats(ds, warc_col: str = "warc",
