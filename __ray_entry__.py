@@ -598,6 +598,24 @@ def q_pdf_pipeline(sf_dir: str):
         .select_columns(["doc_id", "n_pages", "text_md5"])
 
 
+def q_vlm_pipeline(sf_dir: str):
+    """VLM conversion pipeline (stub doctags tier): pages → actor-pool
+    VLM page stage → per-doc doctags parse + assembly.  Compared against
+    a TRUE golden: the stub's contract simulated by the golden generator
+    straight from the page generator's cell stream
+    (tests/data/golden_vlm.parquet), independent of the stage and the
+    doctags parser."""
+    import ray.data
+
+    from docling_ray.sources.pdf_pages import make_pdf_pages_table
+    from docling_ray.stages.vlm import VlmOptions, vlm_pipeline
+
+    table, _ = make_pdf_pages_table(40, seed=42)
+    out = vlm_pipeline(ray.data.from_arrow(table),
+                       VlmOptions(response_format="doctags"))
+    return out.select_columns(["doc_id", "n_pages", "text_md5"])
+
+
 def q_minhash_near_dup(sf_dir: str):
     from docling_ray.stages.dedup import minhash_near_dups
 
@@ -2039,6 +2057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_stats": q_warc_stats,
         "pagerank_persisted": q_pagerank_persisted,
         "template_extract": q_template_extract,
+        "vlm_pipeline": q_vlm_pipeline,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
@@ -2997,6 +3016,10 @@ def _oracle_sql_base() -> dict[str, str]:
         "pdf_pipeline": f"""
             SELECT doc_id, n_pages, text_md5
             FROM read_parquet('{_GOLDEN_DIR}/golden_pdf.parquet')
+        """,
+        "vlm_pipeline": f"""
+            SELECT doc_id, n_pages, text_md5
+            FROM read_parquet('{_GOLDEN_DIR}/golden_vlm.parquet')
         """,
         "extract_corpus": f"""
             SELECT url, doc_id, status, n_items

@@ -1,0 +1,282 @@
+"""Ray Data VLM conversion pipeline — the reference ``VlmPipeline``
+(``/root/reference/docling/pipeline/vlm_pipeline.py:50-392``) re-expressed
+Ray-first.
+
+Shape::
+
+    pages table → map_batches(VlmPageStage, concurrency=N)   # actor pool
+               → groupby(doc_id).map_groups(vlm_assemble_document)
+
+The page stage is the reference's model slot (``ApiVlmModel`` /
+``HuggingFaceTransformersVlmModel`` / mlx / vllm, vlm_pipeline.py:78-120):
+the model loads ONCE per actor in ``__init__`` and predicts a response
+string per page.  No VLM weights or network exist in this runtime, so the
+shipped tier is a clearly-marked deterministic STUB that "reads" the page
+from its parsed cells (the fixture's image proxy) — the Ray-side plumbing
+(actor contract, batch shapes, response routing, document assembly) is
+real and tested; a SmolDocling/GraniteVision drop-in replaces only
+``predict_page``.
+
+Assembly mirrors the reference's three response formats
+(vlm_pipeline.py:148-198):
+
+- ``doctags``  → pages join with ``<page_break>`` and parse ONCE via
+  ``kernels/doctags_parse.from_doctags`` (the
+  ``DocTagsDocument.from_doctags_and_image_pairs`` +
+  ``load_from_doctags`` analog, vlm_pipeline.py:200-238), with optional
+  ``force_backend_text`` re-reading item text from the page cells under
+  the predicted loc boxes (vlm_pipeline.py:222-236).
+- ``markdown`` → per-page ``kernels/md_extract.extract_markdown`` after
+  code-fence stripping (vlm_pipeline.py:240-315).
+- ``html``     → per-page ``kernels/html_extract.extract_html`` after the
+  same fence strip (vlm_pipeline.py:317-392).
+
+At 100 TB the shuffle moves only (doc_id, page_no, response-string) rows —
+pages' cell payloads are consumed at the stage and dropped before the
+groupby unless ``force_backend_text`` needs them.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+from docling_ray.doctree import DocTree
+
+RESPONSE_FORMATS = ("doctags", "markdown", "html")
+
+# reference vlm_pipeline.py:254 — strip one markdown code fence if the
+# whole response is fenced, else pass through
+_FENCE = re.compile(r"^```(?:\w*\n)?(.*?)```(\n)*$", re.DOTALL)
+
+
+def strip_code_fence(text: str) -> str:
+    m = _FENCE.search(text)
+    return m.group(1) if m else text
+
+
+@dataclass
+class VlmOptions:
+    """``VlmPipelineOptions`` + ``InlineVlmOptions`` surface (the fields
+    this engine acts on; accelerator/device options are meaningless in a
+    CPU-only Ray actor pool and are sized via ``concurrency`` instead)."""
+
+    kind: str = "stub"                 # stub | transformers | mlx | vllm | api
+    response_format: str = "doctags"   # doctags | markdown | html
+    prompt: str = "Convert this page to docling."
+    scale: float = 2.0
+    force_backend_text: bool = False   # doctags only (reference :71-74)
+
+    def __post_init__(self):
+        if self.response_format not in RESPONSE_FORMATS:
+            raise ValueError(f"unknown response_format "
+                             f"{self.response_format!r}")
+
+
+def _q(value: float, dim: float) -> int:
+    return min(499, max(0, round(value * 500 / dim)))
+
+
+class StubVlmModel:
+    """Deterministic stand-in for a SmolDocling-class page VLM.
+
+    Reads the page's parsed cells (this runtime's stand-in for the page
+    image) and emits the response a faithful VLM would: one element per
+    visual line with REAL loc tokens on the 0–500 grid, the first line of
+    the first page as the title.  Everything downstream of
+    ``predict_page`` — response routing, doctags parsing, document
+    assembly — exercises the exact code paths a learned model feeds.
+    """
+
+    def __init__(self, options: VlmOptions):
+        self.options = options
+
+    def predict_page(self, cells: list[dict], width: float, height: float,
+                     page_no: int) -> str:
+        fmt = self.options.response_format
+        lines = [(c.get("text") or "") for c in cells or []]
+        if fmt == "markdown":
+            parts = []
+            for i, text in enumerate(lines):
+                parts.append(f"# {text}" if page_no == 0 and i == 0
+                             else text)
+            return "```md\n" + "\n\n".join(parts) + "\n```"
+        if fmt == "html":
+            body = []
+            for i, text in enumerate(lines):
+                tag = "h1" if page_no == 0 and i == 0 else "p"
+                body.append(f"<{tag}>{text}</{tag}>")
+            return ("<!DOCTYPE html><html><body>"
+                    + "".join(body) + "</body></html>")
+        out = []
+        for i, c in enumerate(cells or []):
+            loc = (f"<loc_{_q(c['l'], width)}><loc_{_q(c['t'], height)}>"
+                   f"<loc_{_q(c['r'], width)}><loc_{_q(c['b'], height)}>")
+            tag = "title" if page_no == 0 and i == 0 else "text"
+            out.append(f"<{tag}>{loc}{c.get('text') or ''}</{tag}>")
+        return "<doctag>" + "\n".join(out) + "\n</doctag>"
+
+
+def _resolve_model(options: VlmOptions):
+    if options.kind == "stub":
+        return StubVlmModel(options)
+    # weight-backed kinds hold the factory slot contract and raise on use
+    from docling_ray.state.factories import vlm_factory
+
+    factory = vlm_factory()
+    return factory.create_instance(
+        factory.create_options(f"vlm_{options.kind}"))
+
+
+class VlmPageStage:
+    """Actor-pool page stage: model in ``__init__`` (once per actor),
+    vectorized-batch predict in ``__call__``.  Emits
+    ``n_batches_since_load`` so actor reuse is provable (the
+    ``LayoutLearnedStage`` contract)."""
+
+    def __init__(self, options: VlmOptions | None = None):
+        self.options = options or VlmOptions()
+        self.model = _resolve_model(self.options)   # once per ACTOR
+        self.n_batches_since_load = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self.n_batches_since_load += 1
+        responses = []
+        widths = (batch["width"].to_pylist()
+                  if "width" in batch.column_names
+                  else [612.0] * batch.num_rows)
+        heights = (batch["height"].to_pylist()
+                   if "height" in batch.column_names
+                   else [792.0] * batch.num_rows)
+        pages = batch["page_no"].to_pylist()
+        for cells, w, h, p in zip(batch["cells"].to_pylist(), widths,
+                                  heights, pages):
+            responses.append(self.model.predict_page(
+                cells or [], w or 612.0, h or 792.0, p))
+        out = batch.append_column(
+            "vlm_response", pa.array(responses, pa.large_string()))
+        out = out.append_column(
+            "n_batches_since_load",
+            pa.array([self.n_batches_since_load] * out.num_rows,
+                     pa.int64()))
+        # the heavy cell payload is consumed here; only keep it when the
+        # assembly needs backend re-reads under predicted boxes
+        if not self.options.force_backend_text:
+            out = out.drop_columns(["cells"])
+        return out
+
+
+def _backend_text(cells: list[dict], rect) -> str:
+    """Cells under a TOPLEFT rect (IoS > 0.5), index order, space-joined —
+    the ``get_text_in_rect`` re-read of vlm_pipeline.py:137-146."""
+    l, t, r, b = rect
+    parts = []
+    for c in sorted(cells or [], key=lambda c: c["index"]):
+        ix_l, ix_t = max(c["l"], l), max(c["t"], t)
+        ix_r, ix_b = min(c["r"], r), min(c["b"], b)
+        inter = max(0.0, ix_r - ix_l) * max(0.0, ix_b - ix_t)
+        area = max(0.0, c["r"] - c["l"]) * max(0.0, c["b"] - c["t"])
+        if area > 0 and inter / area > 0.5:
+            parts.append(c.get("text") or "")
+    return " ".join(parts)
+
+
+def _doctags_doc(group: pa.Table, options: VlmOptions) -> DocTree:
+    from docling_ray.kernels.doctags_parse import from_doctags
+
+    bodies, dims = [], {}
+    for row in range(group.num_rows):
+        text = group["vlm_response"][row].as_py() or "<doctag></doctag>"
+        s = text.strip()
+        if s.startswith("<doctag>"):
+            s = s[len("<doctag>"):]
+        if s.endswith("</doctag>"):
+            s = s[:-len("</doctag>")]
+        bodies.append(s.strip("\n"))
+        dims[row + 1] = (group["width"][row].as_py() or 612.0,
+                         group["height"][row].as_py() or 792.0)
+    doc = from_doctags(
+        "<doctag>" + "\n<page_break>\n".join(bodies) + "\n</doctag>",
+        page_dims=dims)
+    if options.force_backend_text:
+        cells_by_page = {row + 1: group["cells"][row].as_py() or []
+                         for row in range(group.num_rows)}
+        for item, _ in doc.iterate():
+            prov = getattr(item, "prov", None)
+            text = getattr(item, "text", None)
+            if not prov or text is None:
+                continue
+            page_no, l, t, r, b = prov[0]
+            _, height = doc.pages.get(page_no, (612.0, 792.0))
+            rect = (l, height - t, r, height - b)   # back to TOPLEFT
+            item.text = _backend_text(cells_by_page.get(page_no, []), rect)
+            item.orig = item.text
+    return doc
+
+
+def _per_page_doc(group: pa.Table, options: VlmOptions) -> DocTree:
+    """markdown / html responses: parse each page with the existing
+    backend and graft its items under one document in page order
+    (vlm_pipeline.py:266-315 / :343-392)."""
+    doc = DocTree()
+    for row in range(group.num_rows):
+        text = strip_code_fence(group["vlm_response"][row].as_py() or "")
+        page_no = group["page_no"][row].as_py()
+        if options.response_format == "markdown":
+            from docling_ray.kernels.md_extract import extract_markdown
+
+            page_doc = extract_markdown(text.encode("utf-8"))
+        else:
+            from docling_ray.kernels.html_extract import extract_html
+
+            page_doc = extract_html(text.encode("utf-8"))
+        for child in page_doc.body.children:
+            child.parent = doc.body
+            doc.body.children.append(child)
+            if child.prov is None:
+                # reference fakes per-page prov on grafted items (:303-312)
+                child.prov = [(page_no + 1, 0.0, 0.0, 0.0, 0.0)]
+    return doc
+
+
+def vlm_assemble_document(group: pa.Table,
+                          options: VlmOptions | None = None) -> pa.Table:
+    """Doc-level reduce: page responses (sorted by page_no) → one document
+    → exported text + markdown."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from docling_ray.kernels.markdown import to_markdown, to_text
+
+    options = options or VlmOptions()
+    group = group.take(pc.sort_indices(group["page_no"]))
+    if options.response_format == "doctags":
+        doc = _doctags_doc(group, options)
+    else:
+        doc = _per_page_doc(group, options)
+    md = to_markdown(doc)
+    text = to_text(doc)
+    return pa.table({
+        "doc_id": [group["doc_id"][0].as_py()],
+        "url": [group["url"][0].as_py()],
+        "n_pages": pa.array([group.num_rows], pa.int32()),
+        "text": pa.array([text], pa.large_string()),
+        "md": pa.array([md], pa.large_string()),
+        "text_md5": [hashlib.md5(text.encode()).hexdigest()],
+        "status": ["success"],
+    })
+
+
+def vlm_pipeline(ds, options: VlmOptions | None = None,
+                 concurrency: int = 4):
+    """Pages dataset → per-doc VLM-converted documents."""
+    options = options or VlmOptions()
+    ds = ds.map_batches(VlmPageStage, batch_format="pyarrow",
+                        concurrency=(1, concurrency),
+                        fn_constructor_kwargs={"options": options})
+    return ds.groupby("doc_id").map_groups(
+        lambda g: vlm_assemble_document(g, options),
+        batch_format="pyarrow")

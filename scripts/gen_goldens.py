@@ -162,6 +162,25 @@ def main() -> None:
                 .encode("utf-8")).hexdigest() for t in tgts],
             pa.string()),
     }), os.path.join(out_dir, "golden_anchor_text.parquet"))
+    # -- vlm_pipeline: TRUE golden — the stub VLM's contract simulated in
+    #    three lines from the page generator's cell stream (every cell
+    #    text in (page_no, cell index) order, joined with blank lines);
+    #    no stage or parser code runs here
+    vlm_table, _ = make_pdf_pages_table(40, seed=42)
+    vlm_texts: dict[str, list[str]] = {}
+    for d, cells in zip(vlm_table["doc_id"].to_pylist(),
+                        vlm_table["cells"].to_pylist()):
+        vlm_texts.setdefault(d, []).extend(
+            (c["text"] or "") for c in cells)   # rows already page-ordered
+    vlm_ids = sorted(vlm_texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(vlm_ids, pa.string()),
+        "n_pages": pa.array([n_by_doc[d] for d in vlm_ids], pa.int32()),
+        "text_md5": pa.array(
+            [hashlib.md5("\n\n".join(vlm_texts[d]).encode()).hexdigest()
+             for d in vlm_ids], pa.string()),
+    }), os.path.join(out_dir, "golden_vlm.parquet"))
+
     # -- warc: TRUE golden — the WARC reader must reproduce exactly the
     #    url/html rows the corpus generator framed into the container
     #    (derived here from make_rows directly, never by parsing WARC)
