@@ -616,6 +616,32 @@ def q_vlm_pipeline(sf_dir: str):
     return out.select_columns(["doc_id", "n_pages", "text_md5"])
 
 
+def q_asr_transcribe(sf_dir: str):
+    """ASR pipeline (DSP transcriber tier): synthetic PCM WAV audio →
+    actor-pool energy-segmentation + FFT pitch transcription →
+    per-utterance conversation lines.  Compared against a TRUE golden
+    simulated by the audio generator from its own construction plan
+    (tests/data/golden_asr.parquet)."""
+    import hashlib
+
+    import ray.data
+
+    from docling_ray.sources.audio import make_audio_table
+    from docling_ray.stages.asr import asr_pipeline
+
+    table, _ = make_audio_table(30, seed=42)
+    out = asr_pipeline(ray.data.from_arrow(table))
+
+    def hash_text(batch: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5((v.as_py() or "").encode()).hexdigest()
+                for v in batch["text"]]
+        return batch.append_column("transcript_md5",
+                                   pa.array(md5s, pa.string()))
+
+    return out.map_batches(hash_text, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_segments", "transcript_md5"])
+
+
 def q_minhash_near_dup(sf_dir: str):
     from docling_ray.stages.dedup import minhash_near_dups
 
@@ -2058,6 +2084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_persisted": q_pagerank_persisted,
         "template_extract": q_template_extract,
         "vlm_pipeline": q_vlm_pipeline,
+        "asr_transcribe": q_asr_transcribe,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
@@ -3020,6 +3047,10 @@ def _oracle_sql_base() -> dict[str, str]:
         "vlm_pipeline": f"""
             SELECT doc_id, n_pages, text_md5
             FROM read_parquet('{_GOLDEN_DIR}/golden_vlm.parquet')
+        """,
+        "asr_transcribe": f"""
+            SELECT doc_id, n_segments, transcript_md5
+            FROM read_parquet('{_GOLDEN_DIR}/golden_asr.parquet')
         """,
         "extract_corpus": f"""
             SELECT url, doc_id, status, n_items

@@ -181,6 +181,14 @@ def main() -> None:
              for d in vlm_ids], pa.string()),
     }), os.path.join(out_dir, "golden_vlm.parquet"))
 
+    # -- asr: TRUE golden — (doc_id, n_segments, transcript_md5) simulated
+    #    by the audio generator from its own construction plan (utterance
+    #    frame ranges + word list); no stage code runs here
+    from docling_ray.sources.audio import make_expected_asr_table
+
+    pq.write_table(make_expected_asr_table(30, seed=42),
+                   os.path.join(out_dir, "golden_asr.parquet"))
+
     # -- warc: TRUE golden — the WARC reader must reproduce exactly the
     #    url/html rows the corpus generator framed into the container
     #    (derived here from make_rows directly, never by parsing WARC)
