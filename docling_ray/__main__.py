@@ -77,20 +77,57 @@ def _convert_files(paths: list[str], output: str, formats: list[str],
     return 0 if n_ok == len(paths) else 1
 
 
-def _convert_corpus(input_dir: str, output: str, num_cpus: int) -> int:
+def _convert_corpus(input_dir: str, output: str, num_cpus: int,
+                    pipeline: str = "standard") -> int:
+    """Parquet-corpus conversion, dispatched on the corpus SCHEMA (the
+    reference CLI's ``--pipeline`` switch, ``cli/main.py:301-310``, plus
+    input-format routing): web pages (``html`` column) → the resumable
+    extraction runner; parsed pages (``cells``) → the paginated pipeline,
+    or the VLM pipeline under ``--pipeline vlm``; audio (``audio``) → the
+    ASR pipeline."""
+    import pyarrow.parquet as pq
     import ray
+    import ray.data
 
-    from docling_ray.pipelines.extract_pipeline import run_extract
-
+    shards = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    columns = set(pq.ParquetFile(shards[0]).schema_arrow.names)
     owns_session = not ray.is_initialized()
     if owns_session:
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, logging_level="ERROR")
-    stats = run_extract(input_dir, output)
+    if "audio" in columns:
+        from docling_ray.stages.asr import asr_pipeline
+
+        ds = asr_pipeline(ray.data.read_parquet(input_dir))
+        ds.write_parquet(output)
+        stats = {"pipeline": "asr", "rows": _count_parquet(output)}
+    elif "cells" in columns and pipeline == "vlm":
+        from docling_ray.stages.vlm import vlm_pipeline
+
+        ds = vlm_pipeline(ray.data.read_parquet(input_dir))
+        ds.write_parquet(output)
+        stats = {"pipeline": "vlm", "rows": _count_parquet(output)}
+    elif "cells" in columns:
+        from docling_ray.pipelines.pdf_pipeline import run_pdf_extract
+
+        stats = run_pdf_extract(input_dir, output)
+        stats["pipeline"] = "pdf"
+    else:
+        from docling_ray.pipelines.extract_pipeline import run_extract
+
+        stats = run_extract(input_dir, output)
+        stats["pipeline"] = "standard"
     print(json.dumps(stats))
     if owns_session:     # never tear down a caller's (e.g. pytest's) Ray
         ray.shutdown()
     return 0
+
+
+def _count_parquet(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(p).metadata.num_rows
+               for p in glob.glob(os.path.join(path, "*.parquet")))
 
 
 def _curate_corpus(args) -> int:
@@ -144,6 +181,11 @@ def main(argv=None) -> int:
                       help="comma list of md,json,itxt,doctags,txt,html,"
                            "html_split_page,chunks (file inputs)")
     conv.add_argument("--max-tokens", type=int, default=256)
+    conv.add_argument("--pipeline", choices=("standard", "vlm"),
+                      default="standard",
+                      help="parquet page corpora: route through the "
+                           "layout pipeline (standard) or the VLM "
+                           "pipeline (vlm); audio corpora always use ASR")
     conv.add_argument("--num-cpus", type=int,
                       default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     args = parser.parse_args(argv)
@@ -166,7 +208,8 @@ def main(argv=None) -> int:
         return _convert_files([tmp], args.output, args.to.split(","),
                               args.max_tokens)
     if os.path.isdir(args.input) and glob.glob(os.path.join(args.input, "*.parquet")):
-        return _convert_corpus(args.input, args.output, args.num_cpus)
+        return _convert_corpus(args.input, args.output, args.num_cpus,
+                               pipeline=args.pipeline)
     if os.path.isdir(args.input):
         paths = sorted(
             p for p in glob.glob(os.path.join(args.input, "*"))
