@@ -264,6 +264,84 @@ def bench_warc(n_docs: int = 40_000, records_per_chunk: int = 8_000,
     }
 
 
+def bench_vlm(n_docs: int = 20_000, num_cpus: int = DEFAULT_CPUS) -> dict:
+    """VLM conversion pipeline at corpus scale: cached parsed-pages
+    parquet → actor-pool page stage → per-doc assembly → count.  Reports
+    docs/s and pages/s; the stub model's per-page cost is a floor — a
+    real VLM only raises per-page compute, not the pipeline shape."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from docling_ray.sources.pdf_pages import make_pdf_pages_table
+    from docling_ray.stages.vlm import VlmOptions, vlm_pipeline
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    path = os.path.join(BENCH_TMP, f"vlm_pages_{n_docs}")
+    if not _glob.glob(os.path.join(path, "*.parquet")):
+        os.makedirs(path, exist_ok=True)
+        shard = 5000
+        for i in range(0, n_docs, shard):
+            t, _ = make_pdf_pages_table(min(shard, n_docs - i),
+                                        seed=42 + i)
+            pq.write_table(t, os.path.join(path, f"p{i:07d}.parquet"),
+                           row_group_size=512)
+    n_pages = sum(pq.ParquetFile(p).metadata.num_rows
+                  for p in _glob.glob(os.path.join(path, "*.parquet")))
+    ds = ray.data.read_parquet(path)
+    vlm_pipeline(ds.limit(2000), VlmOptions()).count()   # warmup
+    t0 = time.time()
+    n = vlm_pipeline(ray.data.read_parquet(path), VlmOptions()).count()
+    wall = time.time() - t0
+    ray.shutdown()
+    return {"metric": "VLM pipeline docs/s", "value": round(n / wall, 1),
+            "unit": "docs/s", "num_cpus": num_cpus, "docs": n,
+            "pages": n_pages, "sec": round(wall, 3),
+            "pages_per_sec": round(n_pages / wall, 1)}
+
+
+def bench_asr(n_clips: int = 4_000, num_cpus: int = DEFAULT_CPUS) -> dict:
+    """ASR pipeline at corpus scale: cached WAV-clip parquet →
+    actor-pool DSP transcription → count.  Reports clips/s and the
+    realtime factor (audio-seconds transcribed per wall-second)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from docling_ray.sources.audio import SAMPLE_RATE, make_audio_table
+    from docling_ray.stages.asr import asr_pipeline
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    path = os.path.join(BENCH_TMP, f"asr_clips_{n_clips}")
+    if not _glob.glob(os.path.join(path, "*.parquet")):
+        os.makedirs(path, exist_ok=True)
+        shard = 1000
+        for i in range(0, n_clips, shard):
+            t, _ = make_audio_table(min(shard, n_clips - i), seed=42 + i)
+            pq.write_table(t, os.path.join(path, f"a{i:07d}.parquet"),
+                           row_group_size=64)
+    meta = pq.read_table(path, columns=["audio"])
+    audio_sec = sum(len(v.as_py()) - 44 for v in meta["audio"]) \
+        / (2 * SAMPLE_RATE)
+    del meta
+    ds = ray.data.read_parquet(path)
+    asr_pipeline(ds.limit(200)).count()   # warmup
+    t0 = time.time()
+    n = asr_pipeline(ray.data.read_parquet(path)).count()
+    wall = time.time() - t0
+    ray.shutdown()
+    return {"metric": "ASR pipeline clips/s", "value": round(n / wall, 1),
+            "unit": "clips/s", "num_cpus": num_cpus, "clips": n,
+            "audio_sec": round(audio_sec, 1), "sec": round(wall, 3),
+            "realtime_factor": round(audio_sec / wall, 1)}
+
+
 def run_corpus_scaling(n_docs: int = 5000, cpus_low: int = 2,
                        cpus_high: int = 8) -> dict:
     """The COMPOSED corpus chain (extract → dedup decisions → chunk) at N
@@ -316,9 +394,21 @@ def main() -> None:
                         help="WARC ingest bench at realistic chunk sizes")
     parser.add_argument("--warc-docs", type=int, default=40_000)
     parser.add_argument("--warc-records-per-chunk", type=int, default=8_000)
+    parser.add_argument("--vlm", action="store_true",
+                        help="VLM conversion pipeline at corpus scale")
+    parser.add_argument("--vlm-docs", type=int, default=20_000)
+    parser.add_argument("--asr", action="store_true",
+                        help="ASR pipeline over a WAV-clip corpus")
+    parser.add_argument("--asr-clips", type=int, default=4_000)
     args = parser.parse_args()
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir)))
+    elif args.vlm:
+        print(json.dumps(bench_vlm(n_docs=args.vlm_docs,
+                                   num_cpus=args.cpus)))
+    elif args.asr:
+        print(json.dumps(bench_asr(n_clips=args.asr_clips,
+                                   num_cpus=args.cpus)))
     elif args.warc:
         print(json.dumps(bench_warc(
             n_docs=args.warc_docs,
