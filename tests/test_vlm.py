@@ -184,3 +184,98 @@ def test_actor_reuse_across_blocks(ray_session):
                          fn_constructor_kwargs={"options": VlmOptions()})
     seen = max(out.to_pandas()["n_batches_since_load"])
     assert seen > 1, "per-batch model load would pin the counter at 1"
+
+
+# -- randomized writer↔parser round trip -------------------------------------
+
+def _random_doc(seed: int):
+    """Random DocTree over the full writer vocabulary: provenanced text
+    across pages, section levels, code with language + caption, formulas,
+    pictures with captions, span tables, nested ordered/unordered lists."""
+    import random
+
+    from docling_ray.doctree import DocTree, TableCell, TableData
+
+    rng = random.Random(seed)
+    doc = DocTree()
+    n_pages = rng.randint(1, 3)
+    for p in range(1, n_pages + 1):
+        doc.pages[p] = (500.0, 500.0)
+
+    def prov(p):
+        x0, y0 = rng.randint(0, 400), rng.randint(0, 400)
+        return [(p, float(x0), 500.0 - y0, float(x0 + rng.randint(5, 90)),
+                 500.0 - (y0 + rng.randint(5, 90)))]
+
+    page = 1
+    doc.add_title("Doc %d" % seed).prov = prov(page)
+    for _ in range(rng.randint(3, 10)):
+        page = min(n_pages, page + (rng.random() < 0.3))
+        kind = rng.choice(["text", "heading", "code", "formula",
+                           "picture", "table", "list"])
+        if kind == "text":
+            doc.add_text(text=f"body {rng.randint(0, 999)}").prov = prov(page)
+        elif kind == "heading":
+            doc.add_heading(None, f"h{rng.randint(0, 99)}",
+                            level=rng.randint(1, 3)).prov = prov(page)
+        elif kind == "code":
+            item = doc.add_code(f"print({rng.randint(0, 9)})")
+            item.code_language = rng.choice(["py", "unknown", "c"])
+            if rng.random() < 0.5:
+                from docling_ray.doctree import BODY, TextItem
+
+                cap = TextItem(None, BODY, "caption", "listing cap")
+                cap.prov = prov(page)
+                item.caption = cap
+            item.prov = prov(page)
+        elif kind == "formula":
+            doc.add_text(label="formula", text="E = mc^2").prov = prov(page)
+        elif kind == "picture":
+            from docling_ray.doctree import BODY, TextItem
+
+            cap = None
+            if rng.random() < 0.7:
+                cap = TextItem(None, BODY, "caption", "fig cap")
+                cap.prov = prov(page)
+            doc.add_picture(caption=cap).prov = prov(page)
+        elif kind == "table":
+            rows, cols = rng.randint(2, 4), rng.randint(2, 4)
+            cells, taken = [], set()
+            for r in range(rows):
+                for c in range(cols):
+                    if (r, c) in taken or rng.random() < 0.2:
+                        continue
+                    rs = min(rng.choice([1, 1, 2]), rows - r)
+                    cs = min(rng.choice([1, 1, 2]), cols - c)
+                    if any((rr, cc) in taken for rr in range(r, r + rs)
+                           for cc in range(c, c + cs)):
+                        rs = cs = 1
+                    for rr in range(r, r + rs):
+                        for cc in range(c, c + cs):
+                            taken.add((rr, cc))
+                    cells.append(TableCell(
+                        text=f"c{r}{c}", start_row=r, end_row=r + rs,
+                        start_col=c, end_col=c + cs,
+                        row_span=rs, col_span=cs,
+                        column_header=r == 0 and rng.random() < 0.5))
+            doc.add_table(TableData(num_rows=rows, num_cols=cols,
+                                    table_cells=cells)).prov = prov(page)
+        else:
+            group = doc.add_list_group()
+            ordered = rng.random() < 0.5
+            for i in range(rng.randint(1, 4)):
+                li = doc.add_list_item(f"item {i}", enumerated=ordered,
+                                       parent=group)
+                li.prov = prov(page)
+                if rng.random() < 0.3:
+                    sub = doc.add_list_group(parent=li)
+                    doc.add_list_item("sub", enumerated=False,
+                                      parent=sub).prov = prov(page)
+    return doc
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_doctags_random_round_trip(seed):
+    doc = _random_doc(seed)
+    s = to_doctags(doc)
+    assert to_doctags(from_doctags(s)) == s
