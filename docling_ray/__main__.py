@@ -98,12 +98,14 @@ def _convert_corpus(input_dir: str, output: str, num_cpus: int,
     if "audio" in columns:
         from docling_ray.stages.asr import asr_pipeline
 
+        _clear_parquet(output)   # one-shot write: stale files would
         ds = asr_pipeline(ray.data.read_parquet(input_dir))
         ds.write_parquet(output)
         stats = {"pipeline": "asr", "rows": _count_parquet(output)}
     elif "cells" in columns and pipeline == "vlm":
         from docling_ray.stages.vlm import vlm_pipeline
 
+        _clear_parquet(output)   # duplicate rows (write_parquet appends)
         ds = vlm_pipeline(ray.data.read_parquet(input_dir))
         ds.write_parquet(output)
         stats = {"pipeline": "vlm", "rows": _count_parquet(output)}
@@ -128,6 +130,14 @@ def _count_parquet(path: str) -> int:
 
     return sum(pq.ParquetFile(p).metadata.num_rows
                for p in glob.glob(os.path.join(path, "*.parquet")))
+
+
+def _clear_parquet(path: str) -> None:
+    """Remove a previous run's parquet output: ``write_parquet`` APPENDS
+    uniquely-named files, so re-running into a non-empty dir would
+    duplicate rows (the run_extract stale-partition lesson)."""
+    for p in glob.glob(os.path.join(path, "*.parquet")):
+        os.remove(p)
 
 
 def _curate_corpus(args) -> int:

@@ -270,13 +270,52 @@ def vlm_assemble_document(group: pa.Table,
     })
 
 
+_ASSEMBLE_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("url", pa.string()),
+    ("n_pages", pa.int32()), ("text", pa.large_string()),
+    ("md", pa.large_string()), ("text_md5", pa.string()),
+    ("status", pa.string()),
+])
+
+
 def vlm_pipeline(ds, options: VlmOptions | None = None,
-                 concurrency: int = 4):
-    """Pages dataset → per-doc VLM-converted documents."""
+                 concurrency: int = 4, num_partitions: int = 64):
+    """Pages dataset → per-doc VLM-converted documents.
+
+    The doc reduce is PRE-BUCKETED: ``groupby(hash(doc_id) % P)`` with
+    one UDF call per partition that walks doc runs inside, instead of
+    ``groupby(doc_id)`` — at corpus scale the per-GROUP ``map_groups``
+    overhead throttles an else-cheap assembly (the NOTES.md
+    high-cardinality-groupby trap).  Measured at 60k docs, clean runs:
+    plain groupby plateaued at ~1,295 docs/s from 8 cpus up; bucketed
+    reaches 1,735 at 8 and 2,702 at 32 (~2× at width).  Same rows
+    either way: pages of one doc always land in one bucket.
+    """
     options = options or VlmOptions()
     ds = ds.map_batches(VlmPageStage, batch_format="pyarrow",
                         concurrency=(1, concurrency),
                         fn_constructor_kwargs={"options": options})
-    return ds.groupby("doc_id").map_groups(
-        lambda g: vlm_assemble_document(g, options),
-        batch_format="pyarrow")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        from docling_ray.stages.dedup import _part_of
+
+        return batch.append_column(
+            "_part", pa.array(_part_of(batch["doc_id"], num_partitions),
+                              pa.int64()))
+
+    def partition_fn(part: pa.Table) -> pa.Table:
+        part = part.sort_by([("doc_id", "ascending"),
+                             ("page_no", "ascending")])
+        ids = part["doc_id"].to_pylist()
+        out, start = [], 0
+        for i in range(1, len(ids) + 1):
+            if i == len(ids) or ids[i] != ids[start]:
+                out.append(vlm_assemble_document(
+                    part.slice(start, i - start), options))
+                start = i
+        if not out:   # schema-pin empty partitions (NOTES.md trap)
+            return _ASSEMBLE_SCHEMA.empty_table()
+        return pa.concat_tables(out)
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(partition_fn, batch_format="pyarrow")

@@ -67,3 +67,9 @@ def test_cli_asr_pipeline(ray_session, tmp_path, capsys):
     for doc_id, utterances in expected.items():
         assert got.loc[doc_id, "text"] == expected_transcript(utterances)
         assert got.loc[doc_id, "status"] == "success"
+    # re-running into the same output dir must not duplicate rows
+    # (write_parquet appends uniquely-named files; the CLI clears first)
+    rc = main(["convert", str(src), "-o", str(out)])
+    assert rc == 0
+    capsys.readouterr()
+    assert len(pq.read_table(str(out))) == 5
