@@ -1,0 +1,57 @@
+"""Bucketed per-document reduces.
+
+``ds.groupby(doc_id).map_groups(fn)`` pays Ray's per-GROUP UDF dispatch
+for every document — at corpus scale (tens of thousands of tiny groups)
+that overhead throttles an else-cheap reduce to a hard plateau (the VLM
+pipeline measured ~1,295 docs/s flat from 8 cpus up; see NOTES.md's
+high-cardinality-groupby trap).  The repo-standard shape is ONE shuffle
+on ``hash(doc_id) % P`` and one UDF call per partition that walks the
+document runs inside — same rows, since every page of a doc lands in
+one bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import pyarrow as pa
+
+
+def bucketed_doc_groups(ds, doc_fn: Callable[[pa.Table], pa.Table],
+                        num_partitions: int = 64,
+                        id_column: str = "doc_id",
+                        sort_columns: Sequence[str] = ("page_no",),
+                        empty_schema: Optional[pa.Schema] = None):
+    """Apply ``doc_fn`` to each ``id_column`` group of ``ds`` via a
+    hash-bucketed shuffle (P partitions, one UDF call per partition).
+
+    ``doc_fn`` receives each document's rows sorted by ``sort_columns``
+    (with the transient ``_part`` column still attached — reduces that
+    rebuild their output table are unaffected).  ``empty_schema`` pins
+    the output schema should a partition UDF ever run with zero rows
+    (the NOTES.md empty-map_groups trap).
+    """
+    from docling_ray.stages.dedup import _part_of
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_part", pa.array(_part_of(batch[id_column], num_partitions),
+                              pa.int64()))
+
+    sort_keys = [(id_column, "ascending")] + \
+        [(c, "ascending") for c in sort_columns]
+
+    def partition_fn(part: pa.Table) -> pa.Table:
+        part = part.sort_by(sort_keys)
+        ids = part[id_column].to_pylist()
+        out, start = [], 0
+        for i in range(1, len(ids) + 1):
+            if i == len(ids) or ids[i] != ids[start]:
+                out.append(doc_fn(part.slice(start, i - start)))
+                start = i
+        if not out:
+            return (empty_schema or part.schema).empty_table()
+        return pa.concat_tables(out)
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(partition_fn, batch_format="pyarrow")

@@ -5,9 +5,11 @@ Pipeline shape (SURVEY.md §3.2, Ray-first):
     pages table → map_batches(PageParseStage)        # quality score
                → map_batches(LayoutHeuristicStage)   # cells → clusters
                → map_batches(assemble_page_batch)    # clusters → page text
-               → groupby(doc_id).map_groups(assemble_document)
-                                                     # sort page_no, doc text
-                                                     # + confidence rollup
+               → bucketed_doc_groups(assemble_document)
+                                                     # hash(doc_id) % P
+                                                     # shuffle; sort page_no,
+                                                     # doc text + confidence
+                                                     # rollup per doc run
 
 The layout stage is a callable *class* (actor pool) even though the
 heuristic tier holds no weights — a learned layout model drops into the same
@@ -374,13 +376,14 @@ def multimodal_pages_group(group: pa.Table) -> pa.Table:
 def multimodal_export_pipeline(ds, layout_concurrency: int = 2):
     """Pages dataset → page-aligned (text, md, doctags, cells, segments)
     rows, one per page, ready for parquet training-set export."""
+    from docling_ray.stages.grouping import bucketed_doc_groups
+
     ds = ds.map_batches(page_parse_batch, batch_format="pyarrow")
     ds = ds.map_batches(LayoutHeuristicStage, batch_format="pyarrow",
                         concurrency=(1, layout_concurrency))
     ds = ds.map_batches(lambda b: assemble_page_batch(b, keep_cells=True),
                         batch_format="pyarrow")
-    return ds.groupby("doc_id").map_groups(multimodal_pages_group,
-                                           batch_format="pyarrow")
+    return bucketed_doc_groups(ds, multimodal_pages_group)
 
 
 def pdf_pages_pipeline(ds, layout_concurrency: int = 2, limits=None,
@@ -404,8 +407,10 @@ def pdf_pages_pipeline(ds, layout_concurrency: int = 2, limits=None,
                                g.schema.field(name).type))
         return out
 
+    from docling_ray.stages.grouping import bucketed_doc_groups
+
     ds = ds.map_batches(page_parse_batch, batch_format="pyarrow")
     ds = ds.map_batches(LayoutHeuristicStage, batch_format="pyarrow",
                         concurrency=(1, layout_concurrency))
     ds = ds.map_batches(assemble_page_batch, batch_format="pyarrow")
-    return ds.groupby("doc_id").map_groups(_reduce, batch_format="pyarrow")
+    return bucketed_doc_groups(ds, _reduce)

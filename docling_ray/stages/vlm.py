@@ -291,31 +291,12 @@ def vlm_pipeline(ds, options: VlmOptions | None = None,
     reaches 1,735 at 8 and 2,702 at 32 (~2× at width).  Same rows
     either way: pages of one doc always land in one bucket.
     """
+    from docling_ray.stages.grouping import bucketed_doc_groups
+
     options = options or VlmOptions()
     ds = ds.map_batches(VlmPageStage, batch_format="pyarrow",
                         concurrency=(1, concurrency),
                         fn_constructor_kwargs={"options": options})
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        from docling_ray.stages.dedup import _part_of
-
-        return batch.append_column(
-            "_part", pa.array(_part_of(batch["doc_id"], num_partitions),
-                              pa.int64()))
-
-    def partition_fn(part: pa.Table) -> pa.Table:
-        part = part.sort_by([("doc_id", "ascending"),
-                             ("page_no", "ascending")])
-        ids = part["doc_id"].to_pylist()
-        out, start = [], 0
-        for i in range(1, len(ids) + 1):
-            if i == len(ids) or ids[i] != ids[start]:
-                out.append(vlm_assemble_document(
-                    part.slice(start, i - start), options))
-                start = i
-        if not out:   # schema-pin empty partitions (NOTES.md trap)
-            return _ASSEMBLE_SCHEMA.empty_table()
-        return pa.concat_tables(out)
-
-    return ds.map_batches(add_part, batch_format="pyarrow") \
-        .groupby("_part").map_groups(partition_fn, batch_format="pyarrow")
+    return bucketed_doc_groups(
+        ds, lambda g: vlm_assemble_document(g, options),
+        num_partitions=num_partitions, empty_schema=_ASSEMBLE_SCHEMA)
