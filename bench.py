@@ -89,7 +89,18 @@ def bench_corpus(n_docs: int) -> dict:
 
 
 def bench_queries(sf_dir: str) -> dict[str, float]:
+    import ray.data
+
     import __ray_entry__ as entrymod
+
+    # warm Ray's hash-join infrastructure once (like the extraction
+    # warmup): the session's FIRST join spins up the join actor pool,
+    # which measured 67 s vs a 10 s steady-state wall at 32 cpus —
+    # without this, whichever join query runs first absorbs that cost
+    left = ray.data.from_items([{"k": i, "a": i} for i in range(100)])
+    right = ray.data.from_items([{"k": i, "b": i} for i in range(100)])
+    left.join(right, join_type="inner", on=("k",),
+              num_partitions=8).count()
 
     timings: dict[str, float] = {}
     # extract_corpus is covered by the headline bench; corpus_pipeline by
