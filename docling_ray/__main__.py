@@ -103,12 +103,10 @@ def _convert_corpus(input_dir: str, output: str, num_cpus: int,
         ds.write_parquet(output)
         stats = {"pipeline": "asr", "rows": _count_parquet(output)}
     elif "cells" in columns and pipeline == "vlm":
-        from docling_ray.stages.vlm import vlm_pipeline
+        from docling_ray.pipelines.pdf_pipeline import run_vlm_extract
 
-        _clear_parquet(output)   # duplicate rows (write_parquet appends)
-        ds = vlm_pipeline(ray.data.read_parquet(input_dir))
-        ds.write_parquet(output)
-        stats = {"pipeline": "vlm", "rows": _count_parquet(output)}
+        stats = run_vlm_extract(input_dir, output)
+        stats["pipeline"] = "vlm"
     elif "cells" in columns:
         from docling_ray.pipelines.pdf_pipeline import run_pdf_extract
 

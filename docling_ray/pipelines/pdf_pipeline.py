@@ -50,6 +50,30 @@ def run_pdf_extract(input_dir: str, output_dir: str, resume: bool = True,
     fixed cost across the group), and the manifest marks a group's
     shards only after its write completes — so a mid-run crash costs at
     most one group's work, not the whole corpus (review r4)."""
+    return _run_paginated(
+        input_dir, output_dir,
+        lambda ds: pdf_pages_pipeline(ds, limits=limits,
+                                      carry_columns=("shard",)),
+        stage="pdf-extract-v1", resume=resume, group_size=group_size)
+
+
+def run_vlm_extract(input_dir: str, output_dir: str, resume: bool = True,
+                    options=None, group_size: int = 64) -> dict:
+    """The VLM conversion pipeline under the same per-shard lineage
+    contract as ``run_pdf_extract``: one input shard → one output
+    partition, manifest-marked after a complete write, resumable."""
+    from docling_ray.stages.vlm import VlmOptions, vlm_pipeline
+
+    opts = options or VlmOptions()
+    return _run_paginated(
+        input_dir, output_dir,
+        lambda ds: vlm_pipeline(ds, opts, carry_columns=("shard",)),
+        stage="vlm-extract-v1", resume=resume, group_size=group_size)
+
+
+def _run_paginated(input_dir: str, output_dir: str, pipeline_fn,
+                   stage: str, resume: bool = True,
+                   group_size: int = 64) -> dict:
     input_files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
     if not input_files:
         raise FileNotFoundError(f"no parquet shards under {input_dir}")
@@ -71,7 +95,7 @@ def run_pdf_extract(input_dir: str, output_dir: str, resume: bool = True,
                 shutil.rmtree(stale)
         ds = ray.data.read_parquet(group, include_paths=True)
         ds = ds.map_batches(_shard_from_path, batch_format="pyarrow")
-        out = pdf_pages_pipeline(ds, limits=limits, carry_columns=("shard",))
+        out = pipeline_fn(ds)
         out.write_parquet(data_dir, partition_cols=["shard"])
         for f in group:
             shard = os.path.basename(f)
@@ -80,7 +104,7 @@ def run_pdf_extract(input_dir: str, output_dir: str, resume: bool = True,
                 pq.ParquetFile(p).metadata.num_rows
                 for p in glob.glob(os.path.join(part_dir, "*.parquet")))
             manifest.mark_done(output_dir, shard, rows,
-                               input_path=f, stage="pdf-extract-v1")
+                               input_path=f, stage=stage)
     done = manifest.load_done(output_dir)
     return {
         "shards_total": len(input_files),

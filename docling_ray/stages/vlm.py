@@ -279,7 +279,8 @@ _ASSEMBLE_SCHEMA = pa.schema([
 
 
 def vlm_pipeline(ds, options: VlmOptions | None = None,
-                 concurrency: int = 4, num_partitions: int = 64):
+                 concurrency: int = 4, num_partitions: int = 64,
+                 carry_columns: tuple = ()):
     """Pages dataset → per-doc VLM-converted documents.
 
     The doc reduce is PRE-BUCKETED: ``groupby(hash(doc_id) % P)`` with
@@ -297,6 +298,19 @@ def vlm_pipeline(ds, options: VlmOptions | None = None,
     ds = ds.map_batches(VlmPageStage, batch_format="pyarrow",
                         concurrency=(1, concurrency),
                         fn_constructor_kwargs={"options": options})
-    return bucketed_doc_groups(
-        ds, lambda g: vlm_assemble_document(g, options),
-        num_partitions=num_partitions, empty_schema=_ASSEMBLE_SCHEMA)
+
+    def _reduce(g: pa.Table) -> pa.Table:
+        # carry_columns are doc-constant inputs (e.g. the shard id) that
+        # must survive the rebuilt reduce output — the
+        # pdf_pages_pipeline contract
+        out = vlm_assemble_document(g, options)
+        for name in carry_columns:
+            value = g[name][0].as_py() if g.num_rows else None
+            out = out.append_column(
+                name, pa.array([value] * out.num_rows,
+                               g.schema.field(name).type))
+        return out
+
+    return bucketed_doc_groups(ds, _reduce,
+                               num_partitions=num_partitions,
+                               empty_schema=_ASSEMBLE_SCHEMA)

@@ -28,9 +28,15 @@ def test_cli_vlm_pipeline(ray_session, tmp_path, capsys):
     rc = main(["convert", str(src), "-o", str(out), "--pipeline", "vlm"])
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert stats["pipeline"] == "vlm" and stats["rows"] == 8
-    got = pq.read_table(str(out))
+    assert stats["pipeline"] == "vlm" and stats["rows_done"] == 8
+    got = pq.read_table(str(out / "data"))
     assert {"doc_id", "text", "md", "text_md5"} <= set(got.column_names)
+    # per-shard lineage manifest → instant resume, no duplicate rows
+    rc2 = main(["convert", str(src), "-o", str(out), "--pipeline", "vlm"])
+    assert rc2 == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["shards_processed"] == 0
+    assert len(pq.read_table(str(out / "data"))) == 8
 
 
 def test_cli_pdf_pipeline_default(ray_session, tmp_path, capsys):
