@@ -96,12 +96,10 @@ def _convert_corpus(input_dir: str, output: str, num_cpus: int,
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     if "audio" in columns:
-        from docling_ray.stages.asr import asr_pipeline
+        from docling_ray.pipelines.pdf_pipeline import run_asr_extract
 
-        _clear_parquet(output)   # one-shot write: stale files would
-        ds = asr_pipeline(ray.data.read_parquet(input_dir))
-        ds.write_parquet(output)
-        stats = {"pipeline": "asr", "rows": _count_parquet(output)}
+        stats = run_asr_extract(input_dir, output)
+        stats["pipeline"] = "asr"
     elif "cells" in columns and pipeline == "vlm":
         from docling_ray.pipelines.pdf_pipeline import run_vlm_extract
 
@@ -121,21 +119,6 @@ def _convert_corpus(input_dir: str, output: str, num_cpus: int,
     if owns_session:     # never tear down a caller's (e.g. pytest's) Ray
         ray.shutdown()
     return 0
-
-
-def _count_parquet(path: str) -> int:
-    import pyarrow.parquet as pq
-
-    return sum(pq.ParquetFile(p).metadata.num_rows
-               for p in glob.glob(os.path.join(path, "*.parquet")))
-
-
-def _clear_parquet(path: str) -> None:
-    """Remove a previous run's parquet output: ``write_parquet`` APPENDS
-    uniquely-named files, so re-running into a non-empty dir would
-    duplicate rows (the run_extract stale-partition lesson)."""
-    for p in glob.glob(os.path.join(path, "*.parquet")):
-        os.remove(p)
 
 
 def _curate_corpus(args) -> int:

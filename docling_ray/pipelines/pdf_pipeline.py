@@ -71,6 +71,19 @@ def run_vlm_extract(input_dir: str, output_dir: str, resume: bool = True,
         stage="vlm-extract-v1", resume=resume, group_size=group_size)
 
 
+def run_asr_extract(input_dir: str, output_dir: str, resume: bool = True,
+                    options=None, group_size: int = 64) -> dict:
+    """The ASR pipeline under the same per-shard lineage contract (the
+    transcription stage keeps every input column except the consumed
+    audio payload, so the shard id rides through on its own)."""
+    from docling_ray.stages.asr import asr_pipeline
+
+    return _run_paginated(
+        input_dir, output_dir,
+        lambda ds: asr_pipeline(ds, options),
+        stage="asr-extract-v1", resume=resume, group_size=group_size)
+
+
 def _run_paginated(input_dir: str, output_dir: str, pipeline_fn,
                    stage: str, resume: bool = True,
                    group_size: int = 64) -> dict:

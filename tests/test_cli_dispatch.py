@@ -68,14 +68,14 @@ def test_cli_asr_pipeline(ray_session, tmp_path, capsys):
     rc = main(["convert", str(src), "-o", str(out)])
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert stats["pipeline"] == "asr" and stats["rows"] == 5
-    got = pq.read_table(str(out)).to_pandas().set_index("doc_id")
+    assert stats["pipeline"] == "asr" and stats["rows_done"] == 5
+    got = pq.read_table(str(out / "data")).to_pandas().set_index("doc_id")
     for doc_id, utterances in expected.items():
         assert got.loc[doc_id, "text"] == expected_transcript(utterances)
         assert got.loc[doc_id, "status"] == "success"
-    # re-running into the same output dir must not duplicate rows
-    # (write_parquet appends uniquely-named files; the CLI clears first)
+    # resumable: a re-run skips the done shard and duplicates nothing
     rc = main(["convert", str(src), "-o", str(out)])
     assert rc == 0
-    capsys.readouterr()
-    assert len(pq.read_table(str(out))) == 5
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["shards_processed"] == 0
+    assert len(pq.read_table(str(out / "data"))) == 5
