@@ -323,6 +323,25 @@ def q_ann_ivf_topk(sf_dir: str):
     return table.select(["query_id", "vec_id", "rank"])
 
 
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantized ANN top-k (ADC): normalized vectors encode to
+    m=8 uint8 codes against seeded per-subspace codebooks; queries score
+    codes through integer micro-unit LUTs (order-independent exact sums).
+    Oracled exactly via the same codebooks as SQL literals — the
+    ``ann_ivf_topk`` pattern; a learned per-subspace k-means codebook
+    drops into the same slot."""
+    import ray.data
+
+    from docling_ray.stages.ann import pq_topk
+
+    query_ids, query_vecs = _ann_query_vectors(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    table = pq_topk(ds, query_ids, query_vecs, k=10, dim=64, m=8,
+                    n_codes=16)
+    return table.select(["query_id", "vec_id", "rank"])
+
+
 def q_quantiles(sf_dir: str):
     """Exact per-language doc-length percentiles via mergeable
     histograms (stages/quantiles.py): batches collapse to (lang, value,
@@ -1991,6 +2010,77 @@ def _ivf_topk_oracle_sql(n_anchors: int = 16, nprobe: int = 4,
     """
 
 
+def _pq_topk_oracle_sql(m: int = 8, n_codes: int = 16, k: int = 10,
+                        dim: int = 64, seed: int = 31) -> str:
+    """Mirror of ``pq_topk``: the SAME seeded subspace codebooks as
+    literals (with their ||c||² terms precomputed by the same numpy so
+    the float literals round-trip bit-exactly), normalization, argmin
+    encoding with ties to the lowest code, and the integer micro-unit
+    ADC sum — order-independent, so SQL's unordered SUM agrees."""
+    import numpy as np
+
+    from docling_ray.stages.ann import PqCodebooks
+
+    pq_ = PqCodebooks(dim=dim, m=m, k=n_codes, seed=seed)
+    sub = pq_.subdim
+    rows = []
+    for j in range(m):
+        norms2 = np.einsum("ij,ij->i", pq_.centroids[j], pq_.centroids[j])
+        for cid in range(n_codes):
+            vec = ", ".join(repr(float(x)) for x in pq_.centroids[j][cid])
+            rows.append(f"({j}, {cid}, [{vec}], {float(norms2[cid])!r})")
+    cent_rows = ",\n                ".join(rows)
+    return f"""
+            WITH cents(j, cid, cvec, cnorm2) AS (VALUES
+                {cent_rows}
+            ),
+            en AS (
+                SELECT vec_id,
+                       list_transform(
+                           embedding::DOUBLE[],
+                           x -> x / sqrt(list_dot_product(
+                                embedding::DOUBLE[], embedding::DOUBLE[])))
+                           AS nvec
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id AS query_id, nvec AS qvec
+                FROM en ORDER BY vec_id LIMIT 5
+            ),
+            codes AS (
+                SELECT e.vec_id, c.j, c.cid
+                FROM en e CROSS JOIN cents c
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id, c.j
+                    ORDER BY -2.0 * list_dot_product(
+                                 e.nvec[(c.j * {sub} + 1):(c.j * {sub} + {sub})],
+                                 c.cvec) + c.cnorm2,
+                             c.cid) = 1
+            ),
+            lut AS (
+                SELECT q.query_id, c.j, c.cid,
+                       CAST(floor(list_dot_product(
+                            q.qvec[(c.j * {sub} + 1):(c.j * {sub} + {sub})],
+                            c.cvec) * 1000000.0) AS BIGINT) AS v
+                FROM q CROSS JOIN cents c
+            ),
+            scored AS (
+                SELECT l.query_id, cd.vec_id, SUM(l.v) AS adc
+                FROM codes cd JOIN lut l ON l.j = cd.j AND l.cid = cd.cid
+                GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY adc DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= {k}
+    """
+
+
 def _kmeans_centroid_rows(k: int = 8, dim: int = 64, seed: int = 29) -> str:
     """The seeded k-means codebook (bit-identical to the IVF anchors)
     rendered as SQL VALUES literals — the same carry-the-model-as-
@@ -2085,6 +2175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "template_extract": q_template_extract,
         "vlm_pipeline": q_vlm_pipeline,
         "asr_transcribe": q_asr_transcribe,
+        "ann_pq_topk": q_ann_pq_topk,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
@@ -2218,6 +2309,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "ann_lsh_bucketed": _lsh_bucketed_oracle_sql(),
         "ann_lsh_topk": _lsh_topk_oracle_sql(),
         "ann_ivf_topk": _ivf_topk_oracle_sql(),
+        "ann_pq_topk": _pq_topk_oracle_sql(),
         "quantiles": """
             WITH h AS (
                 SELECT lang, n_chars AS value, count(*) AS c

@@ -568,3 +568,129 @@ def ivf_topk(ds, query_ids: list[int], query_vectors: np.ndarray,
             "rank", pa.array(list(range(1, len(order) + 1)), pa.int32()))
         out_chunks.append(ranked)
     return pa.concat_tables(out_chunks)
+
+
+class PqCodebooks:
+    """Product-quantization codebooks: the vector space splits into ``m``
+    contiguous subspaces of ``dim/m`` dims, each with its own ``k``-entry
+    centroid codebook; a vector encodes to ``m`` uint8 codes (argmin
+    euclidean per subspace, ties to the lowest code).  At 10^12-vector
+    scale this is the memory-bound ANN path: 64-dim float32 vectors
+    (256 B) become ``m`` bytes (8 here, a 32× shrink), and search reads
+    codes, never vectors.
+
+    Seeded random centroids by default so the SQL oracle can carry them
+    as literals (the ``IvfAnchors`` pattern); per-subspace LEARNED
+    codebooks (``stages/kmeans.kmeans_fit`` on vector slices) drop into
+    the same slot via :meth:`from_codebooks`.
+    """
+
+    def __init__(self, dim: int = 64, m: int = 8, k: int = 16,
+                 seed: int = 31):
+        assert dim % m == 0
+        rng = np.random.RandomState(seed)
+        self.dim, self.m, self.k = dim, m, k
+        self.subdim = dim // m
+        # scale ~1/sqrt(dim) so codewords live where normalized-vector
+        # subspace slices do
+        self.centroids = rng.normal(
+            scale=1.0 / np.sqrt(dim), size=(m, k, self.subdim))
+
+    @classmethod
+    def from_codebooks(cls, centroids: np.ndarray) -> "PqCodebooks":
+        self = cls.__new__(cls)
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.m, self.k, self.subdim = self.centroids.shape
+        self.dim = self.m * self.subdim
+        return self
+
+    def encode(self, matrix: np.ndarray) -> np.ndarray:
+        """(n, dim) → (n, m) uint8 codes.  argmin ||v_j − c||² via
+        argmin(−2·v_j·c + ||c||²); np.argmin ties to the lowest code."""
+        codes = np.empty((len(matrix), self.m), dtype=np.uint8)
+        for j in range(self.m):
+            sub = matrix[:, j * self.subdim:(j + 1) * self.subdim]
+            c = self.centroids[j]
+            d = -2.0 * (sub @ c.T) + np.einsum("ij,ij->i", c, c)
+            codes[:, j] = np.argmin(d, axis=1)
+        return codes
+
+    def lut_micro(self, query: np.ndarray) -> np.ndarray:
+        """(m, k) int64 asymmetric-distance LUT: each entry is the
+        query subvector · codeword inner product, FLOORED to integer
+        micro-units so the ADC sum is order-independent exact integer
+        arithmetic on both the engine and the SQL side."""
+        lut = np.empty((self.m, self.k), dtype=np.int64)
+        for j in range(self.m):
+            sub = query[j * self.subdim:(j + 1) * self.subdim]
+            lut[j] = np.floor(self.centroids[j] @ sub * 1e6).astype(np.int64)
+        return lut
+
+
+class PqTopK:
+    """Actor-pool stage: PQ-encode the batch once, then score every
+    query via LUT gathers (ADC) — no query×vector matmul, the scan cost
+    is O(n·m) byte lookups per query."""
+
+    def __init__(self, state_ref, k: int,
+                 id_column: str = "vec_id", vec_column: str = "embedding"):
+        state = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) \
+            else state_ref
+        self.pq = state["pq"]
+        self.query_ids = state["query_ids"]
+        self.luts = state["luts"]              # (nq, m, k) int64
+        self.k = k
+        self.id_column = id_column
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_to_matrix(batch[self.vec_column]))
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        codes = self.pq.encode(mat)            # (n, m) uint8
+        cols = np.arange(self.pq.m)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            scores = self.luts[qi][cols, codes].sum(axis=1)   # (n,) int64
+            top = np.lexsort((ids, -scores))[:self.k]
+            out_q.extend([int(qid)] * len(top))
+            out_v.extend(int(ids[t]) for t in top)
+            out_s.extend(int(scores[t]) for t in top)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "adc_micro": pa.array(out_s, pa.int64()),
+        })
+
+
+def pq_topk(ds, query_ids: list[int], query_vectors: np.ndarray,
+            k: int = 10, dim: int = 64, m: int = 8, n_codes: int = 16,
+            seed: int = 31, concurrency: int = 4,
+            codebooks: np.ndarray = None) -> pa.Table:
+    """Product-quantized ANN top-k (ADC): vectors normalize → PQ-encode
+    to ``m`` uint8 codes; each query scores codes through an integer
+    micro-unit LUT and keeps a partial top-k per batch; the driver
+    merges nq×k×n_batches bounded rows.  Approximation error is the PQ
+    reconstruction error; ranking within the code space is exact and
+    deterministic ((−score, vec_id) ties)."""
+    pq_ = PqCodebooks(dim=dim, m=m, k=n_codes, seed=seed) \
+        if codebooks is None else PqCodebooks.from_codebooks(codebooks)
+    qmat = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    luts = np.stack([pq_.lut_micro(qmat[i]) for i in range(len(query_ids))])
+    state_ref = ray.put({"pq": pq_, "query_ids": query_ids, "luts": luts})
+    partials = ds.map_batches(
+        PqTopK, batch_format="pyarrow",
+        fn_constructor_kwargs={"state_ref": state_ref, "k": k},
+        concurrency=(1, concurrency))
+    table = pa.concat_tables([ray.get(r) for r in partials.to_arrow_refs()])
+    out_chunks = []
+    for qi, qid in enumerate(sorted(set(query_ids))):
+        sub = table.filter(pa.compute.equal(table["query_id"], qid))
+        order = sorted(
+            range(sub.num_rows),
+            key=lambda i: (-sub["adc_micro"][i].as_py(),
+                           sub["vec_id"][i].as_py()))[:k]
+        ranked = sub.take(order)
+        ranked = ranked.append_column(
+            "rank", pa.array(list(range(1, len(order) + 1)), pa.int32()))
+        out_chunks.append(ranked)
+    return pa.concat_tables(out_chunks)

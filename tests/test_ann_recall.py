@@ -94,3 +94,68 @@ def test_ivf_topk_matches_probed_bruteforce(ray_session):
         assert got == ranked
         # every result row really is in a probed list
         assert all(aid[v] in probe for v in got)
+
+
+def test_pq_topk_recall_and_determinism(ray_session):
+    """PQ/ADC top-k: (a) HIGH-similarity recall — each query's planted
+    partner (cos ∈ [0.55, 0.95]) lands in its top-10 and the query's own
+    vector ranks first; the top-10 TAIL among isotropic noise (cos ≈ 0)
+    is not preserved by 8-byte codes and is not the property PQ is for;
+    (b) output is invariant to partitioning; (c) a learned per-subspace
+    codebook drops into the same slot."""
+    import ray.data
+
+    from docling_ray.stages.ann import pq_topk
+
+    vecs = _planted_corpus(n_pairs=40, n_noise=120)
+    n = len(vecs)
+    table = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })
+    # pair members sit at ids (2i, 2i+1); query the even member
+    qids = [0, 2, 4, 6, 8, 10, 12, 14]
+    qvecs = vecs[qids]
+    ds = ray.data.from_arrow(table)
+    got = pq_topk(ds, qids, qvecs, k=10, dim=64, m=8).to_pandas()
+    assert len(got) == 80
+    partner_hits = sum(
+        int(q + 1 in set(got[got["query_id"] == q]["vec_id"]))
+        for q in qids)
+    assert partner_hits >= 7, f"partner recall {partner_hits}/8"
+    top1 = got[got["rank"] == 1].set_index("query_id")["vec_id"]
+    assert all(top1[q] == q for q in qids), "self must survive quantization"
+
+    # partition invariance
+    got2 = pq_topk(ray.data.from_arrow(table).repartition(7),
+                   qids, qvecs, k=10, dim=64, m=8).to_pandas()
+    assert got.sort_values(["query_id", "rank"]).reset_index(drop=True) \
+        .equals(got2.sort_values(["query_id", "rank"])
+                .reset_index(drop=True))
+
+    # learned-codebook slot: per-subspace codewords sampled from the data
+    rng = np.random.RandomState(0)
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    learned = np.stack([
+        normed[rng.choice(n, 16, replace=False), j * 8:(j + 1) * 8]
+        for j in range(8)
+    ])
+    got3 = pq_topk(ds, qids, qvecs, k=10, codebooks=learned).to_pandas()
+    assert len(got3) == 80
+    partner3 = sum(
+        int(q + 1 in set(got3[got3["query_id"] == q]["vec_id"]))
+        for q in qids)
+    assert partner3 >= 7
+
+
+def test_pq_encode_shapes_and_ties():
+    from docling_ray.stages.ann import PqCodebooks
+
+    pq = PqCodebooks(dim=64, m=8, k=16, seed=31)
+    mat = np.zeros((3, 64))
+    codes = pq.encode(mat)
+    assert codes.shape == (3, 8) and codes.dtype == np.uint8
+    # identical rows encode identically (and ties break deterministically)
+    assert (codes[0] == codes[1]).all() and (codes[1] == codes[2]).all()
+    lut = pq.lut_micro(np.ones(64) / 8.0)
+    assert lut.shape == (8, 16) and lut.dtype == np.int64
