@@ -94,13 +94,16 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as entrymod
 
     # warm Ray's hash-join infrastructure once (like the extraction
-    # warmup): the session's FIRST join spins up the join actor pool,
-    # which measured 67 s vs a 10 s steady-state wall at 32 cpus —
-    # without this, whichever join query runs first absorbs that cost
+    # warmup): the session's FIRST join at P partitions places a pool
+    # of P aggregator actors, which takes ~30 s in a busy session (vs
+    # ~10 s steady-state join walls at 32 cpus) — without this,
+    # whichever join query runs first absorbs that cost.  P must match
+    # the queries' pool size (shuffle_join's default 32): warming 8
+    # actors leaves the other 24 placements on the first real join.
     left = ray.data.from_items([{"k": i, "a": i} for i in range(100)])
     right = ray.data.from_items([{"k": i, "b": i} for i in range(100)])
     left.join(right, join_type="inner", on=("k",),
-              num_partitions=8).count()
+              num_partitions=32).count()
 
     timings: dict[str, float] = {}
     # extract_corpus is covered by the headline bench; corpus_pipeline by
