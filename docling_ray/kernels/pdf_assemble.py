@@ -220,10 +220,12 @@ def heuristic_clusters(cells: list[Cell], page_width: float,
     return clusters
 
 
-def assemble_page_text(clusters: list[Cluster]) -> list[dict]:
+def assemble_page_text(clusters: list[Cluster],
+                       table_model=None) -> list[dict]:
     """Clusters → ordered typed elements (page_assemble_model.py:66-100):
     text clusters carry sanitized text; table/document-index clusters run
-    the table-structure tier and carry the recovered grid JSON."""
+    the table-structure tier (geometric, or the learned header tier when
+    ``table_model`` is given) and carry the recovered grid JSON."""
     from docling_ray.kernels.table_structure import (
         TABLE_LABELS,
         infer_table_structure,
@@ -242,7 +244,8 @@ def assemble_page_text(clusters: list[Cluster]) -> list[dict]:
                 "text": text,
             })
         elif cluster.label in TABLE_LABELS:
-            ts = infer_table_structure(cluster.cells)
+            ts = infer_table_structure(cluster.cells,
+                                       header_model=table_model)
             elements.append({
                 "label": cluster.label,
                 "cluster_id": cluster.id,

@@ -66,8 +66,13 @@ def _column_edges(cells: list[Cell], tol: float = 2.0) -> list[float]:
     return edges
 
 
-def infer_table_structure(cells: list[Cell]) -> TableStructure:
-    """Non-empty cells of one table cluster → grid + OTSL."""
+def infer_table_structure(cells: list[Cell],
+                          header_model=None) -> TableStructure:
+    """Non-empty cells of one table cluster → grid + OTSL.
+
+    ``header_model`` (a ``kernels/table_model.NumpyTableModel``) replaces
+    the geometric "row 0 is the header" rule with a learned per-row
+    prediction — the TableFormer slot's learned tier."""
     tokens = [c for c in cells if c.text.strip()]
     if not tokens:
         return TableStructure(TableData(num_rows=0, num_cols=0,
@@ -75,6 +80,21 @@ def infer_table_structure(cells: list[Cell]) -> TableStructure:
     rows = _rows_of(tokens)
     edges = _column_edges(tokens)
     num_cols = len(edges)
+    header_mask = [r == 0 for r in range(len(rows))]
+    if header_model is not None:
+        import numpy as np
+
+        from docling_ray.kernels.table_model import row_features
+
+        heights = [max(c.bbox.b for c in row) - min(c.bbox.t for c in row)
+                   for row in rows]
+        med = float(np.median(heights)) if heights else 1.0
+        feats = np.stack([
+            row_features([c.text for c in row], r, len(rows),
+                         heights[r], med, num_cols)
+            for r, row in enumerate(rows)
+        ])
+        header_mask = list(header_model.predict_header(feats))
 
     def band_range(cell: Cell, tol: float = 2.0) -> tuple[int, int]:
         start = max(i for i, e in enumerate(edges)
@@ -94,7 +114,7 @@ def infer_table_structure(cells: list[Cell]) -> TableStructure:
                 row_span=1, col_span=c1 - c0 + 1,
                 start_row=r, end_row=r + 1,
                 start_col=c0, end_col=c1 + 1,
-                column_header=(r == 0),
+                column_header=bool(header_mask[r]),
             ))
             slots[c0] = "f"
             for c in range(c0 + 1, c1 + 1):

@@ -145,6 +145,32 @@ class LayoutLearnedStage(LayoutHeuristicStage):
                      pa.int64()))
 
 
+class PageAssembleLearnedStage:
+    """Actor-pool assemble stage with the LEARNED table-header tier:
+    real trained weight tensors (``kernels/table_model.py``'s logistic
+    row classifier) load from disk ONCE per actor in ``__init__`` and
+    replace the geometric "row 0 is the header" rule — the TableFormer
+    actor contract (``table_structure_model.py:33-89``: load once,
+    batch predict, same output post-processing).  Emits
+    ``n_assemble_batches_since_load`` so actor reuse is provable."""
+
+    def __init__(self, weights_path: str, keep_cells: bool = False):
+        from docling_ray.kernels.table_model import NumpyTableModel
+
+        self.model = NumpyTableModel(weights_path)   # once per ACTOR
+        self.keep_cells = keep_cells
+        self.n_batches_since_load = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self.n_batches_since_load += 1
+        out = assemble_page_batch(batch, keep_cells=self.keep_cells,
+                                  table_model=self.model)
+        return out.append_column(
+            "n_assemble_batches_since_load",
+            pa.array([self.n_batches_since_load] * out.num_rows,
+                     pa.int64()))
+
+
 ELEMENT_STRUCT = pa.struct([
     ("cid", pa.int32()), ("label", pa.string()),
     ("l", pa.float64()), ("t", pa.float64()),
@@ -154,10 +180,13 @@ ELEMENT_STRUCT = pa.struct([
 ])
 
 
-def assemble_page_batch(batch: pa.Table, keep_cells: bool = False) -> pa.Table:
+def assemble_page_batch(batch: pa.Table, keep_cells: bool = False,
+                        table_model=None) -> pa.Table:
     """clusters + cells → typed page elements with sanitized text (the
     PageAssemble analog); ordering is left to the doc-level reading-order
-    reduce.  ``page_text`` keeps the in-page order for per-page consumers."""
+    reduce.  ``page_text`` keeps the in-page order for per-page consumers.
+    ``table_model`` routes table clusters through the learned header
+    tier (``PageAssembleLearnedStage`` owns its per-actor load)."""
     texts, out_elements = [], []
     for cells_value, clusters_value in zip(batch["cells"].to_pylist(),
                                            batch["clusters"].to_pylist()):
@@ -176,7 +205,7 @@ def assemble_page_batch(batch: pa.Table, keep_cells: bool = False) -> pa.Table:
                 for i in (cl["cell_ids"] or []) if i in cell_by_id
             ]
             clusters.append(cluster)
-        elements = assemble_page_text(clusters)
+        elements = assemble_page_text(clusters, table_model=table_model)
         texts.append("\n".join(e["text"] for e in elements if e["text"]))
         by_id = {cl.id: cl for cl in clusters}
         out_elements.append([
@@ -387,7 +416,8 @@ def multimodal_export_pipeline(ds, layout_concurrency: int = 2):
 
 
 def pdf_pages_pipeline(ds, layout_concurrency: int = 2, limits=None,
-                       carry_columns: tuple = ()):
+                       carry_columns: tuple = (),
+                       table_weights_path: str = None):
     """Full paginated pipeline over a parsed-pages dataset.  ``limits``
     (``stages/limits.DocumentLimits``) enforces max-page / page-range
     inside the per-doc reduce — limit-invalid docs are dropped.
@@ -412,5 +442,12 @@ def pdf_pages_pipeline(ds, layout_concurrency: int = 2, limits=None,
     ds = ds.map_batches(page_parse_batch, batch_format="pyarrow")
     ds = ds.map_batches(LayoutHeuristicStage, batch_format="pyarrow",
                         concurrency=(1, layout_concurrency))
-    ds = ds.map_batches(assemble_page_batch, batch_format="pyarrow")
+    if table_weights_path is not None:
+        # learned table-header tier: weights load once per assemble actor
+        ds = ds.map_batches(
+            PageAssembleLearnedStage, batch_format="pyarrow",
+            concurrency=(1, layout_concurrency),
+            fn_constructor_kwargs={"weights_path": table_weights_path})
+    else:
+        ds = ds.map_batches(assemble_page_batch, batch_format="pyarrow")
     return bucketed_doc_groups(ds, _reduce)
