@@ -342,6 +342,26 @@ def q_ann_pq_topk(sf_dir: str):
     return table.select(["query_id", "vec_id", "rank"])
 
 
+def q_dedup_normalize(sf_dir: str):
+    """CCNet/RefinedWeb dedup normalization: lowercase, digits→0, strip
+    punctuation, collapse whitespace — the canonical form near-dup keys
+    hash so case/numbering/punctuation edits stop defeating dedup.  One
+    stateless RE2 pass; md5 of the normal form compared byte-exactly."""
+    import hashlib
+
+    from docling_ray.stages.textstats import normalize_for_dedup_batch
+
+    def with_md5(batch: pa.Table) -> pa.Table:
+        out = normalize_for_dedup_batch(batch)
+        md5s = [hashlib.md5((v.as_py() or "").encode()).hexdigest()
+                for v in out["norm_text"]]
+        return pa.table({"doc_id": out["doc_id"],
+                         "norm_md5": pa.array(md5s, pa.string())})
+
+    return _documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(with_md5, batch_format="pyarrow")
+
+
 def q_quantiles(sf_dir: str):
     """Exact per-language doc-length percentiles via mergeable
     histograms (stages/quantiles.py): batches collapse to (lang, value,
@@ -2176,6 +2196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vlm_pipeline": q_vlm_pipeline,
         "asr_transcribe": q_asr_transcribe,
         "ann_pq_topk": q_ann_pq_topk,
+        "dedup_normalize": q_dedup_normalize,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
@@ -2310,6 +2331,18 @@ def _oracle_sql_base() -> dict[str, str]:
         "ann_lsh_topk": _lsh_topk_oracle_sql(),
         "ann_ivf_topk": _ivf_topk_oracle_sql(),
         "ann_pq_topk": _pq_topk_oracle_sql(),
+        "dedup_normalize": r"""
+            -- the engine's RE2 kernels verbatim (both sides are RE2:
+            -- ASCII \d and \s, unicode \p{L}\p{N}); trim(x, ' ') because
+            -- post-collapse edges are plain spaces
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                        lower(coalesce(text, '')),
+                        '\d', '0', 'g'),
+                        '[^\p{L}\p{N}\s]', '', 'g'),
+                        '\s+', ' ', 'g'), ' ')) AS norm_md5
+            FROM documents
+        """,
         "quantiles": """
             WITH h AS (
                 SELECT lang, n_chars AS value, count(*) AS c

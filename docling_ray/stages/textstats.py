@@ -355,3 +355,28 @@ def gopher_stats_batch(batch: pa.Table, column: str = "text",
                       ("gopher_pass", ok.astype(np.int64))):
         out = out.append_column(name, pa.array(arr, pa.int64()))
     return out
+
+
+def normalize_for_dedup_batch(batch: pa.Table, text_column: str = "text",
+                              out_column: str = "norm_text") -> pa.Table:
+    """CCNet/RefinedWeb-style canonical text for FUZZY dedup: unicode
+    lowercase, digits → ``0``, punctuation/symbols stripped, whitespace
+    collapsed to single spaces, trimmed.  Case, numbering and
+    punctuation edits between near-copies stop defeating exact/MinHash
+    dedup when keys hash this form instead of the raw text.
+
+    Every transform is an RE2 kernel (plus ``utf8_lower``, whose
+    DuckDB ``lower()`` parity is differential-fuzzer-proven via the
+    url_dedup/top_k_tokens queries), so the SQL mirror agrees by
+    construction; RE2's ASCII ``\\d``/``\\s`` and unicode
+    ``\\p{L}\\p{N}`` classes mean both engines draw the same
+    boundaries.  One stateless vectorized pass, zero shuffles."""
+    import pyarrow.compute as pc
+
+    t = pc.fill_null(batch[text_column], "")
+    t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, r"\d", "0")
+    t = pc.replace_substring_regex(t, r"[^\p{L}\p{N}\s]", "")
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim(t, " ")
+    return batch.append_column(out_column, t)

@@ -125,7 +125,7 @@ DOC_QUERIES = ["gopher_repetition", "dup_windows", "quantiles",
                "lang_metrics", "gopher_quality", "line_dedup",
                "substring_dedup", "pack_sequences", "url_dedup",
                "crawl_delta", "pagerank", "inverted_index", "bow_search",
-               "robots_filter", "fetch_schedule"]
+               "robots_filter", "fetch_schedule", "dedup_normalize"]
 EVENT_QUERIES = ["json_field_stats", "running_totals", "sessions",
                  "events_windowed", "events_by_type", "asof_join",
                  "range_join", "funnel"]
