@@ -342,6 +342,35 @@ def q_ann_pq_topk(sf_dir: str):
     return table.select(["query_id", "vec_id", "rank"])
 
 
+def q_events_hopping(sf_dir: str):
+    """HOPPING (sliding) window aggregate: 1-hour windows every 15 min —
+    each event explodes into its 4 covering windows (a pruned projection,
+    never the payload), then the same pre-aggregated (window_id,
+    event_type) shuffle as the tumbling form."""
+    import ray.data
+    from ray.data.aggregate import Count, Max
+
+    from docling_ray.stages.sessions import hopping_window_rows
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    out = ds.map_batches(hopping_window_rows, batch_format="pyarrow") \
+        .groupby(["window_id", "event_type"]).aggregate(
+            Count(alias_name="n_events"),
+            Max(on="value", alias_name="max_value"))
+
+    def to_centi(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        mv = batch["max_value"].to_numpy(zero_copy_only=False)
+        batch = batch.append_column(
+            "max_value_centi",
+            pa.array(np.floor(mv * 100.0).astype("int64"), pa.int64()))
+        return batch.drop_columns(["max_value"])
+
+    return out.map_batches(to_centi, batch_format="pyarrow")
+
+
 def q_dedup_normalize(sf_dir: str):
     """CCNet/RefinedWeb dedup normalization: lowercase, digits→0, strip
     punctuation, collapse whitespace — the canonical form near-dup keys
@@ -2197,6 +2226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asr_transcribe": q_asr_transcribe,
         "ann_pq_topk": q_ann_pq_topk,
         "dedup_normalize": q_dedup_normalize,
+        "events_hopping": q_events_hopping,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
@@ -2331,6 +2361,19 @@ def _oracle_sql_base() -> dict[str, str]:
         "ann_lsh_topk": _lsh_topk_oracle_sql(),
         "ann_ivf_topk": _ivf_topk_oracle_sql(),
         "ann_pq_topk": _pq_topk_oracle_sql(),
+        "events_hopping": """
+            -- each event covers the 4 hop-aligned 1-hour windows ending
+            -- at or after it: window_id = floor(epoch_us/hop) - i
+            SELECT CAST(floor(epoch_us(ts) / 900000000) - i.i AS BIGINT)
+                       AS window_id,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(floor(max(value) * 100.0) AS BIGINT)
+                       AS max_value_centi
+            FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+            WHERE ts IS NOT NULL
+            GROUP BY 1, 2
+        """,
         "dedup_normalize": r"""
             -- the engine's RE2 kernels verbatim (both sides are RE2:
             -- ASCII \d and \s, unicode \p{L}\p{N}); trim(x, ' ') because

@@ -316,3 +316,36 @@ def funnel(ds, steps: list, user_column: str = "user_id",
         user_column: pa.array([], user_type),
         "funnel_depth": pa.array([], pa.int64())}))
     return empty.union(out)
+
+
+def hopping_window_rows(batch: pa.Table, ts_column: str = "ts",
+                        size_us: int = 3_600_000_000,
+                        hop_us: int = 900_000_000,
+                        keep_columns: tuple = ("event_type", "value")
+                        ) -> pa.Table:
+    """Explode each event into its HOPPING (sliding) windows: windows of
+    ``size_us`` starting at every multiple of ``hop_us``; an event at t
+    falls in exactly ``size/hop`` windows (``hop`` must divide ``size``),
+    with ``window_id = window_start / hop``.
+
+    The explode multiplies only a PRUNED projection (window_id + the
+    aggregation columns) by size/hop — 4× small rows here, never the
+    payload — and feeds the same pre-aggregated groupby shuffle as the
+    tumbling form, so the all-to-all moves partial aggregates.  Null
+    timestamps carry no window identity and are dropped."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n_win = size_us // hop_us
+    assert n_win * hop_us == size_us, "hop must divide size"
+    batch = batch.filter(pc.is_valid(batch[ts_column]))
+    epoch = batch[ts_column].cast(pa.timestamp("us")).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    # floor division toward -inf (numpy //) matches SQL's floor(x/y)
+    base = epoch // hop_us
+    ids = (base[:, None] - np.arange(n_win)[None, :]).reshape(-1)
+    out = {"window_id": pa.array(ids, pa.int64())}
+    idx = np.repeat(np.arange(len(epoch)), n_win)
+    for name in keep_columns:
+        out[name] = batch[name].take(pa.array(idx))
+    return pa.table(out)

@@ -127,8 +127,8 @@ DOC_QUERIES = ["gopher_repetition", "dup_windows", "quantiles",
                "crawl_delta", "pagerank", "inverted_index", "bow_search",
                "robots_filter", "fetch_schedule", "dedup_normalize"]
 EVENT_QUERIES = ["json_field_stats", "running_totals", "sessions",
-                 "events_windowed", "events_by_type", "asof_join",
-                 "range_join", "funnel"]
+                 "events_windowed", "events_hopping", "events_by_type",
+                 "asof_join", "range_join", "funnel"]
 # the seeded-permutation / seeded-plane families: oracles embed the same
 # seeds, so they must agree on ANY table — including texts shorter than
 # the shingle k and planted near-identical vectors
