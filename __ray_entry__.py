@@ -342,6 +342,28 @@ def q_ann_pq_topk(sf_dir: str):
     return table.select(["query_id", "vec_id", "rank"])
 
 
+def q_cms_counts(sf_dir: str):
+    """Count-Min heavy-hitter estimation: a 3×256 counter sketch built
+    distributed over the event stream's user ids (per-batch partials,
+    sum-merge — only sketch blocks move), then broadcast-probed for
+    every distinct user.  Estimates are upper bounds; every hash
+    collision reproduces in SQL via the md5 position contract (the
+    bloom_probe pattern), so the compare is exact."""
+    import ray
+    import ray.data
+
+    from docling_ray.stages.sketch import build_cms, cms_probe
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["user_id"])
+    blob = build_cms(events, "user_id", width=256, depth=3)
+    probe = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                  columns=["user_id"]) \
+        .groupby("user_id").count().drop_columns(["count()"])
+    out = cms_probe(probe, ray.put(blob), "user_id", width=256, depth=3)
+    return out.select_columns(["user_id", "est_count"])
+
+
 def q_events_hopping(sf_dir: str):
     """HOPPING (sliding) window aggregate: 1-hour windows every 15 min —
     each event explodes into its 4 covering windows (a pruned projection,
@@ -2227,6 +2249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": q_ann_pq_topk,
         "dedup_normalize": q_dedup_normalize,
         "events_hopping": q_events_hopping,
+        "cms_counts": q_cms_counts,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
@@ -2361,6 +2384,37 @@ def _oracle_sql_base() -> dict[str, str]:
         "ann_lsh_topk": _lsh_topk_oracle_sql(),
         "ann_ivf_topk": _ivf_topk_oracle_sql(),
         "ann_pq_topk": _pq_topk_oracle_sql(),
+        "cms_counts": """
+            -- the engine's Count-Min arithmetic verbatim: counter (j, p)
+            -- = rows hashing there (first 8 md5 bytes mod 256, the
+            -- bloom_probe contract); estimate = min over the 3 rows —
+            -- collisions overestimate identically on both sides
+            WITH ks(j) AS (VALUES (0), (1), (2)),
+            cnt AS (
+                SELECT j,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                           || ':' || j), 1, 16))::UBIGINT
+                       % 256 AS p,
+                       count(*) AS c
+                FROM events CROSS JOIN ks
+                WHERE user_id IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            probe AS (
+                SELECT DISTINCT user_id FROM events
+            ),
+            looked AS (
+                SELECT pr.user_id, ks.j,
+                       coalesce(cnt.c, 0) AS c
+                FROM probe pr CROSS JOIN ks
+                LEFT JOIN cnt ON cnt.j = ks.j AND cnt.p =
+                     ('0x' || substr(md5(CAST(pr.user_id AS VARCHAR)
+                                         || ':' || ks.j), 1, 16))::UBIGINT
+                     % 256
+            )
+            SELECT user_id, CAST(min(c) AS BIGINT) AS est_count
+            FROM looked GROUP BY user_id
+        """,
         "events_hopping": """
             -- each event covers the 4 hop-aligned 1-hour windows ending
             -- at or after it: window_id = floor(epoch_us/hop) - i

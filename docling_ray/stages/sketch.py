@@ -232,3 +232,97 @@ def count_distinct_approx(ds, group_col: str, value_col: str) -> pa.Table:
         "n_distinct_est": pa.array(
             [hll_estimate(hll_merge(v)) for _, v in items], pa.int64()),
     })
+
+
+# -- Count-Min sketch --------------------------------------------------------
+
+
+def cms_positions(key: str, width: int, depth: int) -> list[int]:
+    """Row ``j``'s counter position for one key: first 8 bytes of
+    ``md5(key || ':' || j)`` mod width — the ``bloom_positions``
+    contract, so DuckDB reproduces every collision bit-for-bit."""
+    import hashlib
+
+    return [
+        int.from_bytes(
+            hashlib.md5(f"{key}:{j}".encode("utf-8")).digest()[:8],
+            "big") % width
+        for j in range(depth)
+    ]
+
+
+def cms_partial(batch: pa.Table, key_col: str, width: int,
+                depth: int) -> pa.Table:
+    """One batch → one ``depth×width`` int64 counter block (row-major
+    bytes).  Null keys count nowhere (md5(NULL) is NULL in the mirror)."""
+    counters = np.zeros((depth, width), dtype=np.int64)
+    for s in _key_strings(batch[key_col]):
+        if s is None:
+            continue
+        for j, p in enumerate(cms_positions(s, width, depth)):
+            counters[j, p] += 1
+    return pa.table({"counters": pa.array([counters.tobytes()],
+                                          pa.binary())})
+
+
+def cms_merge(parts) -> np.ndarray:
+    """Elementwise SUM of counter blocks — commutative + associative,
+    hence partition-invariant (the sketch-merge contract)."""
+    out: np.ndarray | None = None
+    for p in parts:
+        arr = np.frombuffer(p, dtype=np.int64) if isinstance(p, bytes) \
+            else np.asarray(p, dtype=np.int64)
+        out = arr.copy() if out is None else out + arr
+    if out is None:
+        raise ValueError("cms_merge: no partials")
+    return out
+
+
+def build_cms(ds, key_col: str, width: int = 256, depth: int = 3) -> bytes:
+    """Distributed build: per-batch partial counter blocks → driver
+    sum-fold of the bounded partial set (num_batches × d×w×8 bytes).
+    The corpus never leaves its workers; only sketch blocks move."""
+    partials = ds.map_batches(
+        lambda b: cms_partial(b, key_col, width, depth),
+        batch_format="pyarrow").take_all()
+    if not partials:
+        return np.zeros(depth * width, np.int64).tobytes()
+    return cms_merge([row["counters"] for row in partials]).tobytes()
+
+
+class CmsProbeStage:
+    """Broadcast-probe stage: the counter block is fetched ONCE per actor
+    (ray.put ref → __init__); each probe key's estimate is the MIN of its
+    ``depth`` counters — an upper bound on the true count whose
+    overestimates (hash collisions) are md5-reproducible in SQL."""
+
+    def __init__(self, cms_ref, key_col: str, width: int, depth: int):
+        import ray
+
+        blob = ray.get(cms_ref) if not isinstance(cms_ref, bytes) \
+            else cms_ref
+        self.counters = np.frombuffer(blob, dtype=np.int64) \
+            .reshape(depth, width)
+        self.key_col = key_col
+        self.width = width
+        self.depth = depth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ests = []
+        for s in _key_strings(batch[self.key_col]):
+            if s is None:
+                ests.append(None)      # md5(NULL) → no estimate
+                continue
+            pos = cms_positions(s, self.width, self.depth)
+            ests.append(int(min(self.counters[j, p]
+                                for j, p in enumerate(pos))))
+        return batch.append_column("est_count", pa.array(ests, pa.int64()))
+
+
+def cms_probe(ds, cms_ref, key_col: str, width: int = 256,
+              depth: int = 3, concurrency: int = 4):
+    return ds.map_batches(
+        CmsProbeStage, batch_format="pyarrow",
+        fn_constructor_kwargs={"cms_ref": cms_ref, "key_col": key_col,
+                               "width": width, "depth": depth},
+        concurrency=(1, concurrency))

@@ -119,3 +119,52 @@ def test_bloom_probe_flags(ray_session):
         assert rows[k] == int(bits[bloom_positions(str(k), 512, 3)].all())
     # null key is never a member
     assert rows[None] == 0
+
+
+def test_cms_upper_bound_and_partition_invariance(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from docling_ray.stages.sketch import (build_cms, cms_merge,
+                                           cms_partial, cms_positions,
+                                           cms_probe)
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 40, 3000)          # heavy collisions at w=64
+    t = pa.table({"user_id": pa.array(keys, pa.int64())})
+    exact = {k: int((keys == k).sum()) for k in set(keys.tolist())}
+
+    blob = build_cms(ray.data.from_arrow(t), "user_id", width=64, depth=3)
+    probe = pa.table({"user_id": pa.array(sorted(exact), pa.int64())})
+    out = cms_probe(ray.data.from_arrow(probe), ray.put(blob), "user_id",
+                    width=64, depth=3).to_pandas().set_index("user_id")
+    # CMS never underestimates; at 40 keys / 64 counters some rows
+    # collide, so SOME estimate must exceed the truth (the interesting
+    # regime) while min-of-rows keeps most estimates tight
+    assert all(out.loc[k, "est_count"] >= v for k, v in exact.items())
+    assert any(out.loc[k, "est_count"] > v for k, v in exact.items())
+
+    # partition invariance: 1 block vs 7 blocks build the same sketch
+    blob7 = build_cms(ray.data.from_arrow(t).repartition(7), "user_id",
+                      width=64, depth=3)
+    assert blob == blob7
+
+    # merge is a plain elementwise sum of partials
+    half = len(t) // 2
+    p1 = cms_partial(t.slice(0, half), "user_id", 64, 3)["counters"][0] \
+        .as_py()
+    p2 = cms_partial(t.slice(half), "user_id", 64, 3)["counters"][0] \
+        .as_py()
+    assert cms_merge([p1, p2]).tobytes() == blob
+
+    # null keys count nowhere and probe to null
+    tn = pa.table({"user_id": pa.array([1, None], pa.int64())})
+    blob_n = build_cms(ray.data.from_arrow(tn), "user_id", width=64,
+                       depth=3)
+    total = np.frombuffer(blob_n, np.int64).reshape(3, 64).sum(axis=1)
+    assert (total == 1).all()
+    pos = cms_positions("1", 64, 3)
+    assert all(np.frombuffer(blob_n, np.int64).reshape(3, 64)[j, p] == 1
+               for j, p in enumerate(pos))
