@@ -342,6 +342,18 @@ def q_ann_pq_topk(sf_dir: str):
     return table.select(["query_id", "vec_id", "rank"])
 
 
+def q_bottom_k_sample(sf_dir: str):
+    """EXACT-size-k deterministic sample: the 50 docs with the smallest
+    md5(doc_id) 32-bit prefixes — reservoir sampling's deterministic
+    equivalent, partition- and cluster-size-invariant; per-batch partial
+    bottom-k so the driver folds k×num_batches rows, never a sort."""
+    from docling_ray.stages.corpus_filters import bottom_k_sample
+
+    ds = _documents(sf_dir, columns=["doc_id", "lang"])
+    out = bottom_k_sample(ds, k=50, columns=["doc_id", "lang"])
+    return out.select(["doc_id", "lang"])
+
+
 def q_cms_counts(sf_dir: str):
     """Count-Min heavy-hitter estimation: a 3×256 counter sketch built
     distributed over the event stream's user ids (per-batch partials,
@@ -2250,6 +2262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalize": q_dedup_normalize,
         "events_hopping": q_events_hopping,
         "cms_counts": q_cms_counts,
+        "bottom_k_sample": q_bottom_k_sample,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
@@ -2384,6 +2397,16 @@ def _oracle_sql_base() -> dict[str, str]:
         "ann_lsh_topk": _lsh_topk_oracle_sql(),
         "ann_ivf_topk": _ivf_topk_oracle_sql(),
         "ann_pq_topk": _pq_topk_oracle_sql(),
+        "bottom_k_sample": """
+            -- the engine's h32 = first 4 md5 bytes of the DECIMAL id
+            -- string; ties (none at md5 scale) break by doc_id
+            SELECT doc_id, lang
+            FROM documents
+            ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         ::UBIGINT,
+                     doc_id
+            LIMIT 50
+        """,
         "cms_counts": """
             -- the engine's Count-Min arithmetic verbatim: counter (j, p)
             -- = rows hashing there (first 8 md5 bytes mod 256, the

@@ -271,3 +271,38 @@ def hash_sample(ds, rate: float = 0.25, id_col: str = "doc_id"):
     return ds.map_batches(
         lambda b: hash_sample_batch(b, rate, id_col=id_col),
         batch_format="pyarrow")
+
+
+def bottom_k_sample(ds, k: int, id_col: str = "doc_id",
+                    columns: Optional[list] = None) -> pa.Table:
+    """EXACT-size-k uniform sample: the k rows with the SMALLEST
+    ``md5(str(id))`` 32-bit prefixes — the deterministic equivalent of
+    reservoir sampling (a uniform random permutation induced by the
+    hash), stable across runs, partitioning and cluster size, and the
+    fixed-size counterpart to ``hash_sample``'s rate form.
+
+    Scale shape: each batch keeps only its own bottom-k candidates
+    (``hash_sample_batch`` at rate 1 annotates h32, then a per-batch
+    partial top-k), so the driver folds at most k×num_batches small
+    rows — the partial-top-k merge every ANN path uses; the corpus
+    never sorts."""
+    import heapq
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = hash_sample_batch(batch, 1.0, id_col=id_col)
+        if columns is not None:
+            out = out.select(list(dict.fromkeys([*columns, "h32"])))
+        if out.num_rows > k:
+            order = pc.sort_indices(
+                out, sort_keys=[("h32", "ascending"),
+                                (id_col, "ascending")])[:k]
+            out = out.take(order)
+        return out
+
+    folded = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not folded:
+        return pa.table({})
+    heap = heapq.nsmallest(
+        k, folded, key=lambda r: (r["h32"], r[id_col]))
+    cols = list(heap[0].keys())
+    return pa.table({c: [r[c] for r in heap] for c in cols})

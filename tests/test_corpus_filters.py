@@ -290,3 +290,28 @@ def test_canonical_url_rules():
     t = pa.table({"url": pa.array(list(cases.keys()), pa.string())})
     got = canonical_url_batch(t)["canon_url"].to_pylist()
     assert got == list(cases.values())
+
+
+def test_bottom_k_sample_partition_invariant(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from docling_ray.stages.corpus_filters import bottom_k_sample
+
+    t = pa.table({"doc_id": pa.array(range(500), pa.int64()),
+                  "lang": pa.array([f"l{i % 5}" for i in range(500)])})
+    a = bottom_k_sample(ray.data.from_arrow(t), k=20,
+                        columns=["doc_id", "lang"])
+    b = bottom_k_sample(ray.data.from_arrow(t).repartition(9), k=20,
+                        columns=["doc_id", "lang"])
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    # exactly the 20 globally-smallest hashes, verified independently
+    h = sorted(range(500), key=lambda i: int.from_bytes(
+        hashlib.md5(str(i).encode()).digest()[:4], "big"))[:20]
+    assert sorted(a["doc_id"].to_pylist()) == sorted(h)
+    # k larger than the corpus returns everything
+    small = bottom_k_sample(ray.data.from_arrow(t.slice(0, 7)), k=20,
+                            columns=["doc_id", "lang"])
+    assert small.num_rows == 7
