@@ -644,6 +644,12 @@ class PqTopK:
         self.vec_column = vec_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:    # empty block: typed empty partial
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "adc_micro": pa.array([], pa.int64()),
+            })
         mat = _normalize(_to_matrix(batch[self.vec_column]))
         ids = batch[self.id_column].to_numpy(zero_copy_only=False)
         codes = self.pq.encode(mat)            # (n, m) uint8

@@ -159,3 +159,20 @@ def test_pq_encode_shapes_and_ties():
     assert (codes[0] == codes[1]).all() and (codes[1] == codes[2]).all()
     lut = pq.lut_micro(np.ones(64) / 8.0)
     assert lut.shape == (8, 16) and lut.dtype == np.int64
+
+
+def test_pq_stage_empty_batch():
+    import ray
+
+    from docling_ray.stages.ann import PqCodebooks, PqTopK
+
+    pq = PqCodebooks(dim=64, m=8, k=16, seed=31)
+    luts = np.stack([pq.lut_micro(np.ones(64) / 8.0)])
+    stage = PqTopK({"pq": pq, "query_ids": [0], "luts": luts}, k=5)
+    empty = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64())),
+    })
+    out = stage(empty)
+    assert out.num_rows == 0
+    assert out.schema.field("adc_micro").type == pa.int64()
