@@ -354,6 +354,51 @@ def q_bottom_k_sample(sf_dir: str):
     return out.select(["doc_id", "lang"])
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE vocabulary training (Sennrich 2016 reshaped for
+    Ray Data): corpus text read ONCE into a (word, freq) vocab table,
+    then 4 merge iterations over the vocab — combiner-first pair
+    partials, one small distributed pair sum each, a per-batch partial
+    top-1 so the driver folds num_batches candidate rows, broadcast
+    merge application.  Oracle: the identical iterations unrolled as
+    CTEs (the kmeans_fit pattern), same two-pass spaced-replace
+    contract and (w DESC, left, right) tie-break."""
+    from docling_ray.stages.bpe import bpe_train
+
+    ds = _documents(sf_dir, columns=["text"])
+    return bpe_train(ds, n_merges=4)
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """BPE corpus tokenization COMPOSED with training: learn 3 merges
+    over the corpus, then one stateless map_batches pass applies the
+    broadcast merge list and counts subword tokens per document
+    (segment sum over the exploded words; wordless docs keep a 0 row).
+    Oracle: training CTEs + the same chained replaces applied per doc
+    in SQL."""
+    from docling_ray.stages.bpe import bpe_token_counts, bpe_train
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+    trained = bpe_train(ds, n_merges=3)
+    merges = list(zip(trained["left"].to_pylist(),
+                      trained["right"].to_pylist()))
+    return bpe_token_counts(ds, merges).select_columns(
+        ["doc_id", "n_bpe_tokens"])
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Percentiles of an unbounded-cardinality column via the
+    deterministic bottom-k-by-hash sample (k=100) + the integer-exact
+    discrete lower-quantile rule — grouped_quantiles' documented escape
+    hatch for value columns too wide to histogram.  Hash-deterministic,
+    so the oracle reproduces it exactly (t-digest/KLL could not)."""
+    from docling_ray.stages.quantiles import approx_quantiles
+
+    ds = _documents(sf_dir, columns=["doc_id", "n_chars"])
+    out = approx_quantiles(ds, "n_chars", id_col="doc_id", k=100)
+    return out.select(["q_pct", "value"])
+
+
 def q_cms_counts(sf_dir: str):
     """Count-Min heavy-hitter estimation: a 3×256 counter sketch built
     distributed over the event stream's user ids (per-batch partials,
@@ -2229,6 +2274,93 @@ def _kmeans_fit_oracle_sql(k: int = 8, dim: int = 64,
     """
 
 
+def _bpe_train_ctes(n_merges: int) -> str:
+    """The stages/bpe.py training loop unrolled as CTEs (the kmeans_fit
+    pattern): w0 = spaced-symbol word-frequency table, then per merge i
+    a pair count (p_i), the argmax with the engine's tie-break (b_i),
+    and the two-pass spaced replace (w_i).  ``left``/``right`` are SQL
+    keywords, hence quoted."""
+    ctes = ["""w0 AS (
+            SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+                       || '</w> ' AS seq,
+                   count(*) AS freq
+            FROM (
+                SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z]+')) AS word
+                FROM documents
+            ) GROUP BY 1
+        )"""]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""p{i} AS (
+            SELECT t.l AS "left", t.r AS "right", sum(x.freq) AS w
+            FROM (SELECT str_split(trim(seq), ' ') AS toks, freq
+                  FROM w{i - 1}) x,
+                 LATERAL (
+                    SELECT x.toks[r.j] AS l, x.toks[r.j + 1] AS r
+                    FROM unnest(range(1, len(x.toks))) AS r(j)
+                 ) t
+            GROUP BY 1, 2
+        )""")
+        ctes.append(f"""b{i} AS (
+            SELECT "left", "right",
+                   ' ' || "left" || ' ' || "right" || ' ' AS pat,
+                   ' ' || "left" || "right" || ' ' AS rep
+            FROM p{i} ORDER BY w DESC, "left", "right" LIMIT 1
+        )""")
+        ctes.append(f"""w{i} AS (
+            SELECT replace(replace(x.seq, b.pat, b.rep), b.pat, b.rep)
+                       AS seq,
+                   x.freq
+            FROM w{i - 1} x CROSS JOIN b{i} b
+        )""")
+    return ",\n".join(ctes)
+
+
+def _bpe_merges_oracle_sql(n_merges: int = 4) -> str:
+    union = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS BIGINT) AS rank, "left", "right" FROM b{i}'
+        for i in range(1, n_merges + 1))
+    return f"WITH {_bpe_train_ctes(n_merges)}\n{union}"
+
+
+def _bpe_token_counts_oracle_sql(n_merges: int = 3) -> str:
+    """Training CTEs + per-document application: explode each doc into
+    spaced word sequences, chain the learned replaces (two passes each,
+    the engine contract), count symbols per word, segment-sum per doc;
+    the LEFT JOIN keeps wordless docs at 0."""
+    expr = "d.seq"
+    for i in range(1, n_merges + 1):
+        expr = (f"replace(replace({expr}, b{i}.pat, b{i}.rep), "
+                f"b{i}.pat, b{i}.rep)")
+    crosses = " ".join(f"CROSS JOIN b{i}" for i in range(1, n_merges + 1))
+    return f"""WITH {_bpe_train_ctes(n_merges)},
+        dwords AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                             '[a-z]+')) AS word
+            FROM documents
+        ),
+        dseq AS (
+            SELECT doc_id,
+                   ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+                       || '</w> ' AS seq
+            FROM dwords
+        ),
+        dfin AS (
+            SELECT d.doc_id, {expr} AS seq
+            FROM dseq d {crosses}
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   sum(len(str_split(trim(seq), ' '))) AS n
+            FROM dfin GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(t.n, 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d LEFT JOIN per_doc t ON t.doc_id = d.doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Order matters: the driver walks this dict in insertion order and may
     # budget a fixed number of queries per round.  Queries that have never
@@ -2263,6 +2395,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "cms_counts": q_cms_counts,
         "bottom_k_sample": q_bottom_k_sample,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
+        "approx_quantiles": q_approx_quantiles,
         "corpus_pipeline": q_corpus_pipeline,
         "mets_gbs": q_mets_gbs,
         "multimodal_pages": q_multimodal_pages,
@@ -2397,6 +2532,35 @@ def _oracle_sql_base() -> dict[str, str]:
         "ann_lsh_topk": _lsh_topk_oracle_sql(),
         "ann_ivf_topk": _ivf_topk_oracle_sql(),
         "ann_pq_topk": _pq_topk_oracle_sql(),
+        "bpe_merges": _bpe_merges_oracle_sql(),
+        "bpe_token_counts": _bpe_token_counts_oracle_sql(),
+        "approx_quantiles": """
+            -- the engine's deterministic bottom-k sample (md5 32-bit
+            -- prefix order, the bottom_k_sample contract) + the
+            -- grouped_quantiles discrete rule: smallest value whose
+            -- cumulative sample count satisfies cum*100 >= pct*n
+            WITH samp AS (
+                SELECT n_chars FROM documents
+                ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8))::UBIGINT,
+                         doc_id
+                LIMIT 100
+            ),
+            hist AS (
+                SELECT n_chars AS value, count(*) AS c
+                FROM samp GROUP BY 1
+            ),
+            cum AS (
+                SELECT value, sum(c) OVER (ORDER BY value) AS cum
+                FROM hist
+            )
+            SELECT CAST(p.pct AS BIGINT) AS q_pct,
+                   CAST(min(value) AS BIGINT) AS value
+            FROM cum, (SELECT count(*) AS n FROM samp) n,
+                 (VALUES (25), (50), (75), (90), (99)) p(pct)
+            WHERE cum * 100 >= p.pct * n.n
+            GROUP BY p.pct
+        """,
         "bottom_k_sample": """
             -- the engine's h32 = first 4 md5 bytes of the DECIMAL id
             -- string; ties (none at md5 scale) break by doc_id

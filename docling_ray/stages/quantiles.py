@@ -103,3 +103,45 @@ def grouped_quantiles(ds, value_col: str, group_col: str | None = None,
     cols["q_pct"] = pa.array(out_p, pa.int64())
     cols["value"] = pa.array(out_v, pa.int64())
     return pa.table(cols)
+
+
+def approx_quantiles(ds, value_col: str, id_col: str,
+                     k: int = 1000,
+                     pcts: Sequence[int] = (25, 50, 75, 90, 99)):
+    """Approximate percentiles of an UNBOUNDED-cardinality column — the
+    escape hatch for ``grouped_quantiles``' documented histogram caveat.
+
+    Shape: a deterministic EXACT-size-k uniform sample (the bottom-k
+    rows by ``md5(str(id))`` 32-bit prefix — ``corpus_filters.
+    bottom_k_sample``'s partial-top-k fold, stable across runs,
+    partitioning and cluster size), then the same integer-exact discrete
+    lower-quantile rule applied to the sample.  Error is the sampling
+    error of a k-row uniform sample (~1/sqrt(k) in rank space,
+    distribution-free), and because the sample is hash-deterministic the
+    SQL oracle reproduces the output EXACTLY — unlike t-digest/KLL,
+    whose merge-order nondeterminism would force a rows-only check.
+
+    Cost at any corpus size: one map_batches pass emitting ≤k candidate
+    rows per batch, a k×num_batches driver fold — no shuffle, no
+    histogram, no sort of the corpus.
+
+    Returns a pyarrow Table ``(q_pct, value)``, integer-valued.
+    """
+    from docling_ray.stages.corpus_filters import bottom_k_sample
+
+    samp = bottom_k_sample(ds, k=k, id_col=id_col,
+                           columns=[id_col, value_col])
+    if samp.num_rows == 0:
+        return pa.table({"q_pct": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.int64())})
+    values = np.sort(samp[value_col].to_numpy(zero_copy_only=False))
+    n = len(values)
+    out_p, out_v = [], []
+    for pct in pcts:
+        # smallest value with cum*100 >= pct*n == order statistic at
+        # ceil(pct*n/100) (1-based), the grouped_quantiles rule verbatim
+        idx = max(0, -(-pct * n // 100) - 1)
+        out_p.append(int(pct))
+        out_v.append(int(values[idx]))
+    return pa.table({"q_pct": pa.array(out_p, pa.int64()),
+                     "value": pa.array(out_v, pa.int64())})
