@@ -2361,6 +2361,97 @@ def _bpe_token_counts_oracle_sql(n_merges: int = 3) -> str:
     """
 
 
+def q_c4_filters(sf_dir: str):
+    """The published C4 cleaning rule set (Raffel et al. 2020 §2.2 —
+    terminal-punctuation lines, >=5-word lines, javascript-line drop,
+    curly-brace / lorem-ipsum / bad-word page drops, >=N surviving
+    lines), one stateless vectorized stage (stages/c4.py).  The corpus
+    has no line structure, so the query manufactures it
+    deterministically on BOTH sides: a kept sentence, a too-short line,
+    the doc text as a terminal-punctuated line, an unpunctuated line,
+    plus doc_id-gated javascript / brace / lorem lines so every rule
+    fires both ways.  The bad-word list probes 'slow' — a real corpus
+    vocabulary word — so the page gate varies with content.
+    ``text_clean`` is compared by md5 (the line_dedup projection)."""
+    import pyarrow.compute as pc
+
+    from docling_ray.stages.c4 import c4_stats_batch
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"].combine_chunks(), "")
+        did = batch["doc_id"].combine_chunks()
+        base = pc.binary_join_element_wise(
+            pa.scalar("A good sentence stays here."),
+            pa.scalar("short line."),
+            pc.binary_join_element_wise(t, " tail words here.", ""),
+            pa.scalar("no terminal punctuation on this line"),
+            pa.scalar("\n"))
+        for mod, extra in ((3, "javascript required to view."),
+                           (11, "{ config block }."),
+                           (7, "Lorem ipsum dolor sit amet.")):
+            cond = pc.equal(pc.cast(
+                pc.subtract(did, pc.multiply(
+                    pc.divide(did, mod), mod)), pa.int64()), 0)
+            base = pc.if_else(
+                cond,
+                pc.binary_join_element_wise(base, pa.scalar(extra),
+                                            pa.scalar("\n")),
+                base)
+        return pa.table({"doc_id": batch["doc_id"], "text": base})
+
+    out = ds.map_batches(augment, batch_format="pyarrow").map_batches(
+        lambda b: c4_stats_batch(b, min_words=5, min_kept_lines=2,
+                                 badwords=("slow",)),
+        batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        md5s = [_h.md5((v.as_py() or "").encode("utf-8")).hexdigest()
+                for v in batch["text_clean"]]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_lines": batch["n_lines"],
+            "n_kept_lines": batch["n_kept_lines"],
+            "has_brace": batch["has_brace"],
+            "has_lorem": batch["has_lorem"],
+            "has_badword": batch["has_badword"],
+            "c4_pass": batch["c4_pass"],
+            "clean_md5": pa.array(md5s, pa.string()),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023) in the engine's
+    integer-exact form (stages/dsir.py): hashed-unigram bucket models
+    for the target (lang='en') vs the raw corpus, per-bucket integer
+    micro-unit likelihood-ratio weights, per-doc int64 importance sums,
+    top-100 selected by (score DESC, doc_id ASC).  Model pass is a
+    256-bucket combiner shuffle; scoring is broadcast + stateless;
+    selection is per-batch partial top-k — the corpus never sorts."""
+    from docling_ray.stages.dsir import dsir_select
+
+    ds = _documents(sf_dir, columns=["doc_id", "text", "lang"])
+    return dsir_select(ds, k=100, target_values=("en",), n_buckets=256)
+
+
+def q_grouped_topk(sf_dir: str):
+    """Top-3 documents per language by (n_chars DESC, doc_id ASC) —
+    SQL's row_number-per-partition as a combiner-first operator
+    (stages/grouping.grouped_topk): per-batch partial top-k, ONE
+    groupby shuffle over <= k x batches rows per group, deterministic
+    rank."""
+    from docling_ray.stages.grouping import grouped_topk
+
+    ds = _documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    out = grouped_topk(ds, "lang", "n_chars", k=3, tie_col="doc_id")
+    return out.select_columns(["lang", "doc_id", "n_chars", "rank"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Order matters: the driver walks this dict in insertion order and may
     # budget a fixed number of queries per round.  Queries that have never
@@ -2368,6 +2459,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # next CORRECTNESS_r{N}.json covers them; long-green veterans rotate to
     # the tail (each still covered by pytest + scripts/verify_queries.py).
     return {
+        # --- new this session: never driver-verified ---
+        "c4_filters": q_c4_filters,
+        "dsir_select": q_dsir_select,
+        "grouped_topk": q_grouped_topk,
         # --- never / not recently driver-verified (r4 gap) ---
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -2458,6 +2553,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _oracle_sql_base() -> dict[str, str]:
     return {
+        "c4_filters": r"""
+            -- same manufactured line structure + RE2 rules as
+            -- q_c4_filters / stages/c4.py; every rule a regex hit or an
+            -- integer comparison, so hash-exact
+            WITH c AS (
+                SELECT doc_id,
+                       'A good sentence stays here.' || chr(10) ||
+                       'short line.' || chr(10) ||
+                       coalesce(text, '') || ' tail words here.'
+                       || chr(10) ||
+                       'no terminal punctuation on this line' ||
+                       CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+                            'javascript required to view.' ELSE '' END ||
+                       CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+                            '{ config block }.' ELSE '' END ||
+                       CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+                            'Lorem ipsum dolor sit amet.' ELSE '' END
+                           AS t
+                FROM documents
+            ), k AS (
+                SELECT doc_id, t,
+                       len(str_split(t, chr(10))) AS n_lines,
+                       list_filter(str_split(t, chr(10)),
+                           x -> regexp_matches(x, '[.!?"]$')
+                                AND len(regexp_extract_all(
+                                        x, '[^\s]+')) >= 5
+                                AND NOT regexp_matches(lower(x),
+                                                       'javascript'))
+                           AS kept
+                FROM c
+            )
+            SELECT doc_id,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                   CAST(CASE WHEN contains(t, '{') THEN 1 ELSE 0 END
+                        AS BIGINT) AS has_brace,
+                   CAST(CASE WHEN regexp_matches(lower(t), 'lorem ipsum')
+                        THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
+                   CAST(CASE WHEN regexp_matches(lower(t), '\bslow\b')
+                        THEN 1 ELSE 0 END AS BIGINT) AS has_badword,
+                   CAST(CASE WHEN NOT contains(t, '{')
+                              AND NOT regexp_matches(lower(t),
+                                                     'lorem ipsum')
+                              AND NOT regexp_matches(lower(t),
+                                                     '\bslow\b')
+                              AND len(kept) >= 2
+                        THEN 1 ELSE 0 END AS BIGINT) AS c4_pass,
+                   md5(array_to_string(kept, chr(10))) AS clean_md5
+            FROM k
+        """,
+        "dsir_select": r"""
+            -- stages/dsir.py mirror: md5-bucketed unigram models,
+            -- integer micro-unit likelihood-ratio weights (floor
+            -- division), int64 per-doc sums, top-100 deterministic
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_extract_all(coalesce(text, ''),
+                                                 '[^\s]+')) AS w
+                FROM documents
+            ), b AS (
+                SELECT doc_id, lang,
+                       CAST(CAST(('0x' || substr(md5(w), 1, 16))
+                                 AS UBIGINT) % 256 AS BIGINT) AS bkt
+                FROM tok
+            ), agg AS (
+                SELECT bkt, count(*) AS n_raw,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                           AS n_tgt
+                FROM b GROUP BY bkt
+            ), w AS (
+                SELECT bkt,
+                       (1000000 * (n_tgt + 1)) // (n_raw + 1) AS w_micro
+                FROM agg
+            ), sc AS (
+                SELECT b.doc_id, count(*) AS n_tokens,
+                       sum(w.w_micro) AS dsir_score
+                FROM b JOIN w USING (bkt) GROUP BY b.doc_id
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(dsir_score AS BIGINT) AS dsir_score
+            FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 100
+        """,
+        "grouped_topk": """
+            SELECT lang, doc_id, n_chars, rank FROM (
+                SELECT lang, doc_id, n_chars,
+                       CAST(row_number() OVER (
+                            PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS BIGINT)
+                           AS rank
+                FROM documents
+            ) WHERE rank <= 3
+        """,
         "lang_metrics": """
             SELECT lang,
                    count(*) AS n_docs,

@@ -55,3 +55,58 @@ def bucketed_doc_groups(ds, doc_fn: Callable[[pa.Table], pa.Table],
 
     return ds.map_batches(add_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(partition_fn, batch_format="pyarrow")
+
+
+def _topk_partial(batch: pa.Table, group_col: str, order_col: str,
+                  tie_col: str, k: int, descending: bool) -> pa.Table:
+    """Per-batch combiner: top-``k`` rows per group WITHIN the batch —
+    one C sort + a vectorized run-position scan, no Python loop over
+    rows.  Bounds the shuffle that follows to k × groups × batches."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if batch.num_rows == 0:
+        return batch
+    order = pc.sort_indices(batch, sort_keys=[
+        (group_col, "ascending"),
+        (order_col, "descending" if descending else "ascending"),
+        (tie_col, "ascending")])
+    t = batch.take(order)
+    g = t[group_col].to_numpy(zero_copy_only=False)
+    starts = np.concatenate([[True], g[1:] != g[:-1]])
+    # position of each row within its group run
+    run_id = np.cumsum(starts) - 1
+    first_pos = np.nonzero(starts)[0]
+    pos = np.arange(len(g)) - first_pos[run_id]
+    return t.filter(pa.array(pos < k))
+
+
+def grouped_topk(ds, group_col: str, order_col: str, k: int,
+                 tie_col: str, descending: bool = True,
+                 rank_col: str = "rank"):
+    """Top-``k`` rows per group (SQL's row_number-per-partition), the
+    combiner-first way: per-batch partial top-k (the corpus never
+    reaches a global sort) → ONE groupby shuffle over ≤ k × batches
+    rows per group → final per-group sort + rank.  Ties break on
+    ``tie_col`` ASC, so the result is deterministic and
+    partition-invariant.  Per-group dispatch cost is bounded by GROUP
+    cardinality — for high-cardinality groups route through
+    ``bucketed_doc_groups`` instead (the NOTES.md trap)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    part = ds.map_batches(
+        lambda b: _topk_partial(b, group_col, order_col, tie_col, k,
+                                descending),
+        batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            (order_col, "descending" if descending else "ascending"),
+            (tie_col, "ascending")])
+        g = group.take(order.slice(0, k))
+        return g.append_column(
+            rank_col, pa.array(np.arange(1, g.num_rows + 1), pa.int64()))
+
+    return part.groupby(group_col).map_groups(merge,
+                                              batch_format="pyarrow")

@@ -1,0 +1,172 @@
+"""New curation operators: C4 line/page filters (stages/c4.py),
+DSIR integer-exact importance selection (stages/dsir.py), combiner-first
+grouped top-k (stages/grouping.grouped_topk)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from docling_ray.stages.c4 import c4_filter, c4_stats_batch
+from docling_ray.stages.dsir import (dsir_score_batch, dsir_select,
+                                     dsir_weights)
+from docling_ray.stages.grouping import _topk_partial, grouped_topk
+
+
+def _docs(texts):
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+# -- C4 --------------------------------------------------------------------
+
+def test_c4_line_rules():
+    t = _docs(["This line has five good words.\n"
+               "short one.\n"
+               "no terminal punctuation on this line\n"
+               "enable javascript to view this page.\n"
+               "Another proper sentence survives the filter!"])
+    out = c4_stats_batch(t)
+    assert out["n_lines"][0].as_py() == 5
+    # kept: line 1 (5 words, '.') and line 5 ('!'); short/unpunctuated/js
+    # lines die
+    assert out["n_kept_lines"][0].as_py() == 2
+    assert out["text_clean"][0].as_py() == (
+        "This line has five good words.\n"
+        "Another proper sentence survives the filter!")
+
+
+def test_c4_page_rules():
+    good = "One good sentence right here today.\n" * 3
+    t = _docs([good,
+               good + "var x = { a: 1 };",
+               good + "Lorem Ipsum dolor sit amet",
+               good + "some flagged word here"])
+    out = c4_stats_batch(t, badwords=("flagged",))
+    assert out["c4_pass"].to_pylist() == [1, 0, 0, 0]
+    assert out["has_brace"].to_pylist() == [0, 1, 0, 0]
+    assert out["has_lorem"].to_pylist() == [0, 0, 1, 0]
+    assert out["has_badword"].to_pylist() == [0, 0, 0, 1]
+
+
+def test_c4_min_kept_lines_and_nulls():
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["Only one good sentence lives here.", None],
+                         pa.string()),
+    })
+    out = c4_stats_batch(t, min_kept_lines=2)
+    # 1 kept line < 2 → fail; NULL text ≡ '' → zero lines kept, fail
+    assert out["c4_pass"].to_pylist() == [0, 0]
+    assert out["text_clean"].to_pylist() == [
+        "Only one good sentence lives here.", ""]
+
+
+def test_c4_filter_keep_only(ray_session):
+    import ray.data
+
+    good = "One good sentence right here today.\n" * 3
+    ds = ray.data.from_arrow(_docs([good, good + "{", good]))
+    kept = c4_filter(ds, keep_only=True).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 2]
+
+
+# -- DSIR ------------------------------------------------------------------
+
+def _dsir_corpus():
+    return pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["alpha beta alpha", "alpha beta",
+                          "gamma delta gamma delta", ""], pa.string()),
+        "lang": pa.array(["en", "en", "xx", "en"], pa.string()),
+    })
+
+
+def test_dsir_weights_favor_target_tokens(ray_session):
+    import ray.data
+
+    t = _dsir_corpus()
+    w = dsir_weights(ray.data.from_arrow(t), n_buckets=64)
+    assert w.dtype == np.int64 and len(w) == 64
+
+    def bkt(tok):
+        return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
+                              "big") % 64
+    # alpha: 3 raw, 3 target → (1e6*4)//4 = 1e6; gamma: 2 raw 0 target
+    assert w[bkt("alpha")] == 1_000_000
+    assert w[bkt("gamma")] == (1_000_000 * 1) // 3
+
+
+def test_dsir_score_batch_exact_sum():
+    t = _dsir_corpus()
+    w = np.full(64, 7, np.int64)
+    out = dsir_score_batch(t, w, "text", "doc_id")
+    # doc 4 has zero tokens → dropped; others score 7 × n_tokens
+    assert out["doc_id"].to_pylist() == [1, 2, 3]
+    assert out["dsir_score"].to_pylist() == [21, 14, 28]
+    assert out["n_tokens"].to_pylist() == [3, 2, 4]
+
+
+def test_dsir_select_partition_invariant(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 12)))
+             for _ in range(200)]
+    t = pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en" if i % 3 else "xx" for i in range(200)],
+                         pa.string()),
+    })
+    a = dsir_select(ray.data.from_arrow(t), k=20, n_buckets=32)
+    b = dsir_select(ray.data.from_arrow(t).repartition(13), k=20,
+                    n_buckets=32)
+    assert a.to_pydict() == b.to_pydict()
+    # top-1 is a deterministic (score DESC, id ASC) winner
+    scores = a["dsir_score"].to_pylist()
+    assert scores == sorted(scores, reverse=True)
+
+
+# -- grouped top-k ----------------------------------------------------------
+
+def test_topk_partial_bounds_rows_per_group():
+    t = pa.table({
+        "g": pa.array(["a"] * 5 + ["b"] * 2, pa.string()),
+        "v": pa.array([5, 9, 9, 1, 3, 2, 8], pa.int64()),
+        "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+    })
+    out = _topk_partial(t, "g", "v", "id", 2, descending=True)
+    got = sorted(zip(out["g"].to_pylist(), out["id"].to_pylist()))
+    # a: ties at 9 break id ASC → ids 2,3; b: both rows survive (k=2)
+    assert got == [("a", 2), ("a", 3), ("b", 6), ("b", 7)]
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    n = 500
+    t = pa.table({
+        "g": pa.array([f"g{int(x)}" for x in rng.integers(0, 7, n)]),
+        "v": pa.array(rng.integers(0, 50, n), pa.int64()),
+        "id": pa.array(range(n), pa.int64()),
+    })
+    out = grouped_topk(ray.data.from_arrow(t).repartition(9), "g", "v",
+                       3, tie_col="id").to_pandas()
+    ref = t.to_pandas().sort_values(["g", "v", "id"],
+                                    ascending=[True, False, True]) \
+        .groupby("g").head(3)
+    got = sorted(zip(out["g"], out["id"]))
+    exp = sorted(zip(ref["g"], ref["id"]))
+    assert got == exp
+    # ranks are 1..k within each group, ordered by (v DESC, id ASC)
+    for _, grp in out.groupby("g"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        keys = list(zip(-grp["v"], grp["id"]))
+        assert keys == sorted(keys)
