@@ -7,10 +7,11 @@ Two shapes:
   (the driver-query / test form).  The drop set (exact-dup losers +
   near-dup pair members) is the only driver-side materialization — it is
   bounded by the DUPLICATE count, not the corpus, and is broadcast into
-  the anti-filter stage.  Branching the extracted stream into the two
-  decision passes re-executes the extract lineage; at corpus scale use
-  ``run_corpus`` instead, which checkpoints extraction once and runs the
-  decisions over pruned column reads.
+  the anti-filter stage.  Extraction runs ONCE and materializes into
+  the (spillable) object store for the three consumers (two decision
+  passes + the chunk pass); at corpus scale use ``run_corpus`` instead,
+  which checkpoints extraction to parquet and runs the decisions over
+  pruned column reads.
 
 - ``run_corpus(input_dir, output_dir)``: the 100 TB shape — extract
   checkpoints to partitioned parquet (per-shard manifest resume), then
@@ -153,14 +154,26 @@ def _chunk_and_filter(batch: pa.Table, min_doc_tokens: int,
 
 def corpus_chunks(ds, minhash_threshold: float = 0.7,
                   min_doc_tokens: int = MIN_DOC_TOKENS,
-                  keep_timings: dict | None = None):
+                  keep_timings: dict | None = None,
+                  materialize: bool = True):
     """web pages → chunk rows of surviving, quality-filtered documents.
 
     Dedup semantics: exact duplicates (identical raw bytes ⇒ identical
     sha-256 ``doc_id``) keep the lexicographically smallest url; near-dup
     pairs (MinHash-LSH on the EXTRACTED text at ``minhash_threshold``)
     drop the larger url of each pair.  Quality: documents whose chunks
-    total fewer than ``min_doc_tokens`` tokens are dropped whole."""
+    total fewer than ``min_doc_tokens`` tokens are dropped whole.
+
+    This chain consumes the extracted stream THREE times (two dedup
+    decision passes + the final chunk pass).  With ``materialize=True``
+    (default) extraction runs ONCE and its blocks pin in the object
+    store (spillable) for the other consumers — the Ray-native shape for
+    a multi-consumer DAG.  ``materialize=False`` keeps the fully lazy
+    form (re-executes extract lineage per consumer — only sensible when
+    object-store/spill capacity is tighter than compute).  At corpus
+    scale prefer ``run_corpus``, which checkpoints extraction to
+    partitioned parquet with per-shard manifest resume instead of
+    holding it in the object store."""
     import ray
 
     from docling_ray.pipelines.extract_pipeline import extract_dataset
@@ -168,6 +181,10 @@ def corpus_chunks(ds, minhash_threshold: float = 0.7,
 
     timings = keep_timings if keep_timings is not None else {}
     extracted = extract_dataset(ds, emit_doc_json=True)
+    if materialize:
+        t0 = time.time()
+        extracted = extracted.materialize()
+        timings["extract_materialize_sec"] = round(time.time() - t0, 3)
 
     # exact-dup LOSERS from the (doc_id, url) projection — the payload
     # never enters a shuffle (see exact_dedup_losers)
