@@ -2452,6 +2452,22 @@ def q_grouped_topk(sf_dir: str):
     return out.select_columns(["lang", "doc_id", "n_chars", "rank"])
 
 
+def q_mix_sources(sf_dir: str):
+    """Corpus mixing: each source sampled at its own deterministic rate
+    (full / half / 10% tiers) to hit a target mixture — the applied-
+    weights step of training-data pipelines
+    (stages/corpus_filters.mix_sources).  Same md5 32-bit-prefix
+    contract as hash_sample, threshold looked up per source; one
+    stateless pass, zero shuffles."""
+    from docling_ray.stages.corpus_filters import mix_sources
+
+    rates = {f"src{i}": 1.0 for i in range(5)}
+    rates.update({f"src{i}": 0.5 for i in range(5, 10)})
+    ds = _documents(sf_dir, columns=["doc_id", "source"])
+    return mix_sources(ds, rates, default_rate=0.1) \
+        .select_columns(["doc_id", "source"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Order matters: the driver walks this dict in insertion order and may
     # budget a fixed number of queries per round.  Queries that have never
@@ -2463,6 +2479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filters": q_c4_filters,
         "dsir_select": q_dsir_select,
         "grouped_topk": q_grouped_topk,
+        "mix_sources": q_mix_sources,
         # --- never / not recently driver-verified (r4 gap) ---
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -2634,6 +2651,19 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                    CAST(dsir_score AS BIGINT) AS dsir_score
             FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 100
+        """,
+        "mix_sources": """
+            -- hash_sample's md5 contract with a per-source threshold
+            SELECT doc_id, source FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8)) AS UBIGINT)
+                  < CASE
+                      WHEN source IN ('src0','src1','src2','src3','src4')
+                        THEN CAST(4294967296 AS UBIGINT)
+                      WHEN source IN ('src5','src6','src7','src8','src9')
+                        THEN CAST(2147483648 AS UBIGINT)
+                      ELSE CAST(429496729 AS UBIGINT)
+                    END
         """,
         "grouped_topk": """
             SELECT lang, doc_id, n_chars, rank FROM (

@@ -306,3 +306,45 @@ def bottom_k_sample(ds, k: int, id_col: str = "doc_id",
         k, folded, key=lambda r: (r["h32"], r[id_col]))
     cols = list(heap[0].keys())
     return pa.table({c: [r[c] for r in heap] for c in cols})
+
+
+# -- source mixing ----------------------------------------------------------
+
+def mix_sources_batch(batch: pa.Table, rates: dict, default_rate: float,
+                      key_col: str = "source",
+                      id_col: str = "doc_id") -> pa.Table:
+    """Per-SOURCE deterministic Bernoulli keep — the corpus-mixing step
+    of training-data pipelines (each domain/source sampled at its own
+    rate to hit a target mixture, DoReMi/Pile-style applied weights).
+
+    Same ``md5(str(id))`` 32-bit-prefix contract as ``hash_sample``
+    (run-, partition- and cluster-size-invariant; SQL-mirrorable), but
+    the threshold is looked up per row from ``rates[source]``
+    (``default_rate`` for unlisted sources) via dictionary-encode — one
+    tiny Python loop over DISTINCT sources per batch, C speed
+    elsewhere."""
+    ids = pc.cast(batch[id_col], pa.string()).to_pylist()
+    h32 = np.fromiter(
+        ((1 << 32) if s is None else
+         int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
+         for s in ids),
+        dtype=np.uint64, count=len(ids))
+    enc = pc.dictionary_encode(pc.fill_null(
+        batch[key_col].combine_chunks(), ""))
+    per_code = np.array(
+        [int(rates.get(v, default_rate) * (1 << 32))
+         for v in enc.dictionary.to_pylist()], dtype=np.uint64)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    thresh = per_code[codes] if len(codes) else \
+        np.empty(0, dtype=np.uint64)
+    return batch.filter(pa.array(h32 < thresh))
+
+
+def mix_sources(ds, rates: dict, default_rate: float = 1.0,
+                key_col: str = "source", id_col: str = "doc_id"):
+    """Dataset-level mixing: one stateless ``map_batches`` pass, zero
+    shuffles — id-level hashing, never the payload."""
+    return ds.map_batches(
+        lambda b: mix_sources_batch(b, rates, default_rate, key_col,
+                                    id_col),
+        batch_format="pyarrow")

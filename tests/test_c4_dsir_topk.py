@@ -170,3 +170,54 @@ def test_grouped_topk_matches_pandas(ray_session):
         assert list(grp["rank"]) == list(range(1, len(grp) + 1))
         keys = list(zip(-grp["v"], grp["id"]))
         assert keys == sorted(keys)
+
+
+# -- source mixing ----------------------------------------------------------
+
+def test_mix_sources_matches_per_source_hash_sample(ray_session):
+    import ray.data
+
+    from docling_ray.stages.corpus_filters import (hash_sample_batch,
+                                                   mix_sources)
+
+    t = pa.table({
+        "doc_id": pa.array(range(400), pa.int64()),
+        "source": pa.array([f"s{i % 4}" for i in range(400)], pa.string()),
+    })
+    rates = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+    out = mix_sources(ray.data.from_arrow(t), rates, default_rate=0.25) \
+        .to_pandas()
+    # per-source slice must equal hash_sample at that source's rate
+    for src, rate in [("s0", 1.0), ("s1", 0.5), ("s2", 0.0),
+                      ("s3", 0.25)]:
+        sub = t.filter(pa.compute.equal(t["source"], src))
+        exp = hash_sample_batch(sub, rate, bucket_col=None)
+        got = sorted(out[out["source"] == src]["doc_id"])
+        assert got == sorted(exp["doc_id"].to_pylist()), src
+
+
+def test_mix_sources_partition_invariant(ray_session):
+    import ray.data
+
+    from docling_ray.stages.corpus_filters import mix_sources
+
+    t = pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "source": pa.array([f"s{i % 3}" for i in range(300)], pa.string()),
+    })
+    a = mix_sources(ray.data.from_arrow(t), {"s0": 0.3}, 0.7).to_pandas()
+    b = mix_sources(ray.data.from_arrow(t).repartition(11),
+                    {"s0": 0.3}, 0.7).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_mix_sources_null_key_uses_default_and_null_id_drops():
+    from docling_ray.stages.corpus_filters import mix_sources_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, None, 3], pa.int64()),
+        "source": pa.array(["s0", "s0", None], pa.string()),
+    })
+    # default 1.0 keeps every non-null id, even the NULL source row
+    out = mix_sources_batch(t, {}, 1.0)
+    assert out["doc_id"].to_pylist() == [1, 3]
