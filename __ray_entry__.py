@@ -2468,6 +2468,38 @@ def q_mix_sources(sf_dir: str):
         .select_columns(["doc_id", "source"])
 
 
+def q_filter_funnel(sf_dir: str):
+    """Curation-funnel audit: survivor counts through the conjunctive
+    chain all → gopher(min_tokens=10) → length floor (n_chars ≥ 200) →
+    deterministic 50% hash keep — the per-stage visibility a pipeline
+    publishes so no filter silently eats the corpus ("no silent caps"
+    as an operator; stages/corpus_filters.filter_funnel).  One
+    stateless combiner pass, stage-cardinality shuffle only."""
+    import hashlib as _h
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from docling_ray.stages.corpus_filters import filter_funnel
+    from docling_ray.stages.textstats import gopher_stats_batch
+
+    ds = _documents(sf_dir, columns=["doc_id", "text", "n_chars"])
+
+    def flags(batch: pa.Table):
+        g = gopher_stats_batch(batch, min_tokens=10)["gopher_pass"] \
+            .to_numpy(zero_copy_only=False) == 1
+        length = batch["n_chars"].to_numpy(zero_copy_only=False) >= 200
+        ids = pc.cast(batch["doc_id"], pa.string()).to_pylist()
+        h32 = np.fromiter(
+            ((1 << 32) if s is None else int.from_bytes(
+                _h.md5(s.encode("utf-8")).digest()[:4], "big")
+             for s in ids),
+            dtype=np.uint64, count=len(ids))
+        return [g, length, h32 < (1 << 31)]
+
+    return filter_funnel(ds, flags, ["all", "gopher", "length", "mix"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Order matters: the driver walks this dict in insertion order and may
     # budget a fixed number of queries per round.  Queries that have never
@@ -2480,6 +2512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": q_dsir_select,
         "grouped_topk": q_grouped_topk,
         "mix_sources": q_mix_sources,
+        "filter_funnel": q_filter_funnel,
         # --- never / not recently driver-verified (r4 gap) ---
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -2651,6 +2684,72 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                    CAST(dsir_score AS BIGINT) AS dsir_score
             FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 100
+        """,
+        "filter_funnel": r"""
+            -- conjunctive survivor counts; gopher counters identical to
+            -- the gopher_quality oracle (min_tokens=10), hash keep via
+            -- the hash_sample md5 contract
+            WITH c AS (
+                SELECT doc_id, n_chars, coalesce(text, '') AS t
+                FROM documents
+            ), n AS (
+                SELECT doc_id, n_chars,
+                       CAST(len(regexp_extract_all(t, '[^\s]+')) AS BIGINT)
+                           AS n_tokens,
+                       CAST(length(t)
+                            - len(regexp_extract_all(t, '\s')) AS BIGINT)
+                           AS word_chars,
+                       CAST(len(regexp_extract_all(
+                                t, '[^\s]*[A-Za-z][^\s]*')) AS BIGINT)
+                           AS n_alpha_tokens,
+                       CAST(  CASE WHEN regexp_matches(t, '\bthe\b') THEN 1 ELSE 0 END
+                            + CASE WHEN regexp_matches(t, '\bbe\b') THEN 1 ELSE 0 END
+                            + CASE WHEN regexp_matches(t, '\bto\b') THEN 1 ELSE 0 END
+                            + CASE WHEN regexp_matches(t, '\bof\b') THEN 1 ELSE 0 END
+                            + CASE WHEN regexp_matches(t, '\band\b') THEN 1 ELSE 0 END
+                            + CASE WHEN regexp_matches(t, '\bthat\b') THEN 1 ELSE 0 END
+                            + CASE WHEN regexp_matches(t, '\bhave\b') THEN 1 ELSE 0 END
+                            + CASE WHEN regexp_matches(t, '\bwith\b') THEN 1 ELSE 0 END
+                            AS BIGINT) AS n_stopwords,
+                       CAST(len(regexp_extract_all(t, '#'))
+                            + len(regexp_extract_all(t, '\.\.\.'))
+                            + len(regexp_extract_all(t, '…')) AS BIGINT)
+                           AS n_symbols,
+                       CAST(len(regexp_extract_all(t, '\n'))
+                            + CASE WHEN length(t) > 0 THEN 1 ELSE 0 END
+                            AS BIGINT) AS n_lines,
+                       CAST(len(regexp_extract_all(t, '(?m)^\s*[-*•]'))
+                            AS BIGINT) AS n_bullet_lines,
+                       CAST(len(regexp_extract_all(t, '(?m)(\.\.\.|…)$'))
+                            AS BIGINT) AS n_ellipsis_lines
+                FROM c
+            ), f AS (
+                SELECT doc_id,
+                       CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                                 AND 3 * n_tokens <= word_chars
+                                 AND word_chars <= 10 * n_tokens
+                                 AND 10 * n_symbols < n_tokens
+                                 AND 5 * n_alpha_tokens > 4 * n_tokens
+                                 AND n_stopwords >= 2
+                                 AND 10 * n_bullet_lines < 9 * n_lines
+                                 AND 10 * n_ellipsis_lines < 3 * n_lines
+                            THEN 1 ELSE 0 END AS g,
+                       CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS l,
+                       CASE WHEN CAST(('0x' || substr(
+                                 md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS UBIGINT) < 2147483648
+                            THEN 1 ELSE 0 END AS m
+                FROM n
+            )
+            SELECT 0 AS stage, 'all' AS stage_name,
+                   count(*) AS n_surviving FROM f
+            UNION ALL
+            SELECT 1, 'gopher', count(*) FROM f WHERE g = 1
+            UNION ALL
+            SELECT 2, 'length', count(*) FROM f WHERE g = 1 AND l = 1
+            UNION ALL
+            SELECT 3, 'mix', count(*) FROM f
+            WHERE g = 1 AND l = 1 AND m = 1
         """,
         "mix_sources": """
             -- hash_sample's md5 contract with a per-source threshold

@@ -348,3 +348,51 @@ def mix_sources(ds, rates: dict, default_rate: float = 1.0,
         lambda b: mix_sources_batch(b, rates, default_rate, key_col,
                                     id_col),
         batch_format="pyarrow")
+
+
+# -- filter funnel audit ----------------------------------------------------
+
+def filter_funnel(ds, stage_flags, stage_names: list):
+    """Survivor counts through a CONJUNCTIVE filter chain — the audit
+    a curation pipeline publishes so no stage silently eats the corpus
+    (the repo's "no silent caps" rule, as an operator).
+
+    ``stage_flags(batch) -> list[np.ndarray[bool]]`` returns one keep
+    mask per stage for the batch; stage ``i``'s survivors are rows
+    passing ALL masks ``0..i``.  ``stage_names[0]`` labels the
+    unfiltered input (its mask is implicit all-True), so
+    ``len(stage_names) == len(masks) + 1``.
+
+    Shape: one stateless per-batch pass emits ``len(stage_names)``
+    partial-count rows per batch (a combiner), then a stage-cardinality
+    ``groupby().sum`` — the corpus never shuffles."""
+    import numpy as np
+
+    names = list(stage_names)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        masks = stage_flags(batch)
+        assert len(masks) == len(names) - 1, \
+            "need one mask per named stage after the input stage"
+        counts = [batch.num_rows]
+        alive = np.ones(batch.num_rows, dtype=bool)
+        for m in masks:
+            alive &= m
+            counts.append(int(alive.sum()))
+        return pa.table({
+            "stage": pa.array(range(len(names)), pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    totals = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("stage").sum("n")
+
+    def label(batch: pa.Table) -> pa.Table:
+        idx = batch["stage"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "stage": batch["stage"],
+            "stage_name": pa.array([names[i] for i in idx], pa.string()),
+            "n_surviving": batch["sum(n)"].cast(pa.int64()),
+        })
+
+    return totals.map_batches(label, batch_format="pyarrow")

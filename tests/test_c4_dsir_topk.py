@@ -221,3 +221,26 @@ def test_mix_sources_null_key_uses_default_and_null_id_drops():
     # default 1.0 keeps every non-null id, even the NULL source row
     out = mix_sources_batch(t, {}, 1.0)
     assert out["doc_id"].to_pylist() == [1, 3]
+
+
+# -- filter funnel ----------------------------------------------------------
+
+def test_filter_funnel_monotone_and_exact(ray_session):
+    import ray.data
+
+    from docling_ray.stages.corpus_filters import filter_funnel
+
+    t = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "v": pa.array(range(100), pa.int64()),
+    })
+
+    def flags(batch):
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return [v % 2 == 0, v < 50, v % 10 == 0]
+
+    out = filter_funnel(ray.data.from_arrow(t).repartition(7), flags,
+                        ["all", "even", "low", "tens"]).to_pandas() \
+        .sort_values("stage").reset_index(drop=True)
+    assert list(out["n_surviving"]) == [100, 50, 25, 5]
+    assert list(out["stage_name"]) == ["all", "even", "low", "tens"]
