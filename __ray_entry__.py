@@ -2500,6 +2500,30 @@ def q_filter_funnel(sf_dir: str):
     return filter_funnel(ds, flags, ["all", "gopher", "length", "mix"])
 
 
+def q_linreg_by_lang(sf_dir: str):
+    """Distributed closed-form OLS + Pearson r per language (chars-per-
+    token line fit): exact int64 sufficient-statistic combiners →
+    group-cardinality shuffle → fixed-operation-order float fold, so
+    the SQL mirror is bit-identical (stages/stats.py).  x = the
+    family's RE2 token count, y = n_chars."""
+    import pyarrow.compute as pc
+
+    from docling_ray.stages.stats import grouped_linreg
+
+    ds = _documents(sf_dir, columns=["lang", "text", "n_chars"])
+
+    def add_tokens(batch: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(
+            pc.fill_null(batch["text"].combine_chunks(), ""),
+            r"[^\s]+").cast(pa.int64())
+        return pa.table({"lang": batch["lang"],
+                         "n_tokens": toks,
+                         "n_chars": batch["n_chars"]})
+
+    annotated = ds.map_batches(add_tokens, batch_format="pyarrow")
+    return grouped_linreg(annotated, "lang", "n_tokens", "n_chars")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Order matters: the driver walks this dict in insertion order and may
     # budget a fixed number of queries per round.  Queries that have never
@@ -2513,6 +2537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": q_grouped_topk,
         "mix_sources": q_mix_sources,
         "filter_funnel": q_filter_funnel,
+        "linreg_by_lang": q_linreg_by_lang,
         # --- never / not recently driver-verified (r4 gap) ---
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -2750,6 +2775,38 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'mix', count(*) FROM f
             WHERE g = 1 AND l = 1 AND m = 1
+        """,
+        "linreg_by_lang": r"""
+            -- stages/stats.py mirror: HUGEINT-exact sufficient sums,
+            -- the same fixed float operation order
+            WITH d AS (
+                SELECT lang,
+                       CAST(len(regexp_extract_all(coalesce(text, ''),
+                                                   '[^\s]+')) AS BIGINT)
+                           AS x,
+                       n_chars AS y
+                FROM documents
+            ), s AS (
+                SELECT lang, count(*) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy,
+                       sum(x * y) AS sxy
+                FROM d GROUP BY lang
+            )
+            SELECT lang, CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0)
+                       AS slope,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0))
+                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                       AS intercept,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                * sqrt(CAST(n * syy - sy * sy
+                                            AS DOUBLE)), 0) AS r
+            FROM s
         """,
         "mix_sources": """
             -- hash_sample's md5 contract with a per-source threshold

@@ -1,0 +1,107 @@
+"""Grouped ordinary-least-squares fit + Pearson correlation as a
+combiner-first Ray Data operator — the "fit a statistic distributed"
+family (the ``kmeans.py`` pattern, closed-form instead of iterative).
+
+Everything reduces to the five classic sufficient statistics per group
+(n, Σx, Σy, Σx², Σy², Σxy), accumulated as EXACT int64 partial sums per
+batch (``np.add.at`` over dictionary-encoded group codes — a combiner:
+the shuffle moves one row per (batch, group), never data rows), summed
+by a group-cardinality ``groupby().sum``, then folded into
+slope/intercept/r with a FIXED float operation order so the DuckDB
+mirror is bit-identical:
+
+    den_x  = n·Σx² − (Σx)²              (exact integer)
+    slope  = float(num) / float(den_x)   num = n·Σxy − Σx·Σy
+    icept  = (float(Σy) − slope·float(Σx)) / float(n)
+    r      = float(num) / (sqrt(float(den_x)) · sqrt(float(den_y)))
+
+The final fold runs on Python ints (arbitrary precision — no silent
+int64 overflow in the n·Σxy products; DuckDB's HUGEINT mirrors this to
+128 bits).  Per-BATCH partials are int64: a batch whose Σx² partial
+exceeds 2⁶³ needs a smaller ``batch_size`` — guarded loudly, the
+``stages/index.py`` int32-offset precedent.  Degenerate groups
+(zero variance) yield NULL slope/r, matching SQL ``NULLIF``.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+_STATS = ("n", "sx", "sy", "sxx", "syy", "sxy")
+
+
+def linreg_partial(batch: pa.Table, group_col: str, x_col: str,
+                   y_col: str) -> pa.Table:
+    """Per-batch partial sufficient statistics, one row per distinct
+    group in the batch."""
+    import pyarrow.compute as pc
+
+    enc = pc.dictionary_encode(pc.fill_null(
+        batch[group_col].combine_chunks(), ""))
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    g = len(enc.dictionary)
+    x = batch[x_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    y = batch[y_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    sums = {}
+    for name, vals in (("n", np.ones(len(x), np.int64)), ("sx", x),
+                       ("sy", y), ("sxx", x * x), ("syy", y * y),
+                       ("sxy", x * y)):
+        acc = np.zeros(g, np.int64)
+        np.add.at(acc, codes, vals)
+        sums[name] = acc
+    # int64 partial-overflow guard: recompute the largest magnitude sum
+    # exactly in Python ints and compare
+    for name, vals in (("sxx", x * x), ("syy", y * y)):
+        exact = int(np.abs(vals.astype(object)).sum())
+        if exact >= 2 ** 62:
+            raise ValueError(
+                f"batch {name} partial magnitude {exact} risks int64 "
+                "overflow; shrink batch_size for this stage")
+    return pa.table({group_col: enc.dictionary,
+                     **{k: pa.array(v) for k, v in sums.items()}})
+
+
+def grouped_linreg(ds, group_col: str, x_col: str, y_col: str):
+    """Per-group OLS (y on x) slope / intercept / Pearson r.  Returns a
+    lazy Dataset with one row per group."""
+    totals = ds.map_batches(
+        lambda b: linreg_partial(b, group_col, x_col, y_col),
+        batch_format="pyarrow") \
+        .groupby(group_col).sum(list(_STATS))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        groups, ns = [], []
+        slopes, iceps, rs = [], [], []
+        cols = {k: batch[f"sum({k})"].to_pylist() for k in _STATS}
+        for i, gval in enumerate(batch[group_col].to_pylist()):
+            n, sx, sy = cols["n"][i], cols["sx"][i], cols["sy"][i]
+            sxx, syy, sxy = cols["sxx"][i], cols["syy"][i], cols["sxy"][i]
+            num = n * sxy - sx * sy          # exact python ints
+            den_x = n * sxx - sx * sx
+            den_y = n * syy - sy * sy
+            groups.append(gval)
+            ns.append(n)
+            if den_x == 0:
+                slopes.append(None)
+                iceps.append(None)
+            else:
+                slope = float(num) / float(den_x)
+                slopes.append(slope)
+                iceps.append((float(sy) - slope * float(sx)) / float(n))
+            if den_x == 0 or den_y == 0:
+                rs.append(None)
+            else:
+                rs.append(float(num) / (math.sqrt(float(den_x))
+                                        * math.sqrt(float(den_y))))
+        return pa.table({
+            group_col: pa.array(groups),
+            "n": pa.array(ns, pa.int64()),
+            "slope": pa.array(slopes, pa.float64()),
+            "intercept": pa.array(iceps, pa.float64()),
+            "r": pa.array(rs, pa.float64()),
+        })
+
+    return totals.map_batches(fold, batch_format="pyarrow")

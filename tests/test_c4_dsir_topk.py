@@ -244,3 +244,67 @@ def test_filter_funnel_monotone_and_exact(ray_session):
         .sort_values("stage").reset_index(drop=True)
     assert list(out["n_surviving"]) == [100, 50, 25, 5]
     assert list(out["stage_name"]) == ["all", "even", "low", "tens"]
+
+
+# -- grouped linear regression ----------------------------------------------
+
+def test_grouped_linreg_matches_numpy(ray_session):
+    import ray.data
+
+    from docling_ray.stages.stats import grouped_linreg
+
+    rng = np.random.default_rng(3)
+    n = 400
+    x = rng.integers(1, 100, n)
+    y = 3 * x + rng.integers(-10, 10, n)
+    t = pa.table({
+        "g": pa.array([f"g{int(v)}" for v in rng.integers(0, 4, n)]),
+        "x": pa.array(x, pa.int64()),
+        "y": pa.array(y, pa.int64()),
+    })
+    out = grouped_linreg(ray.data.from_arrow(t).repartition(7),
+                         "g", "x", "y").to_pandas().set_index("g")
+    df = t.to_pandas()
+    for g, grp in df.groupby("g"):
+        slope, icept = np.polyfit(grp["x"], grp["y"], 1)
+        r = np.corrcoef(grp["x"], grp["y"])[0, 1]
+        assert out.loc[g, "n"] == len(grp)
+        assert abs(out.loc[g, "slope"] - slope) < 1e-9
+        assert abs(out.loc[g, "intercept"] - icept) < 1e-6
+        assert abs(out.loc[g, "r"] - r) < 1e-9
+
+
+def test_grouped_linreg_degenerate_group_nulls(ray_session):
+    import ray.data
+
+    from docling_ray.stages.stats import grouped_linreg
+
+    t = pa.table({
+        "g": pa.array(["c", "c", "c"]),
+        "x": pa.array([5, 5, 5], pa.int64()),   # zero variance in x
+        "y": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = grouped_linreg(ray.data.from_arrow(t), "g", "x", "y") \
+        .to_pandas()
+    assert out["slope"].isna().all() and out["r"].isna().all()
+
+
+def test_grouped_linreg_partition_invariant_bits(ray_session):
+    import ray.data
+
+    from docling_ray.stages.stats import grouped_linreg
+
+    rng = np.random.default_rng(9)
+    t = pa.table({
+        "g": pa.array([f"g{int(v)}" for v in rng.integers(0, 3, 300)]),
+        "x": pa.array(rng.integers(0, 1000, 300), pa.int64()),
+        "y": pa.array(rng.integers(0, 1000, 300), pa.int64()),
+    })
+    a = grouped_linreg(ray.data.from_arrow(t), "g", "x", "y") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    b = grouped_linreg(ray.data.from_arrow(t).repartition(17),
+                       "g", "x", "y") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    # integer partials → the floats are BIT-identical, not just close
+    assert (a["slope"].values.tobytes() == b["slope"].values.tobytes())
+    assert (a["r"].values.tobytes() == b["r"].values.tobytes())
