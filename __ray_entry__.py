@@ -2524,6 +2524,56 @@ def q_linreg_by_lang(sf_dir: str):
     return grouped_linreg(annotated, "lang", "n_tokens", "n_chars")
 
 
+def q_events_rollup(sf_dir: str):
+    """SQL ROLLUP as operator composition: daily per-type counts (ONE
+    corpus groupby), then each subtotal level re-aggregates the
+    PREVIOUS level's tiny output (type-level from detail, grand total
+    from type-level — a driver fold over #types rows), unioned with
+    '(all)' placeholders and a GROUPING_ID-style ``lvl``.  The corpus
+    is read and shuffled exactly once regardless of rollup depth."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "day": pc.strftime(batch["ts"].combine_chunks(), "%Y-%m-%d"),
+        })
+
+    detail = ds.map_batches(add_day, batch_format="pyarrow") \
+        .groupby(["event_type", "day"]).count() \
+        .map_batches(lambda b: b.rename_columns(
+            ["event_type", "day", "n_events"]), batch_format="pyarrow")
+
+    per_type = detail.groupby("event_type").sum("n_events") \
+        .map_batches(lambda b: pa.table({
+            "event_type": b["event_type"],
+            "day": pa.array(["(all)"] * b.num_rows, pa.string()),
+            "n_events": b["sum(n_events)"].cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+    totals = per_type.take_all()                    # #types tiny rows
+    grand = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["(all)"], pa.string()),
+        "day": pa.array(["(all)"], pa.string()),
+        "n_events": pa.array([sum(r["n_events"] for r in totals)],
+                             pa.int64()),
+    }))
+
+    def with_lvl(lvl):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "lvl", pa.array([lvl] * b.num_rows, pa.int64()))
+        return f
+
+    return detail.map_batches(with_lvl(0), batch_format="pyarrow") \
+        .union(per_type.map_batches(with_lvl(1), batch_format="pyarrow")) \
+        .union(grand.map_batches(with_lvl(3), batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Order matters: the driver walks this dict in insertion order and may
     # budget a fixed number of queries per round.  Queries that have never
@@ -2538,6 +2588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sources": q_mix_sources,
         "filter_funnel": q_filter_funnel,
         "linreg_by_lang": q_linreg_by_lang,
+        "events_rollup": q_events_rollup,
         # --- never / not recently driver-verified (r4 gap) ---
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -2775,6 +2826,16 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'mix', count(*) FROM f
             WHERE g = 1 AND l = 1 AND m = 1
+        """,
+        "events_rollup": """
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   coalesce(d, '(all)') AS day,
+                   count(*) AS n_events,
+                   CAST(GROUPING_ID(event_type, d) AS BIGINT) AS lvl
+            FROM (SELECT event_type,
+                         strftime(ts, '%Y-%m-%d') AS d
+                  FROM events)
+            GROUP BY ROLLUP(event_type, d)
         """,
         "linreg_by_lang": r"""
             -- stages/stats.py mirror: HUGEINT-exact sufficient sums,
