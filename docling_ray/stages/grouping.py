@@ -83,15 +83,16 @@ def _topk_partial(batch: pa.Table, group_col: str, order_col: str,
 
 def grouped_topk(ds, group_col: str, order_col: str, k: int,
                  tie_col: str, descending: bool = True,
-                 rank_col: str = "rank"):
+                 rank_col: str = "rank", num_partitions: int = 64):
     """Top-``k`` rows per group (SQL's row_number-per-partition), the
     combiner-first way: per-batch partial top-k (the corpus never
-    reaches a global sort) → ONE groupby shuffle over ≤ k × batches
-    rows per group → final per-group sort + rank.  Ties break on
-    ``tie_col`` ASC, so the result is deterministic and
-    partition-invariant.  Per-group dispatch cost is bounded by GROUP
-    cardinality — for high-cardinality groups route through
-    ``bucketed_doc_groups`` instead (the NOTES.md trap)."""
+    reaches a global sort) → ONE hash-bucketed shuffle over ≤ k ×
+    batches rows per group → final per-group sort + rank.  Ties break
+    on ``tie_col`` ASC, so the result is deterministic and
+    partition-invariant.  The merge runs through the repo's bucketed
+    reduce (one UDF call per PARTITION, groups walked in-partition),
+    so group cardinality never becomes a Ray per-group dispatch cost
+    (the NOTES.md high-cardinality-groupby trap)."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -101,6 +102,7 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int,
         batch_format="pyarrow")
 
     def merge(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_part"])
         order = pc.sort_indices(group, sort_keys=[
             (order_col, "descending" if descending else "ascending"),
             (tie_col, "ascending")])
@@ -108,5 +110,5 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int,
         return g.append_column(
             rank_col, pa.array(np.arange(1, g.num_rows + 1), pa.int64()))
 
-    return part.groupby(group_col).map_groups(merge,
-                                              batch_format="pyarrow")
+    return bucketed_doc_groups(part, merge, num_partitions=num_partitions,
+                               id_column=group_col, sort_columns=())
