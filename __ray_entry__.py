@@ -2543,10 +2543,14 @@ def q_events_rollup(sf_dir: str):
             "day": pc.strftime(batch["ts"].combine_chunks(), "%Y-%m-%d"),
         })
 
+    # materialized: detail is types × days rows (tiny), and all three
+    # rollup levels consume it — without this the corpus groupby would
+    # re-execute per consumer
     detail = ds.map_batches(add_day, batch_format="pyarrow") \
         .groupby(["event_type", "day"]).count() \
         .map_batches(lambda b: b.rename_columns(
-            ["event_type", "day", "n_events"]), batch_format="pyarrow")
+            ["event_type", "day", "n_events"]), batch_format="pyarrow") \
+        .materialize()
 
     per_type = detail.groupby("event_type").sum("n_events") \
         .map_batches(lambda b: pa.table({
