@@ -2578,6 +2578,25 @@ def q_events_rollup(sf_dir: str):
         .union(grand.map_batches(with_lvl(3), batch_format="pyarrow"))
 
 
+def q_user_top_event(sf_dir: str):
+    """Per-user modal event type — grouped mode by OPERATOR
+    COMPOSITION: native (user, type) count groupby (partial aggregation
+    inside the shuffle) → ``grouped_topk`` k=1 over the count rows
+    (combiner partial top-1, bucketed merge).  Ties break type ASC."""
+    import ray.data
+
+    from docling_ray.stages.grouping import grouped_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    counts = ds.groupby(["user_id", "event_type"]).count() \
+        .map_batches(lambda b: b.rename_columns(
+            ["user_id", "event_type", "n"]), batch_format="pyarrow")
+    return grouped_topk(counts, "user_id", "n", k=1,
+                        tie_col="event_type") \
+        .select_columns(["user_id", "event_type", "n"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Order matters: the driver walks this dict in insertion order and may
     # budget a fixed number of queries per round.  Queries that have never
@@ -2593,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_funnel": q_filter_funnel,
         "linreg_by_lang": q_linreg_by_lang,
         "events_rollup": q_events_rollup,
+        "user_top_event": q_user_top_event,
         # --- never / not recently driver-verified (r4 gap) ---
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -2830,6 +2850,15 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'mix', count(*) FROM f
             WHERE g = 1 AND l = 1 AND m = 1
+        """,
+        "user_top_event": """
+            SELECT user_id, event_type, n FROM (
+                SELECT user_id, event_type, count(*) AS n,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
         """,
         "events_rollup": """
             SELECT coalesce(event_type, '(all)') AS event_type,
