@@ -2597,6 +2597,18 @@ def q_user_top_event(sf_dir: str):
         .select_columns(["user_id", "event_type", "n"])
 
 
+def q_weighted_sample(sf_dir: str):
+    """Exact-size-50 sample weighted by document length: bottom-k by
+    ``h32 // max(n_chars, 1)`` (integer Cohen–Kaplan rank — heavier
+    docs draw smaller ranks; Efraimidis–Spirakis' float ``u^(1/w)``
+    would not hash-reproduce).  Per-batch partial bottom-k combiner;
+    the driver folds ≤ k × num_batches rows."""
+    from docling_ray.stages.corpus_filters import weighted_bottom_k
+
+    ds = _documents(sf_dir, columns=["doc_id", "n_chars"])
+    return weighted_bottom_k(ds, k=50, weight_col="n_chars")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Order matters: the driver walks this dict in insertion order and may
     # budget a fixed number of queries per round.  Queries that have never
@@ -2613,6 +2625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linreg_by_lang": q_linreg_by_lang,
         "events_rollup": q_events_rollup,
         "user_top_event": q_user_top_event,
+        "weighted_sample": q_weighted_sample,
         # --- never / not recently driver-verified (r4 gap) ---
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -2850,6 +2863,18 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'mix', count(*) FROM f
             WHERE g = 1 AND l = 1 AND m = 1
+        """,
+        "weighted_sample": """
+            -- integer Cohen-Kaplan bottom-k rank: h32 // max(w, 1)
+            SELECT doc_id, n_chars, rank_key FROM (
+                SELECT doc_id, n_chars,
+                       CAST(CAST(('0x' || substr(
+                                 md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS UBIGINT)
+                            // greatest(n_chars, 1) AS BIGINT)
+                           AS rank_key
+                FROM documents
+            ) ORDER BY rank_key, doc_id LIMIT 50
         """,
         "user_top_event": """
             SELECT user_id, event_type, n FROM (

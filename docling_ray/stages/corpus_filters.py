@@ -396,3 +396,45 @@ def filter_funnel(ds, stage_flags, stage_names: list):
         })
 
     return totals.map_batches(label, batch_format="pyarrow")
+
+
+# -- weighted sampling ------------------------------------------------------
+
+def weighted_bottom_k(ds, k: int, weight_col: str,
+                      id_col: str = "doc_id") -> pa.Table:
+    """EXACT-size-k WEIGHTED sample without replacement — the
+    bottom-k-by-rank family (Cohen & Kaplan): each row's rank is
+    ``h32(md5(str(id))) // max(weight, 1)`` (integer floor division —
+    heavier rows get smaller ranks more often), and the sample is the
+    k smallest ranks.  Fully deterministic, partition- and
+    cluster-size-invariant, and SQL-mirrorable in exact integer
+    arithmetic (the ``hash_sample`` md5 contract); the float
+    ``u^(1/w)`` of Efraimidis–Spirakis would not hash-reproduce.
+
+    Scale shape: per-batch partial bottom-k (the ``bottom_k_sample``
+    combiner), driver folds ≤ k × num_batches rows; the corpus never
+    sorts.  Null/zero/negative weights clamp to 1 (uniform floor) so
+    every row keeps a well-defined rank."""
+    import heapq
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = hash_sample_batch(batch, 1.0, id_col=id_col)
+        w = pc.fill_null(out[weight_col].combine_chunks(), 0) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = out["h32"].to_numpy(zero_copy_only=False)
+        rank = h // np.maximum(w, 1)
+        out = out.append_column("rank_key", pa.array(rank, pa.int64()))
+        if out.num_rows > k:
+            order = pc.sort_indices(
+                out, sort_keys=[("rank_key", "ascending"),
+                                (id_col, "ascending")])[:k]
+            out = out.take(order)
+        return out.select([id_col, weight_col, "rank_key"])
+
+    folded = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not folded:
+        return pa.table({})
+    heap = heapq.nsmallest(
+        k, folded, key=lambda r: (r["rank_key"], r[id_col]))
+    cols = list(heap[0].keys())
+    return pa.table({c: [r[c] for r in heap] for c in cols})

@@ -308,3 +308,45 @@ def test_grouped_linreg_partition_invariant_bits(ray_session):
     # integer partials → the floats are BIT-identical, not just close
     assert (a["slope"].values.tobytes() == b["slope"].values.tobytes())
     assert (a["r"].values.tobytes() == b["r"].values.tobytes())
+
+
+# -- weighted sampling ------------------------------------------------------
+
+def test_weighted_bottom_k_exact_and_invariant(ray_session):
+    import ray.data
+
+    from docling_ray.stages.corpus_filters import weighted_bottom_k
+
+    rng = np.random.default_rng(5)
+    t = pa.table({
+        "doc_id": pa.array(range(500), pa.int64()),
+        "w": pa.array(rng.integers(0, 1000, 500), pa.int64()),
+    })
+    a = weighted_bottom_k(ray.data.from_arrow(t), 30, "w")
+    b = weighted_bottom_k(ray.data.from_arrow(t).repartition(13), 30, "w")
+    assert a.to_pydict() == b.to_pydict()
+    assert a.num_rows == 30
+    # brute-force reference: smallest h32 // max(w,1)
+    ids = t["doc_id"].to_pylist()
+    ws = t["w"].to_pylist()
+    ranks = sorted(
+        (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big")
+         // max(w, 1), i) for i, w in zip(ids, ws))
+    assert a["doc_id"].to_pylist() == [i for _, i in ranks[:30]]
+
+
+def test_weighted_bottom_k_weight_bias(ray_session):
+    import ray.data
+
+    # two strata: weight 10_000 vs weight 1 — the heavy stratum must
+    # dominate the sample (h32 // 10_000 << h32 // 1 almost surely)
+    t = pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "w": pa.array([10_000 if i < 100 else 1 for i in range(200)],
+                      pa.int64()),
+    })
+    from docling_ray.stages.corpus_filters import weighted_bottom_k
+
+    out = weighted_bottom_k(ray.data.from_arrow(t), 50, "w")
+    heavy = sum(1 for i in out["doc_id"].to_pylist() if i < 100)
+    assert heavy == 50
