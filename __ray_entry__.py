@@ -2475,12 +2475,7 @@ def q_filter_funnel(sf_dir: str):
     publishes so no filter silently eats the corpus ("no silent caps"
     as an operator; stages/corpus_filters.filter_funnel).  One
     stateless combiner pass, stage-cardinality shuffle only."""
-    import hashlib as _h
-
-    import numpy as np
-    import pyarrow.compute as pc
-
-    from docling_ray.stages.corpus_filters import filter_funnel
+    from docling_ray.stages.corpus_filters import filter_funnel, h32_of_ids
     from docling_ray.stages.textstats import gopher_stats_batch
 
     ds = _documents(sf_dir, columns=["doc_id", "text", "n_chars"])
@@ -2489,13 +2484,7 @@ def q_filter_funnel(sf_dir: str):
         g = gopher_stats_batch(batch, min_tokens=10)["gopher_pass"] \
             .to_numpy(zero_copy_only=False) == 1
         length = batch["n_chars"].to_numpy(zero_copy_only=False) >= 200
-        ids = pc.cast(batch["doc_id"], pa.string()).to_pylist()
-        h32 = np.fromiter(
-            ((1 << 32) if s is None else int.from_bytes(
-                _h.md5(s.encode("utf-8")).digest()[:4], "big")
-             for s in ids),
-            dtype=np.uint64, count=len(ids))
-        return [g, length, h32 < (1 << 31)]
+        return [g, length, h32_of_ids(batch["doc_id"]) < (1 << 31)]
 
     return filter_funnel(ds, flags, ["all", "gopher", "length", "mix"])
 
@@ -2538,9 +2527,15 @@ def q_events_rollup(sf_dir: str):
                                columns=["event_type", "ts"])
 
     def add_day(batch: pa.Table) -> pa.Table:
+        # NULL type/ts coalesce to '(all)' at the DETAIL level too,
+        # mirroring the oracle's coalesce textually (lvl disambiguates
+        # genuine subtotal rows)
         return pa.table({
-            "event_type": batch["event_type"],
-            "day": pc.strftime(batch["ts"].combine_chunks(), "%Y-%m-%d"),
+            "event_type": pc.fill_null(
+                batch["event_type"].combine_chunks(), "(all)"),
+            "day": pc.fill_null(
+                pc.strftime(batch["ts"].combine_chunks(), "%Y-%m-%d"),
+                "(all)"),
         })
 
     # materialized: detail is types × days rows (tiny), and all three

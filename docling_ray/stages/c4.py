@@ -34,6 +34,8 @@ Raffel et al. 2020 "Exploring the Limits of Transfer Learning" §2.2.
 """
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 
@@ -75,7 +77,6 @@ def c4_stats_batch(batch: pa.Table, column: str = "text",
 
     counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
         .astype(np.int64)
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     row_idx = np.repeat(np.arange(len(counts)), counts)
     kept_counts = np.bincount(row_idx[keep], minlength=len(counts)) \
         .astype(np.int64)
@@ -97,7 +98,10 @@ def c4_stats_batch(batch: pa.Table, column: str = "text",
         .to_numpy(zero_copy_only=False)
     has_bad = np.zeros(batch.num_rows, dtype=bool)
     for w in badwords:
-        has_bad |= pc.match_substring_regex(low, rf"\b{w}\b") \
+        # published blocklists carry regex metacharacters ('a$$', 'c++')
+        # — escape so they match literally instead of breaking RE2
+        has_bad |= pc.match_substring_regex(low,
+                                            rf"\b{re.escape(w)}\b") \
             .to_numpy(zero_copy_only=False)
 
     ok = (~has_brace & ~has_lorem & ~has_bad

@@ -242,6 +242,22 @@ def decontaminate(ds, bench_ref, n: int = 4, text_col: str = "text",
 # -- deterministic hash sampling --------------------------------------------
 
 
+def h32_of_ids(col) -> "np.ndarray":
+    """THE repo-wide id-hash contract: ``md5(str(id))`` 32-bit prefix as
+    uint64, null ids mapped to the above-every-threshold sentinel
+    ``2^32`` (the SQL mirror's ``md5(NULL) IS NULL`` drop).  Mirrored
+    verbatim by DuckDB's ``('0x' || substr(md5(CAST(id AS VARCHAR)),
+    1, 8))::UBIGINT``.  Single definition — hash_sample, mix_sources
+    and the funnel/filter family all route through here, so the
+    contract can never drift per-site."""
+    ids = pc.cast(col, pa.string()).to_pylist()
+    return np.fromiter(
+        ((1 << 32) if s is None else
+         int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
+         for s in ids),
+        dtype=np.uint64, count=len(ids))
+
+
 def hash_sample_batch(batch: pa.Table, rate: float,
                       id_col: str = "doc_id",
                       bucket_col: Optional[str] = "h32") -> pa.Table:
@@ -251,14 +267,7 @@ def hash_sample_batch(batch: pa.Table, rate: float,
     DECIMAL string so DuckDB's ``md5(CAST(id AS VARCHAR))`` mirrors it
     exactly).  ~1 μs/row: id-level hashing, never the payload."""
     thresh = int(rate * (1 << 32))
-    ids = pc.cast(batch[id_col], pa.string()).to_pylist()
-    # null id → above-threshold sentinel: excluded, like the SQL mirror
-    # (md5(NULL) is NULL, the WHERE drops the row), never a crash
-    h32 = np.fromiter(
-        ((1 << 32) if s is None else
-         int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
-         for s in ids),
-        dtype=np.uint64, count=len(ids))
+    h32 = h32_of_ids(batch[id_col])
     out = batch.filter(pa.array(h32 < thresh))
     if bucket_col is not None:
         kept = h32[h32 < thresh]
@@ -323,12 +332,7 @@ def mix_sources_batch(batch: pa.Table, rates: dict, default_rate: float,
     (``default_rate`` for unlisted sources) via dictionary-encode — one
     tiny Python loop over DISTINCT sources per batch, C speed
     elsewhere."""
-    ids = pc.cast(batch[id_col], pa.string()).to_pylist()
-    h32 = np.fromiter(
-        ((1 << 32) if s is None else
-         int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
-         for s in ids),
-        dtype=np.uint64, count=len(ids))
+    h32 = h32_of_ids(batch[id_col])
     enc = pc.dictionary_encode(pc.fill_null(
         batch[key_col].combine_chunks(), ""))
     per_code = np.array(

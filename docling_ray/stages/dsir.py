@@ -173,8 +173,14 @@ def dsir_select(ds, k: int = 100, text_col: str = "text",
         .take_all()                     # ≤ k × num_batches tiny rows
     merged = sorted(partials,
                     key=lambda r: (-r["dsir_score"], r[id_col]))[:k]
+    # preserve the input id type (int64 corpora AND the sha-256 string
+    # doc_id contract both flow through here)
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    id_type = base.field(id_col).type if base is not None \
+        and id_col in base.names else pa.int64()
     return pa.table({
-        id_col: pa.array([r[id_col] for r in merged], pa.int64()),
+        id_col: pa.array([r[id_col] for r in merged], id_type),
         "n_tokens": pa.array([r["n_tokens"] for r in merged], pa.int64()),
         "dsir_score": pa.array([r["dsir_score"] for r in merged],
                                pa.int64()),

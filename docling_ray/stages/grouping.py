@@ -110,5 +110,11 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int,
         return g.append_column(
             rank_col, pa.array(np.arange(1, g.num_rows + 1), pa.int64()))
 
+    # Known Ray 2.49 artifact (same caveat as the differential fuzzer's
+    # 0-row guard): a fully EMPTY input yields a zero-column dataset —
+    # with zero groups map_groups never runs, and a typed empty seed
+    # block unioned in front does not survive the executor's schema
+    # merge.  Any non-empty input produces the documented
+    # input-columns + rank schema.
     return bucketed_doc_groups(part, merge, num_partitions=num_partitions,
                                id_column=group_col, sort_columns=())

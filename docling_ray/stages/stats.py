@@ -35,33 +35,53 @@ _STATS = ("n", "sx", "sy", "sxx", "syy", "sxy")
 def linreg_partial(batch: pa.Table, group_col: str, x_col: str,
                    y_col: str) -> pa.Table:
     """Per-batch partial sufficient statistics, one row per distinct
-    group in the batch."""
+    group in the batch.  NULL group keys form their OWN group (SQL
+    GROUP BY semantics — distinct from the '' group), carried through
+    as a null key row.  Groups with zero batch rows are never emitted
+    (a filled-null dictionary slot must not materialize an n=0 row the
+    SQL mirror has no group for)."""
     import pyarrow.compute as pc
 
-    enc = pc.dictionary_encode(pc.fill_null(
-        batch[group_col].combine_chunks(), ""))
+    col = batch[group_col].combine_chunks()
+    null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(pc.fill_null(col, ""))
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    g = len(enc.dictionary)
+    gvals = enc.dictionary.to_pylist()
+    g = len(gvals)
+    if null_mask.any():                  # sentinel code for the NULL group
+        codes = codes.copy()
+        codes[null_mask] = g
+        gvals = gvals + [None]
+        g += 1
     x = batch[x_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
     y = batch[y_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
 
+    # int64 overflow guard BEFORE the products: element products wrap at
+    # |v| >= 2^31.5 and partial sums at n·max² >= 2^63 — a wrapped value
+    # cannot self-certify, so bound with exact Python-int arithmetic on
+    # the maxima (O(n) scan, no object boxing)
+    n_rows = len(x)
+    for name, v in (("x", x), ("y", y)):
+        m = int(np.abs(v).max()) if n_rows else 0
+        if m * m * max(n_rows, 1) >= 2 ** 62:
+            raise ValueError(
+                f"batch |{name}|max={m} over {n_rows} rows risks int64 "
+                "overflow in the squared-sum partials; shrink batch_size "
+                "or rescale the column")
+
     sums = {}
-    for name, vals in (("n", np.ones(len(x), np.int64)), ("sx", x),
+    for name, vals in (("n", np.ones(n_rows, np.int64)), ("sx", x),
                        ("sy", y), ("sxx", x * x), ("syy", y * y),
                        ("sxy", x * y)):
         acc = np.zeros(g, np.int64)
         np.add.at(acc, codes, vals)
         sums[name] = acc
-    # int64 partial-overflow guard: recompute the largest magnitude sum
-    # exactly in Python ints and compare
-    for name, vals in (("sxx", x * x), ("syy", y * y)):
-        exact = int(np.abs(vals.astype(object)).sum())
-        if exact >= 2 ** 62:
-            raise ValueError(
-                f"batch {name} partial magnitude {exact} risks int64 "
-                "overflow; shrink batch_size for this stage")
-    return pa.table({group_col: enc.dictionary,
-                     **{k: pa.array(v) for k, v in sums.items()}})
+    present = sums["n"] > 0
+    return pa.table({
+        group_col: pa.array(gvals, type=enc.dictionary.type)
+        .filter(pa.array(present)),
+        **{k: pa.array(v[present]) for k, v in sums.items()},
+    })
 
 
 def grouped_linreg(ds, group_col: str, x_col: str, y_col: str):

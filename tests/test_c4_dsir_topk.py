@@ -350,3 +350,84 @@ def test_weighted_bottom_k_weight_bias(ray_session):
     out = weighted_bottom_k(ray.data.from_arrow(t), 50, "w")
     heavy = sum(1 for i in out["doc_id"].to_pylist() if i < 100)
     assert heavy == 50
+
+
+# -- review-fix regressions -------------------------------------------------
+
+def test_c4_badwords_with_regex_metachars():
+    t = _docs(["Nice words and a.b here stays fine.",
+               "Nice words and azb here stays fine."])
+    out = c4_stats_batch(t, badwords=("a.b", "c++"))
+    # escaped: literal 'a.b' flags, 'azb' must NOT (dot is not wildcard)
+    assert out["has_badword"].to_pylist() == [1, 0]
+
+
+def test_linreg_null_group_is_its_own_group(ray_session):
+    import ray.data
+
+    from docling_ray.stages.stats import grouped_linreg
+
+    t = pa.table({
+        "g": pa.array(["", "", None, None, "a"], pa.string()),
+        "x": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "y": pa.array([2, 4, 6, 8, 10], pa.int64()),
+    })
+    out = grouped_linreg(ray.data.from_arrow(t), "g", "x", "y") \
+        .to_pandas()
+    # SQL GROUP BY semantics: NULL, '' and 'a' are three distinct groups
+    assert len(out) == 3
+    ns = {(None if g != g or g is None else g): n
+          for g, n in zip(out["g"], out["n"])}
+    assert ns == {None: 2, "": 2, "a": 1}
+
+
+def test_linreg_overflow_guard_raises():
+    from docling_ray.stages.stats import linreg_partial
+
+    t = pa.table({
+        "g": pa.array(["a"], pa.string()),
+        "x": pa.array([2 ** 32], pa.int64()),   # x*x wraps int64
+        "y": pa.array([1], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="overflow"):
+        linreg_partial(t, "g", "x", "y")
+
+
+def test_dsir_select_preserves_string_ids(ray_session):
+    import ray.data
+
+    t = pa.table({
+        "doc_id": pa.array(["sha_b", "sha_a", "sha_c"], pa.string()),
+        "text": pa.array(["alpha beta", "alpha", "gamma"], pa.string()),
+        "lang": pa.array(["en", "en", "xx"], pa.string()),
+    })
+    out = dsir_select(ray.data.from_arrow(t), k=2, n_buckets=16)
+    assert out["doc_id"].type == pa.string()
+    assert out.num_rows == 2
+
+
+def test_grouped_topk_empty_input_is_empty(ray_session):
+    """Ray 2.49 artifact (same as the fuzzer's 0-row guard): a fully
+    empty input degenerates to a zero-column dataset — callers must
+    treat 0 rows as schema-less.  Any non-empty input keeps the
+    documented input-columns + rank schema (asserted below with a
+    single-row group)."""
+    import ray.data
+
+    t = pa.table({
+        "g": pa.array([], pa.string()),
+        "v": pa.array([], pa.int64()),
+        "id": pa.array([], pa.int64()),
+    })
+    out = grouped_topk(ray.data.from_arrow(t), "g", "v", 3, tie_col="id")
+    assert len(out.to_pandas()) == 0
+
+    one = pa.table({
+        "g": pa.array(["a"], pa.string()),
+        "v": pa.array([1], pa.int64()),
+        "id": pa.array([1], pa.int64()),
+    })
+    df = grouped_topk(ray.data.from_arrow(one), "g", "v", 3,
+                      tie_col="id").to_pandas()
+    assert set(["g", "v", "id", "rank"]) <= set(df.columns)
+    assert list(df["rank"]) == [1]
