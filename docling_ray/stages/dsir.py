@@ -62,10 +62,16 @@ def _token_buckets(dict_values, n_buckets: int) -> np.ndarray:
         dtype=np.int64, count=len(dict_values))
 
 
-def _tokens_with_rows(batch: pa.Table, text_col: str):
-    """Flatten tokens with their row index: (codes, dict_values,
-    row_idx).  '' tokens (leading/trailing whitespace artifacts) are
-    dropped on both the Ray and SQL sides."""
+def _tokens_with_rows(batch: pa.Table, text_col: str,
+                      include_bigrams: bool = False):
+    """Flatten hashed-feature occurrences with their row index:
+    (codes, dict_values, row_idx).  '' tokens (leading/trailing
+    whitespace artifacts) are dropped on both the Ray and SQL sides.
+    With ``include_bigrams`` the feature stream is unigrams PLUS
+    within-row space-joined bigrams (the paper's hashed n-gram form) —
+    built with one Arrow ``binary_join_element_wise`` over the shifted
+    token array, no Python loop; bigrams never collide with unigrams
+    in the dictionary (they contain a space, unigrams cannot)."""
     import pyarrow.compute as pc
 
     col = pc.fill_null(batch[text_col].combine_chunks(), "")
@@ -77,17 +83,28 @@ def _tokens_with_rows(batch: pa.Table, text_col: str):
     nonempty = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
     toks = toks.filter(pa.array(nonempty))
     row_idx = row_idx[nonempty]
-    enc = toks.dictionary_encode()
+    if include_bigrams and len(toks) > 1:
+        big = pc.binary_join_element_wise(
+            toks.slice(0, len(toks) - 1), toks.slice(1), " ")
+        same = row_idx[:-1] == row_idx[1:]
+        big = big.filter(pa.array(same))
+        feats = pa.concat_arrays([toks, big])
+        rows = np.concatenate([row_idx, row_idx[:-1][same]])
+    else:
+        feats, rows = toks, row_idx
+    enc = feats.dictionary_encode()
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    return codes, enc.dictionary, row_idx
+    return codes, enc.dictionary, rows
 
 
 def dsir_model_partial(batch: pa.Table, text_col: str,
                        target_mask: np.ndarray,
-                       n_buckets: int) -> pa.Table:
+                       n_buckets: int,
+                       include_bigrams: bool = False) -> pa.Table:
     """Combiner half of the model pass: ``(bkt, n_raw, n_tgt)`` partial
     counts, ≤ ``n_buckets`` rows out regardless of batch size."""
-    codes, dvals, row_idx = _tokens_with_rows(batch, text_col)
+    codes, dvals, row_idx = _tokens_with_rows(batch, text_col,
+                                              include_bigrams)
     bkt_of_code = _token_buckets(dvals, n_buckets)
     bkt = bkt_of_code[codes] if len(codes) else np.empty(0, np.int64)
     n_raw = np.bincount(bkt, minlength=n_buckets).astype(np.int64)
@@ -104,7 +121,8 @@ def dsir_model_partial(batch: pa.Table, text_col: str,
 
 def dsir_weights(ds, text_col: str = "text", target_col: str = "lang",
                  target_values: tuple = ("en",),
-                 n_buckets: int = 256) -> np.ndarray:
+                 n_buckets: int = 256,
+                 include_bigrams: bool = False) -> np.ndarray:
     """Train the bucketed importance-weight table over ``ds``.  Returns
     an int64 array of ``n_buckets`` micro-unit weights.  Buckets no raw
     token hits keep the neutral smoothed weight (never probed)."""
@@ -117,7 +135,8 @@ def dsir_weights(ds, text_col: str = "text", target_col: str = "lang",
                                      ""),
                         value_set=pa.array(sorted(tv))) \
             .to_numpy(zero_copy_only=False)
-        return dsir_model_partial(batch, text_col, mask, n_buckets)
+        return dsir_model_partial(batch, text_col, mask, n_buckets,
+                                  include_bigrams)
 
     totals = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("bkt").sum(["n_raw", "n_tgt"]).take_all()
@@ -130,13 +149,15 @@ def dsir_weights(ds, text_col: str = "text", target_col: str = "lang",
 
 
 def dsir_score_batch(batch: pa.Table, w_micro: np.ndarray,
-                     text_col: str, id_col: str) -> pa.Table:
+                     text_col: str, id_col: str,
+                     include_bigrams: bool = False) -> pa.Table:
     """Scoring half: int64 importance score per document (``np.add.at``
     segment sum — exact integer arithmetic, order-independent).
     Zero-token documents are dropped (no feature evidence), matching
     the SQL mirror's inner join."""
     n_buckets = len(w_micro)
-    codes, dvals, row_idx = _tokens_with_rows(batch, text_col)
+    codes, dvals, row_idx = _tokens_with_rows(batch, text_col,
+                                              include_bigrams)
     bkt_of_code = _token_buckets(dvals, n_buckets)
     score = np.zeros(batch.num_rows, np.int64)
     n_tok = np.bincount(row_idx, minlength=batch.num_rows) \
@@ -154,17 +175,20 @@ def dsir_score_batch(batch: pa.Table, w_micro: np.ndarray,
 def dsir_select(ds, k: int = 100, text_col: str = "text",
                 id_col: str = "doc_id", target_col: str = "lang",
                 target_values: tuple = ("en",),
-                n_buckets: int = 256) -> pa.Table:
+                n_buckets: int = 256,
+                include_bigrams: bool = False) -> pa.Table:
     """End-to-end DSIR selection: train weights, score every doc, keep
     the top-``k`` by ``(dsir_score DESC, id ASC)``.  Returns a small
     ``pa.Table`` (k rows) — the selected-set manifest a curation
     pipeline would semi-join against the corpus (``stages/joins.py``)."""
     import pyarrow.compute as pc
 
-    w = dsir_weights(ds, text_col, target_col, target_values, n_buckets)
+    w = dsir_weights(ds, text_col, target_col, target_values, n_buckets,
+                     include_bigrams)
 
     def score_topk(batch: pa.Table) -> pa.Table:
-        t = dsir_score_batch(batch, w, text_col, id_col)
+        t = dsir_score_batch(batch, w, text_col, id_col,
+                             include_bigrams)
         order = pc.sort_indices(t, sort_keys=[
             ("dsir_score", "descending"), (id_col, "ascending")])
         return t.take(order.slice(0, k))

@@ -431,3 +431,27 @@ def test_grouped_topk_empty_input_is_empty(ray_session):
                       tie_col="id").to_pandas()
     assert set(["g", "v", "id", "rank"]) <= set(df.columns)
     assert list(df["rank"]) == [1]
+
+
+def test_dsir_bigram_features(ray_session):
+    import ray.data
+
+    # 'alpha beta' bigram appears only in en docs; with bigrams on, a
+    # doc containing the bigram must outscore one with the same
+    # unigrams in the other order
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha beta", "beta alpha", "alpha beta"],
+                         pa.string()),
+        "lang": pa.array(["en", "xx", "en"], pa.string()),
+    })
+    out = dsir_select(ray.data.from_arrow(t), k=3, n_buckets=64,
+                      include_bigrams=True)
+    scores = dict(zip(out["doc_id"].to_pylist(),
+                      out["dsir_score"].to_pylist()))
+    assert scores[1] == scores[3] > scores[2]
+
+    # partition invariance holds with bigrams too
+    b = dsir_select(ray.data.from_arrow(t).repartition(3), k=3,
+                    n_buckets=64, include_bigrams=True)
+    assert out.to_pydict() == b.to_pydict()
