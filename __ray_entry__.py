@@ -2604,6 +2604,20 @@ def q_weighted_sample(sf_dir: str):
     return weighted_bottom_k(ds, k=50, weight_col="n_chars")
 
 
+def q_event_lag(sf_dir: str):
+    """SQL LAG as a distributed window op: per-user inter-event gap in
+    µs (NULL for each user's first event), ties broken by event_id —
+    one hash(user) shuffle, C sort + vectorized diff per partition
+    (stages/sessions.event_lag)."""
+    import ray.data
+
+    from docling_ray.stages.sessions import event_lag
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    return event_lag(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Order matters: the driver walks this dict in insertion order and may
     # budget a fixed number of queries per round.  Queries that have never
@@ -2621,6 +2635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": q_events_rollup,
         "user_top_event": q_user_top_event,
         "weighted_sample": q_weighted_sample,
+        "event_lag": q_event_lag,
         # --- never / not recently driver-verified (r4 gap) ---
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -2858,6 +2873,14 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'mix', count(*) FROM f
             WHERE g = 1 AND l = 1 AND m = 1
+        """,
+        "event_lag": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id
+                        ORDER BY ts, event_id) AS BIGINT) AS delta_us
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
         """,
         "weighted_sample": """
             -- integer Cohen-Kaplan bottom-k rank: h32 // max(w, 1)

@@ -349,3 +349,83 @@ def hopping_window_rows(batch: pa.Table, ts_column: str = "ts",
     for name in keep_columns:
         out[name] = batch[name].take(pa.array(idx))
     return pa.table(out)
+
+
+# -- per-key LAG (inter-event deltas) ----------------------------------------
+
+
+def lag_partition(part: pa.Table, user_column: str, ts_column: str,
+                  id_column: str) -> pa.Table:
+    """One hash partition → per-event rows ``(id, user, delta_us)``
+    where ``delta_us`` is the µs gap to the user's previous event (ties
+    broken by ``id_column``, mirroring the oracle's ORDER BY ts, id);
+    NULL for each user's first event — SQL LAG semantics."""
+    user_type = part.schema.field(user_column).type
+    id_type = part.schema.field(id_column).type
+    n = part.num_rows
+    if n == 0:
+        return pa.table({
+            id_column: pa.array([], id_type),
+            user_column: pa.array([], user_type),
+            "delta_us": pa.array([], pa.int64()),
+        })
+    order = pa.compute.sort_indices(
+        part, sort_keys=[(user_column, "ascending"),
+                         (ts_column, "ascending"),
+                         (id_column, "ascending")])
+    g = part.take(order)
+    us = g[ts_column].to_numpy(zero_copy_only=False).astype(np.int64)
+    users = g[user_column].to_numpy(zero_copy_only=False)
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = users[1:] != users[:-1]
+    delta = np.empty(n, np.int64)
+    delta[0] = 0
+    delta[1:] = us[1:] - us[:-1]
+    return pa.table({
+        id_column: g[id_column],
+        user_column: g[user_column],
+        "delta_us": pa.array(delta, pa.int64(), mask=first),
+    })
+
+
+def event_lag(ds, user_column: str = "user_id", ts_column: str = "ts",
+              id_column: str = "event_id", num_partitions: int = 64):
+    """SQL ``LAG`` over a hash-bucketed shuffle: each event annotated
+    with the µs gap to the same user's previous event (NULL first).
+    Null user/ts rows are dropped (the ``sessionize`` contract).  One
+    shuffle on ``hash(user) % P``; the per-partition pass is one C sort
+    + a vectorized diff."""
+    import pyarrow.compute as pc
+
+    def prep(batch: pa.Table) -> pa.Table:
+        col = batch[ts_column]
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us")).cast(pa.int64())
+        out = pa.table({
+            id_column: batch[id_column],
+            user_column: batch[user_column],
+            ts_column: col,
+        })
+        valid = pc.and_(pc.is_valid(out[user_column]),
+                        pc.is_valid(out[ts_column]))
+        out = out.filter(valid)
+        return out.append_column(
+            "_part", pa.array(_part_of(out[user_column], num_partitions),
+                              pa.int64()))
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    lagged = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("_part").map_groups(
+            lambda p: lag_partition(p.drop_columns(["_part"]),
+                                    user_column, ts_column, id_column),
+            batch_format="pyarrow")
+    import ray.data
+
+    empty = ray.data.from_arrow(pa.table({
+        id_column: pa.array([], types[id_column]),
+        user_column: pa.array([], types[user_column]),
+        "delta_us": pa.array([], pa.int64()),
+    }))
+    return empty.union(lagged)

@@ -455,3 +455,32 @@ def test_dsir_bigram_features(ray_session):
     b = dsir_select(ray.data.from_arrow(t).repartition(3), k=3,
                     n_buckets=64, include_bigrams=True)
     assert out.to_pydict() == b.to_pydict()
+
+
+# -- LAG window --------------------------------------------------------------
+
+def test_event_lag_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from docling_ray.stages.sessions import event_lag
+
+    rng = np.random.default_rng(13)
+    n = 300
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 5, n), pa.int64()),
+        "ts": pa.array((rng.integers(0, 50, n) * 1_000_000)
+                       .astype("int64")).cast(pa.timestamp("us")),
+    })
+    out = event_lag(ray.data.from_arrow(t).repartition(7)).to_pandas() \
+        .set_index("event_id").sort_index()
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["delta"] = df.groupby("user_id")["ts"].diff() \
+        .dt.total_seconds() * 1e6
+    ref = df.set_index("event_id").sort_index()
+    assert len(out) == n
+    got = out["delta_us"].astype("float64")
+    exp = ref["delta"]
+    assert ((got.isna() == exp.isna()).all()
+            and (got.dropna() == exp.dropna()).all())
