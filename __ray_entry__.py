@@ -2618,6 +2618,63 @@ def q_event_lag(sf_dir: str):
     return event_lag(ds)
 
 
+def q_events_cube(sf_dir: str):
+    """SQL CUBE by the same composition as ``events_rollup``: every
+    subtotal level ((type,day), (type), (day), ()) re-aggregates the
+    materialized detail level — the corpus is read and shuffled ONCE
+    regardless of cube arity (2^n levels all derive from the finest
+    grouping)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": pc.fill_null(
+                batch["event_type"].combine_chunks(), "(all)"),
+            "day": pc.fill_null(
+                pc.strftime(batch["ts"].combine_chunks(), "%Y-%m-%d"),
+                "(all)"),
+        })
+
+    detail = ds.map_batches(add_day, batch_format="pyarrow") \
+        .groupby(["event_type", "day"]).count() \
+        .map_batches(lambda b: b.rename_columns(
+            ["event_type", "day", "n_events"]), batch_format="pyarrow") \
+        .materialize()
+
+    def collapse(keep: str, lvl: int):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_type": b["event_type"] if keep == "event_type"
+                else pa.array(["(all)"] * b.num_rows, pa.string()),
+                "day": b["day"] if keep == "day"
+                else pa.array(["(all)"] * b.num_rows, pa.string()),
+                "n_events": b[f"sum(n_events)"].cast(pa.int64()),
+                "lvl": pa.array([lvl] * b.num_rows, pa.int64()),
+            })
+        return f
+
+    per_type = detail.groupby("event_type").sum("n_events") \
+        .map_batches(collapse("event_type", 1), batch_format="pyarrow")
+    per_day = detail.groupby("day").sum("n_events") \
+        .map_batches(collapse("day", 2), batch_format="pyarrow")
+    totals = detail.sum("n_events")
+    grand = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["(all)"], pa.string()),
+        "day": pa.array(["(all)"], pa.string()),
+        "n_events": pa.array([totals], pa.int64()),
+        "lvl": pa.array([3], pa.int64()),
+    }))
+    base = detail.map_batches(
+        lambda b: b.append_column("lvl",
+                                  pa.array([0] * b.num_rows, pa.int64())),
+        batch_format="pyarrow")
+    return base.union(per_type).union(per_day).union(grand)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Order matters: the driver walks this dict in insertion order and may
     # budget a fixed number of queries per round.  Queries that have never
@@ -2636,6 +2693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event": q_user_top_event,
         "weighted_sample": q_weighted_sample,
         "event_lag": q_event_lag,
+        "events_cube": q_events_cube,
         # --- never / not recently driver-verified (r4 gap) ---
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -2873,6 +2931,16 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'mix', count(*) FROM f
             WHERE g = 1 AND l = 1 AND m = 1
+        """,
+        "events_cube": """
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   coalesce(d, '(all)') AS day,
+                   count(*) AS n_events,
+                   CAST(GROUPING_ID(event_type, d) AS BIGINT) AS lvl
+            FROM (SELECT event_type,
+                         strftime(ts, '%Y-%m-%d') AS d
+                  FROM events)
+            GROUP BY CUBE(event_type, d)
         """,
         "event_lag": """
             SELECT event_id, user_id,
