@@ -2675,6 +2675,36 @@ def q_events_cube(sf_dir: str):
     return base.union(per_type).union(per_day).union(grand)
 
 
+def q_bloom_join(sf_dir: str):
+    """Bloom-prefiltered semi join — the classic big-side shuffle
+    reducer: build an 8 KB Bloom filter over the small side's keys
+    (BUILDING-segment customers), broadcast it, drop big-side rows
+    (orders) whose key cannot match BEFORE the shuffle, then the exact
+    semi join removes the false positives.  Result is EXACTLY the
+    plain semi join (oracle: IN-subquery) — the filter only moves
+    work off the wire."""
+    import ray
+    import ray.data
+
+    from docling_ray.stages.joins import shuffle_join
+    from docling_ray.stages.sketch import build_bloom, bloom_probe
+
+    m_bits = 1 << 16
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'") \
+        .select_columns(["c_custkey"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    blob = build_bloom(cust, "c_custkey", m_bits=m_bits)
+    pre = bloom_probe(orders, ray.put(blob), "o_custkey", m_bits) \
+        .filter(expr="maybe_member == 1") \
+        .drop_columns(["maybe_member"])
+    out = shuffle_join(pre, cust, on="o_custkey", right_on="c_custkey",
+                       how="left_semi", num_partitions=16)
+    return out.select_columns(["o_orderkey", "o_custkey"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Order matters: the driver walks this dict in insertion order and may
     # budget a fixed number of queries per round.  Queries that have never
@@ -2694,6 +2724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "event_lag": q_event_lag,
         "events_cube": q_events_cube,
+        "bloom_join": q_bloom_join,
         # --- never / not recently driver-verified (r4 gap) ---
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -2931,6 +2962,11 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'mix', count(*) FROM f
             WHERE g = 1 AND l = 1 AND m = 1
+        """,
+        "bloom_join": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
         """,
         "events_cube": """
             SELECT coalesce(event_type, '(all)') AS event_type,
