@@ -2705,6 +2705,17 @@ def q_bloom_join(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_custkey"])
 
 
+def q_value_rank(sf_dir: str):
+    """Global rank of every document by n_chars WITHOUT a global sort:
+    combiner histogram → distinct-value cumulative counts broadcast →
+    stateless searchsorted probe (stages/stats.value_rank).  rank0 =
+    count of strictly smaller values == SQL rank()-1."""
+    from docling_ray.stages.stats import value_rank
+
+    ds = _documents(sf_dir, columns=["doc_id", "n_chars"])
+    return value_rank(ds, "n_chars", "doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Order matters: the driver walks this dict in insertion order and may
     # budget a fixed number of queries per round.  Queries that have never
@@ -2725,6 +2736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag": q_event_lag,
         "events_cube": q_events_cube,
         "bloom_join": q_bloom_join,
+        "value_rank": q_value_rank,
         # --- never / not recently driver-verified (r4 gap) ---
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -2962,6 +2974,12 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'mix', count(*) FROM f
             WHERE g = 1 AND l = 1 AND m = 1
+        """,
+        "value_rank": """
+            SELECT doc_id, n_chars,
+                   CAST(rank() OVER (ORDER BY n_chars) - 1 AS BIGINT)
+                       AS rank0
+            FROM documents
         """,
         "bloom_join": """
             SELECT o_orderkey, o_custkey FROM orders

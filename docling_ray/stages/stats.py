@@ -125,3 +125,44 @@ def grouped_linreg(ds, group_col: str, x_col: str, y_col: str):
         })
 
     return totals.map_batches(fold, batch_format="pyarrow")
+
+
+def value_rank(ds, value_col: str, id_col: str):
+    """Global dense value rank (count of strictly smaller values —
+    SQL's ``rank() OVER (ORDER BY v) - 1``) WITHOUT a global sort:
+    one combiner pass builds per-batch (value, count) partials, a
+    value-cardinality ``groupby().sum`` + driver fold produces the
+    cumulative-count table (bounded by DISTINCT values — the
+    ``stages/quantiles.py`` histogram contract and its documented
+    unbounded-cardinality caveat), which broadcasts into a stateless
+    ``np.searchsorted`` probe.  The corpus itself never sorts and
+    never shuffles."""
+    import pyarrow.compute as pc
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch[value_col].combine_chunks())
+        return pa.table({
+            "v": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    totals = ds.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("v").sum("n").take_all()
+    vals = np.array(sorted(r["v"] for r in totals if r["v"] is not None),
+                    dtype=np.int64)
+    cnts = {r["v"]: r["sum(n)"] for r in totals if r["v"] is not None}
+    below = np.concatenate(
+        [[0], np.cumsum([cnts[v] for v in vals], dtype=np.int64)[:-1]]) \
+        if len(vals) else np.zeros(0, np.int64)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vals, v)
+        return pa.table({
+            id_col: batch[id_col],
+            value_col: batch[value_col],
+            "rank0": pa.array(below[idx] if len(vals)
+                              else np.zeros(len(v), np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -127,7 +127,8 @@ DOC_QUERIES = ["gopher_repetition", "dup_windows", "quantiles",
                "crawl_delta", "pagerank", "inverted_index", "bow_search",
                "robots_filter", "fetch_schedule", "dedup_normalize",
                "c4_filters", "dsir_select", "grouped_topk", "mix_sources",
-               "filter_funnel", "linreg_by_lang", "weighted_sample"]
+               "filter_funnel", "linreg_by_lang", "weighted_sample",
+               "value_rank"]
 EVENT_QUERIES = ["events_rollup", "user_top_event", "event_lag", "events_cube", "json_field_stats", "running_totals", "sessions",
                  "events_windowed", "events_hopping", "events_by_type",
                  "asof_join", "range_join", "funnel"]
