@@ -2716,6 +2716,41 @@ def q_value_rank(sf_dir: str):
     return value_rank(ds, "n_chars", "doc_id")
 
 
+def q_spelling_pairs(sf_dir: str):
+    """All corpus-vocabulary token pairs at Levenshtein distance
+    exactly 1 — FastSS deletion-neighborhood candidates (one
+    hash(variant) shuffle over vocab-sized rows) + exact DP verify
+    (stages/spellvariants.py).  The corpus text never shuffles; the
+    oracle is the quadratic DuckDB levenshtein()=1 cross join, which
+    only stays feasible because the synthetic vocabulary is small —
+    the engine path is the one that survives a real vocabulary.  The
+    natural vocabulary has no distance-1 pairs, so every doc_id%3==0
+    doc plants a first-char-x mutation of its first token on BOTH
+    sides (the pii_redact manufacture pattern)."""
+    import pyarrow.compute as pc
+
+    from docling_ray.stages.spellvariants import spelling_pairs
+
+    ds = _documents(sf_dir, columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"].combine_chunks(), "")
+        did = batch["doc_id"].combine_chunks()
+        first = pc.fill_null(pc.struct_field(
+            pc.extract_regex(t, r"(?P<w>[^\s]+)"), "w"), "")
+        mut = pc.binary_join_element_wise(
+            pa.scalar("x"), pc.utf8_slice_codeunits(first, 1), "")
+        cond = pc.and_(
+            pc.equal(pc.cast(pc.subtract(
+                did, pc.multiply(pc.divide(did, 3), 3)), pa.int64()), 0),
+            pc.greater_equal(pc.utf8_length(first), 3))
+        aug = pc.if_else(
+            cond, pc.binary_join_element_wise(t, mut, pa.scalar(" ")), t)
+        return pa.table({"text": aug})
+
+    return spelling_pairs(ds.map_batches(augment, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Order matters: the driver walks this dict in insertion order and may
     # budget a fixed number of queries per round.  Queries that have never
@@ -2737,6 +2772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": q_events_cube,
         "bloom_join": q_bloom_join,
         "value_rank": q_value_rank,
+        "spelling_pairs": q_spelling_pairs,
         # --- never / not recently driver-verified (r4 gap) ---
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -2974,6 +3010,29 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'mix', count(*) FROM f
             WHERE g = 1 AND l = 1 AND m = 1
+        """,
+        "spelling_pairs": r"""
+            -- same first-token x-mutation manufacture as the query
+            WITH aug AS (
+                SELECT CASE WHEN doc_id % 3 = 0
+                             AND length(regexp_extract(
+                                 coalesce(text, ''), '[^\s]+')) >= 3
+                        THEN coalesce(text, '') || ' ' ||
+                             ('x' || substr(regexp_extract(
+                                  coalesce(text, ''), '[^\s]+'), 2))
+                        ELSE coalesce(text, '') END AS text
+                FROM documents
+            ), v AS (
+                SELECT DISTINCT unnest(regexp_extract_all(
+                    coalesce(text, ''), '[^\s]+')) AS t
+                FROM aug
+            ), f AS (
+                SELECT t FROM v
+                WHERE length(t) >= 3 AND length(t) <= 20
+            )
+            SELECT a.t AS t1, b.t AS t2
+            FROM f a JOIN f b
+              ON a.t < b.t AND levenshtein(a.t, b.t) = 1
         """,
         "value_rank": """
             SELECT doc_id, n_chars,

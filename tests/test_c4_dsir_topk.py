@@ -484,3 +484,37 @@ def test_event_lag_matches_pandas(ray_session):
     exp = ref["delta"]
     assert ((got.isna() == exp.isna()).all()
             and (got.dropna() == exp.dropna()).all())
+
+
+# -- FastSS spelling pairs ---------------------------------------------------
+
+def test_deletion_neighborhood_and_dp():
+    from docling_ray.stages.spellvariants import (deletion_neighborhood,
+                                                  levenshtein1)
+
+    assert deletion_neighborhood("cat") == ["cat", "at", "ct", "ca"]
+    assert levenshtein1("cat", "cot")        # substitution
+    assert levenshtein1("cat", "cart")       # insertion
+    assert levenshtein1("cat", "at")         # deletion
+    assert not levenshtein1("ab", "ba")      # the FastSS false positive
+    assert not levenshtein1("cat", "cat")
+    assert not levenshtein1("cat", "dog")
+
+
+def test_spelling_pairs_matches_bruteforce(ray_session):
+    import itertools
+
+    import ray.data
+
+    from docling_ray.stages.spellvariants import (levenshtein1,
+                                                  spelling_pairs)
+
+    vocab = ["fast", "last", "mast", "masts", "ab", "ba", "slow",
+             "slows", "xyz", "xyyz"]
+    t = pa.table({"text": pa.array([" ".join(vocab)] * 3, pa.string())})
+    out = spelling_pairs(ray.data.from_arrow(t).repartition(3),
+                         min_len=2)
+    got = set(zip(out["t1"].to_pylist(), out["t2"].to_pylist()))
+    exp = {tuple(sorted(p)) for p in itertools.combinations(set(vocab), 2)
+           if levenshtein1(*p) and min(len(x) for x in p) >= 2}
+    assert got == exp and ("fast", "last") in got and ("ab", "ba") not in got
