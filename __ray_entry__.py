@@ -2751,6 +2751,42 @@ def q_spelling_pairs(sf_dir: str):
     return spelling_pairs(ds.map_batches(augment, batch_format="pyarrow"))
 
 
+def q_triangles(sf_dir: str):
+    """Distributed triangle enumeration (stages/graph.triangles):
+    node-ordered wedges from one edge self-join + a multi-key SEMI
+    join for the closing edge — two shuffles, no all-pairs.  The graph
+    is manufactured deterministically on BOTH sides: a ring over the
+    doc_ids plus a chord (i, i+2) wherever i % 4 != 0, so per-node
+    triangle membership varies."""
+    import numpy as np
+    import ray.data
+
+    from docling_ray.stages.graph import triangles
+
+    docs = _documents(sf_dir, columns=["doc_id"])
+    n_docs = docs.count()
+
+    def build_edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ring_a, ring_b = d, (d + 1) % n_docs
+        keep = (d % 4) != 0
+        ch_a, ch_b = d[keep], (d[keep] + 2) % n_docs
+        a = np.concatenate([ring_a, ch_a])
+        b = np.concatenate([ring_b, ch_b])
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        ok = lo != hi
+        return pa.table({"a": pa.array(lo[ok], pa.int64()),
+                         "b": pa.array(hi[ok], pa.int64())})
+
+    edges = docs.map_batches(build_edges, batch_format="pyarrow") \
+        .groupby(["a", "b"]).count() \
+        .map_batches(lambda t: t.select(["a", "b"]),
+                     batch_format="pyarrow")
+    # small partition count: the edge list is vocabulary-sized here and
+    # each extra join partition costs an aggregator-actor placement
+    return triangles(edges, num_partitions=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Order matters: the driver walks this dict in insertion order and may
     # budget a fixed number of queries per round.  Queries that have never
@@ -2773,6 +2809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join": q_bloom_join,
         "value_rank": q_value_rank,
         "spelling_pairs": q_spelling_pairs,
+        "triangles": q_triangles,
         # --- never / not recently driver-verified (r4 gap) ---
         "range_join": q_range_join,
         "orders_customer_join": q_orders_customer_join,
@@ -3010,6 +3047,23 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'mix', count(*) FROM f
             WHERE g = 1 AND l = 1 AND m = 1
+        """,
+        "triangles": """
+            WITH n AS (SELECT count(*) AS cnt FROM documents),
+            e0 AS (
+                SELECT doc_id AS x, (doc_id + 1) % cnt AS y
+                FROM documents, n
+                UNION ALL
+                SELECT doc_id, (doc_id + 2) % cnt
+                FROM documents, n WHERE doc_id % 4 <> 0
+            ), edges AS (
+                SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                FROM e0 WHERE x <> y
+            )
+            SELECT t1.a AS a, t1.b AS b, t2.b AS c
+            FROM edges t1
+            JOIN edges t2 ON t2.a = t1.b
+            JOIN edges t3 ON t3.a = t1.a AND t3.b = t2.b
         """,
         "spelling_pairs": r"""
             -- same first-token x-mutation manufacture as the query

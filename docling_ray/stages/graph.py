@@ -634,3 +634,31 @@ def anchor_text_index(links, url_col: str = "url", href_col: str = "href",
         "n_anchors": pa.array([], pa.int64()),
         "anchors_md5": pa.array([], pa.string())}))
     return empty.union(out)
+
+
+def triangles(edges, num_partitions: int = 32):
+    """Distributed triangle enumeration over an undirected edge list —
+    the node-ordered two-join scheme (each triangle found exactly once):
+    ``edges`` must hold normalized rows ``(a, b)`` with ``a < b``;
+    wedges come from joining edges on the middle node (``t1.b = t2.a``
+    gives paths ``a < b < c``) and each wedge survives iff the closing
+    edge ``(a, c)`` exists (a multi-key SEMI join — no payload
+    replication).  Two hash-shuffle joins total; no all-pairs step.
+    Returns a Dataset of ``(a, b, c)`` triangle rows, ``a < b < c``."""
+    from docling_ray.stages.joins import shuffle_join
+
+    def rename(ds, mapping):
+        return ds.map_batches(
+            lambda t: t.rename_columns([mapping.get(c, c)
+                                        for c in t.column_names]),
+            batch_format="pyarrow")
+
+    mid = rename(edges, {"a": "b2", "b": "c"})
+    # Ray's hash join merges the key pair: the right key column (b2)
+    # does not appear in the output
+    wedges = shuffle_join(edges, mid, on="b", right_on="b2",
+                          how="inner", num_partitions=num_partitions)
+    closing = rename(edges, {"a": "a3", "b": "c3"})
+    return shuffle_join(wedges, closing, on=("a", "c"),
+                        right_on=("a3", "c3"), how="left_semi",
+                        num_partitions=num_partitions)

@@ -518,3 +518,29 @@ def test_spelling_pairs_matches_bruteforce(ray_session):
     exp = {tuple(sorted(p)) for p in itertools.combinations(set(vocab), 2)
            if levenshtein1(*p) and min(len(x) for x in p) >= 2}
     assert got == exp and ("fast", "last") in got and ("ab", "ba") not in got
+
+
+# -- triangle enumeration ----------------------------------------------------
+
+def test_triangles_matches_bruteforce(ray_session):
+    import itertools
+
+    import ray.data
+
+    from docling_ray.stages.graph import triangles
+
+    rng = np.random.default_rng(21)
+    n = 30
+    pairs = sorted({tuple(sorted(p)) for p in
+                    zip(rng.integers(0, n, 120), rng.integers(0, n, 120))
+                    if p[0] != p[1]})
+    t = pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                  "b": pa.array([p[1] for p in pairs], pa.int64())})
+    out = triangles(ray.data.from_arrow(t).repartition(5),
+                    num_partitions=4).to_pandas()
+    got = sorted(map(tuple, out[["a", "b", "c"]].values.tolist()))
+    es = set(pairs)
+    exp = sorted((a, b, c) for a, b, c in
+                 itertools.combinations(range(n), 3)
+                 if (a, b) in es and (b, c) in es and (a, c) in es)
+    assert got == exp and len(exp) > 0

@@ -128,7 +128,7 @@ DOC_QUERIES = ["gopher_repetition", "dup_windows", "quantiles",
                "robots_filter", "fetch_schedule", "dedup_normalize",
                "c4_filters", "dsir_select", "grouped_topk", "mix_sources",
                "filter_funnel", "linreg_by_lang", "weighted_sample",
-               "value_rank", "spelling_pairs"]
+               "value_rank", "spelling_pairs", "triangles"]
 EVENT_QUERIES = ["events_rollup", "user_top_event", "event_lag", "events_cube", "json_field_stats", "running_totals", "sessions",
                  "events_windowed", "events_hopping", "events_by_type",
                  "asof_join", "range_join", "funnel"]
